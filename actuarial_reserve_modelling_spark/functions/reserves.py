@@ -1,0 +1,143 @@
+"""U1 — the stochastic reserve kernel (SURVEY.md §2.4).
+
+Reference semantics (docker_files/src/main.rs:62-80): for each of
+NUM_SIMULATIONS=10_000 trials (main.rs:10,63) and each policy (main.rs:65)
+draw ``x ~ Exponential(mean = term/365)`` (main.rs:11,67), take
+``n = floor(x)`` claims (main.rs:70), add ``n`` i.i.d. ``Normal(100,10)``
+amounts (main.rs:71-72); the per-file output is the mean over trials of
+the portfolio sum (main.rs:75,80); the Lambda then sums the per-file
+means (lambda_code/calculate_average_reserves.py:27-33).
+
+Spark-first differences (deliberate, SURVEY §4.3-1):
+
+* **Deterministic, repartition-invariant RNG.** The reference uses
+  ``thread_rng()`` (main.rs:67,71) — nondeterministic run to run. We seed
+  per *row* as ``sha256(seed, policy_id)`` so results are identical under
+  any partitioning or task retry — never ``seed(partition_id)``.
+* **Arrow-vectorized kernel.** ``mapInPandas`` over columnar batches
+  instead of a per-row struct loop; numpy draws all trials of one policy
+  at once. Column pruning to (id, term) happens before the kernel so the
+  scan reads 2 of 9 columns (the reference reads all 9, main.rs:51).
+* **Partial+final aggregation is Spark's own.** The worker-mean /
+  Lambda-sum split (SURVEY §2.5 A3) is exactly
+  ``HashAggregate(partial) → Exchange → HashAggregate(final)``.
+
+At 100 TB: the kernel is a narrow map — no shuffle until the final
+single-row aggregate, whose exchange moves one double per task. Scales
+linearly with input splits; skew-free (cost is ~uniform per row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NUM_SIMULATIONS = 10_000  # main.rs:10
+CLAIM_INTERVAL = 365.0  # main.rs:11
+MEAN_CLAIM = 100.0  # main.rs:71
+STD_CLAIM = 10.0  # main.rs:71
+
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("mean_reserve", T.DoubleType(), True),
+    ]
+)
+
+
+def row_seed(seed: int, policy_id: str) -> int:
+    """Stable 64-bit per-row seed: depends only on (global seed, id).
+
+    Survives repartitioning, task retry, and worker-count changes — the
+    invariance the reference never had (its 2/5/10-worker runs disagree).
+    """
+    digest = hashlib.sha256(f"{seed}|{policy_id}".encode()).digest()
+    return int.from_bytes(digest[:8], "little")
+
+
+def simulate_reserves(
+    policies: DataFrame,
+    n_trials: int = NUM_SIMULATIONS,
+    seed: int = 42,
+    mean_claim: float = MEAN_CLAIM,
+    std_claim: float = STD_CLAIM,
+    claim_interval: float = CLAIM_INTERVAL,
+) -> DataFrame:
+    """Per-policy expected reserve over ``n_trials`` Monte Carlo trials.
+
+    Input needs columns ``id: string`` and ``term: double`` (days).
+    Returns ``(id, mean_reserve)``. Mean over trials of the per-trial
+    claim total — the same estimator as main.rs:75,80 restated per policy
+    (sum over policies is taken by the caller, so partial aggregation
+    stays map-side).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].astype(str).to_numpy()
+            terms = pdf["term"].to_numpy(dtype="float64")
+            out = np.empty(len(ids), dtype="float64")
+            for i in range(len(ids)):
+                rng = np.random.default_rng(row_seed(seed, ids[i]))
+                # x ~ Exp(mean=term/interval)  (main.rs:67)
+                x = rng.exponential(terms[i] / claim_interval, n_trials)
+                # n = floor(x) claims per trial (main.rs:70); total across
+                # trials — sum of per-trial sums == sum of all claims.
+                n_claims = int(np.floor(x).sum())
+                total = rng.normal(mean_claim, std_claim, n_claims).sum()
+                out[i] = total / n_trials  # mean over trials (main.rs:80)
+            yield pd.DataFrame({"id": ids, "mean_reserve": out})
+
+    return policies.select("id", "term").mapInPandas(kernel, schema=_RESULT_SCHEMA)
+
+
+def total_reserves(policies: DataFrame, n_trials: int = NUM_SIMULATIONS, seed: int = 42) -> DataFrame:
+    """The reference's one end-to-end answer: total portfolio reserves.
+
+    ``scan → project(id, term) → mapInPandas(kernel) → sum`` — the whole
+    of entrypoint.sh + main.rs + the Lambda as one declarative plan
+    (SURVEY §3.1-3.3).
+
+    The final sum goes through decimal(38,12): float addition is not
+    associative, so a double sum differs at the last ULP across
+    partitionings; exact decimal accumulation makes the total
+    bit-identical for any worker count (the invariant the reference's
+    2/5/10-worker runs can't keep).
+    """
+    return simulate_reserves(policies, n_trials=n_trials, seed=seed).agg(
+        F.sum(F.col("mean_reserve").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("total_reserves")
+    )
+
+
+def expected_reserve_column(term_col):
+    """Closed-form E[reserve] = 100 / (exp(365/term) - 1) (SURVEY §2.4).
+
+    Built-in-function column expression (JVM-side, codegen'd): the
+    deterministic U2 companion of the stochastic kernel, and the analytic
+    oracle the tests check the simulation against.
+    """
+    return MEAN_CLAIM / (F.exp(F.lit(CLAIM_INTERVAL) / term_col) - F.lit(1.0))
+
+
+def analytic_moments(terms: np.ndarray) -> tuple[float, float]:
+    """(mean, variance) of the per-trial portfolio reserve, closed form.
+
+    n = floor(Exp(mean=β)) is geometric with q = exp(-1/β):
+    E[n] = q/(1-q), Var(n) = q/(1-q)^2. Compound with Normal(μ,σ):
+    E[R] = μ·E[n]; Var(R) = E[n]·σ² + Var(n)·μ².
+    """
+    beta = np.asarray(terms, dtype="float64") / CLAIM_INTERVAL
+    q = np.exp(-1.0 / beta)
+    e_n = q / (1.0 - q)
+    var_n = q / (1.0 - q) ** 2
+    mean = float((MEAN_CLAIM * e_n).sum())
+    var = float((e_n * STD_CLAIM**2 + var_n * MEAN_CLAIM**2).sum())
+    return mean, var
