@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship reserve pipeline on sf0.001.
+``queries()`` — every implemented SURVEY.md §2 operator as
+``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — matching DuckDB SQL (omitted for non-SQL ops →
+rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _registry():
+    from actuarial_reserve_modelling_spark.plans.registry import load_all
+
+    return load_all()
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from actuarial_reserve_modelling_spark.session import ship_package
+
+        ship_package(spark)  # executors must import our kernels
+        return fn(spark, sf_dir)
+
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
+    from actuarial_reserve_modelling_spark.functions.reserves import simulate_reserves
+    from actuarial_reserve_modelling_spark.session import ship_package
+
+    ship_package(spark)
+    portfolio = synthetic_portfolio(load_table(spark, "/root/testdata/sf0.001", "customer"))
+    return simulate_reserves(portfolio, n_trials=1_000, seed=42)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator row from SURVEY.md §2."""
+    return {name: _wrap(q.spark_fn) for name, q in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every hash-checkable query."""
+    return {name: q.oracle for name, q in _registry().items() if q.oracle is not None}

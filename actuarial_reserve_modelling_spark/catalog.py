@@ -66,7 +66,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     A plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown,
     column pruning, and partition pruning — the 100 TB path is identical,
     just with an object-store URI.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as raw nanos (legacy nanosAsLong) and
+    truncate to microseconds — the same truncation DuckDB applies, so
+    oracle comparisons agree.
     """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

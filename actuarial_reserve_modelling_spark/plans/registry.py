@@ -1,0 +1,53 @@
+"""Registry mapping SURVEY.md §2 operator rows to runnable queries.
+
+Each entry pairs a Spark query builder ``(spark, sf_dir) -> DataFrame``
+with (where SQL-expressible) a DuckDB oracle SQL string over the same
+parquet tables. The driver runs both at sf0.01 and compares row count,
+schema, and an order-insensitive value hash — so every query obeys the
+determinism rules (SURVEY §5.2-1): keyed outputs, float aggregates
+rounded, column names aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    survey_rows: str  # e.g. "A4" — ties back to SURVEY.md §2
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, survey_rows: str, oracle: str | None = None):
+    """Decorator: add a query builder to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, spark_fn=fn, oracle=oracle, survey_rows=survey_rows)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (side effect: registration) and return
+    the full registry."""
+    from actuarial_reserve_modelling_spark.plans import (  # noqa: F401
+        kernel_queries,
+        llm_queries,
+        relational,
+        streaming_queries,
+        window_queries,
+    )
+
+    return REGISTRY

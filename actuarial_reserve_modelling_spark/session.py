@@ -37,6 +37,7 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "10485760",
     # Partial aggregation pushdown below shuffles is default-on; codegen
     # spans should stay wide — no config needed, listed for intent.
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
 }

@@ -1,0 +1,93 @@
+"""Registry-level checks beyond the oracle harness: plan shape (the
+scale-sensitive properties) and operator unit behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.operators.joins import asof_join
+from actuarial_reserve_modelling_spark.plans.registry import load_all
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_all_queries_run_at_smoke_sf(spark, registry):
+    for name, q in registry.items():
+        df = q.spark_fn(spark, SF_SMOKE)
+        assert df.count() >= 0, name
+
+
+def test_projection_prunes_scan(spark, registry):
+    """P2: the physical scan must read only the referenced columns."""
+    df = registry["p2_project_prune"].spark_fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "l_extendedprice" not in plan
+    assert "l_orderkey" in plan
+
+
+def test_filter_pushed_to_scan(spark, registry):
+    """P3/P6: predicates must reach the parquet reader."""
+    df = registry["p3_p6_compound_filter"].spark_fn(spark, SF_SMOKE)
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in scan
+    assert "IsNotNull(l_quantity)" in scan or "LessThan(l_quantity" in scan
+
+
+def test_broadcast_join_is_broadcast(spark, registry):
+    """J1: the nation dim must broadcast — no shuffle of the fact side."""
+    df = registry["j1_broadcast_join_agg"].spark_fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_avoids_global_sort(spark, registry):
+    """O3: ordered limit must plan TakeOrderedAndProject, not a full
+    range-partitioned sort."""
+    df = registry["o1_o3_topk"].spark_fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", t=5, lv="L5"), Row(k="a", t=1, lv="L1"), Row(k="b", t=3, lv="L3")]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", t=2, rv=20.0),
+            Row(k="a", t=5, rv=50.0),
+            Row(k="b", t=4, rv=40.0),
+        ]
+    )
+    out = asof_join(
+        left, right, on="t", by=["k"], value_cols=["rv"], allow_exact_matches=True
+    )
+    got = {(r["k"], r["t"]): r["rv_right"] for r in out.collect()}
+    # a@5 matches the equal-ts right row; a@1 has no prior; b@3 none (right at 4)
+    assert got == {("a", 5): 50.0, ("a", 1): None, ("b", 3): None}
+
+    strict = asof_join(
+        left, right, on="t", by=["k"], value_cols=["rv"], allow_exact_matches=False
+    )
+    got2 = {(r["k"], r["t"]): r["rv_right"] for r in strict.collect()}
+    # strict: a@5 now takes the ts=2 row instead of the equal-ts one
+    assert got2 == {("a", 5): 20.0, ("a", 1): None, ("b", 3): None}
+
+
+def test_approx_count_distinct_rsd(spark, registry):
+    exact = (
+        registry["a5_count_distinct"].spark_fn(spark, SF_SMOKE).collect()[0]["n_cust"]
+    )
+    approx = (
+        registry["a6_approx_count_distinct"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()[0]["approx_n_cust"]
+    )
+    assert abs(approx - exact) / exact < 0.1
