@@ -1,0 +1,307 @@
+"""Deduplication operators (SURVEY §2.10 L1/L2): exact, MinHash-LSH,
+SimHash, n-gram Jaccard, and winnowing fingerprints.
+
+Scale design (the 100 TB story):
+
+* Exact dedup hashes the text once map-side and shuffles 16-byte digests,
+  never full documents.
+* MinHash-LSH is the canonical blocking design: O(n) signatures →
+  band-bucket shuffle → pair generation only *within* buckets → exact
+  verification join. No O(n²) stage; bucket skew (a degenerate band
+  value collecting millions of docs) is the known hazard — AQE skew
+  split handles moderate skew, and a bucket-size cap drops degenerate
+  buckets (logged) the way production pipelines do.
+* SimHash is fully JVM-side (md5-derived word hashes, bit arithmetic) —
+  fingerprints are one int64 per doc; near-dup pairs come from a
+  banded self-join on fingerprint prefixes or, for bounded subsets, a
+  direct pair join.
+* Winnowing selects O(len/w) rolling-hash fingerprints per document —
+  robust to local edits, used for code/plagiarism-style matching.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Tokens: distinct, non-empty, whitespace-split. Kept identical to the
+# DuckDB oracle's string_split + filter + DISTINCT.
+TOKENS = "array_distinct(filter(split(text, ' '), x -> x != ''))"
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """L1: group by md5(text); keep the minimum doc_id as the canonical
+    representative. Returns (text_hash, keep_id, dup_count)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _token_base_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit base hash per token (blake2b, seed-independent)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in tokens
+        ],
+        dtype=np.uint64,
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 192, seed: int = 42, text_col: str = "text"
+) -> DataFrame:
+    """MinHash signature per document over its distinct token set.
+
+    ``num_hashes`` universal-hash draws h_i(t) = a_i * base(t) + b_i
+    (mod 2^64, numpy wraparound), minimized over tokens — an Arrow
+    pandas kernel vectorized as a (k × n_tokens) matrix per doc.
+    Returns (doc_id, sig: array<bigint>).
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for toks in pdf["tokens"]:
+                base = _token_base_hashes(list(toks))
+                if len(base) == 0:
+                    sigs.append(np.zeros(num_hashes, dtype=np.int64).tolist())
+                    continue
+                # (k, n) = a[:,None]*base[None,:] + b[:,None], min over n
+                m = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
+                sigs.append(m.view(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    toks = docs.select("doc_id", F.expr(TOKENS.replace("text", text_col)).alias("tokens"))
+    return toks.mapInPandas(kernel, schema=schema)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 24,
+    rows_per_band: int = 8,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Band the signatures and emit candidate (d1, d2) pairs sharing at
+    least one band bucket. Pure built-ins: slice → hash → explode →
+    self-join on (band, bucket). ``max_bucket_size`` drops degenerate
+    buckets (skew guard) — at recall-critical thresholds the dropped
+    buckets are band collisions of near-identical docs that other bands
+    recover."""
+    band_cols = [
+        F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(f"b{i}")
+        for i in range(bands)
+    ]
+    banded = signatures.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+    sized = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    )
+    small = sized.filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
+    a, b = small.alias("a"), small.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame, docs: DataFrame, threshold: float, text_col: str = "text"
+) -> DataFrame:
+    """Exact token-set Jaccard for each candidate pair; keep >= threshold.
+    Joins the (small) token arrays to the pair list — the only stage that
+    touches document content after blocking."""
+    toks = docs.select(
+        F.col("doc_id"), F.expr(TOKENS.replace("text", text_col)).alias("tokens")
+    )
+    t1 = toks.select(F.col("doc_id").alias("d1"), F.col("tokens").alias("tok1"))
+    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("tokens").alias("tok2"))
+    inter = F.size(F.array_intersect("tok1", "tok2")).cast("double")
+    union = (F.size("tok1") + F.size("tok2") - F.size(F.array_intersect("tok1", "tok2"))).cast(
+        "double"
+    )
+    return (
+        candidates.join(t1, "d1")
+        .join(t2, "d2")
+        # try_divide: two token-less docs (union=0) are NULL → dropped by
+        # the threshold filter, matching the oracle where such docs never
+        # enter the words set. Plain '/' hard-fails under ANSI mode.
+        .withColumn("jac", F.try_divide(inter, union))
+        .filter(F.col("jac") >= threshold)
+        .select("d1", "d2", F.round("jac", 6).alias("jac"))
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 24,
+    rows_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """L2 end-to-end: MinHash → LSH blocking → exact-Jaccard verify.
+
+    With b=24, r=8 the miss probability at jac=0.95 is (1-0.95^8)^24
+    ≈ 4e-12, so the verified output equals the exact all-pairs answer
+    (which is what the DuckDB oracle computes) without the O(n²) scan.
+    """
+    sigs = minhash_signatures(docs, num_hashes=bands * rows_per_band, seed=seed)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    return verify_jaccard(cands, docs, threshold)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+# 60-bit word hash: first 15 hex chars of md5 — chosen because both
+# engines parse it identically (Spark conv(hex,16,10); DuckDB '0x'||h
+# cast). 60 bits keeps the fingerprint positive in an int64.
+SIMHASH_BITS = 60
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint per doc, entirely JVM-side (no UDF):
+    explode distinct words → 60-bit md5 word hash → per-bit ±1 votes →
+    majority bit → weighted sum. Returns (doc_id, fp)."""
+    words = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS.replace("text", text_col))).alias("w")
+    )
+    hashed = words.select(
+        "doc_id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("h")
+    )
+    bits = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        # shiftright/shiftleft builtins take literal bit counts only, so
+        # the per-row shift goes through the SQL expression form.
+        F.expr("(shiftright(h, cast(b AS INT)) & 1) * 2 - 1").alias("sign"),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("sign").alias("s"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("fp")
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Pairs of docs whose SimHash fingerprints differ in ≤ max_hamming
+    bits. Pair join is a broadcast self-join here (fingerprints are one
+    int64/doc, tiny); at 100 TB, block on fingerprint prefix bands
+    (pigeonhole: ≤2 differing bits over 4 bands → ≥1 identical band)."""
+    fps = simhash_fingerprints(docs, text_col=text_col)
+    a = fps.select(F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"))
+    b = fps.select(F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+# --- character n-gram Jaccard ----------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Character n-gram Jaccard near-dup pairs, JVM-side: sequence +
+    substring builds the distinct n-gram set, then the same
+    intersect/union math as token Jaccard. Joins are on the doc subset
+    the caller filtered to — at scale, block first (MinHash over
+    n-grams) exactly like minhash_near_dup_pairs."""
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n}))")
+        ).alias("g"),
+    )
+    a = grams.select(F.col("doc_id").alias("d1"), F.col("g").alias("g1"))
+    b = grams.select(F.col("doc_id").alias("d2"), F.col("g").alias("g2"))
+    inter = F.size(F.array_intersect("g1", "g2")).cast("double")
+    union = (F.size("g1") + F.size("g2") - F.size(F.array_intersect("g1", "g2"))).cast("double")
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .withColumn("jac", F.try_divide(inter, union))
+        .filter(F.col("jac") >= threshold)
+        .select("d1", "d2", F.round("jac", 6).alias("jac"))
+    )
+
+
+# --- winnowing fingerprints -------------------------------------------------
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 5, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprinting via winnowing (Schleimer et al., SIGMOD'03):
+    rolling hash over k-grams, minimum per sliding window, distinct
+    selected hashes. Arrow pandas kernel (per-row numpy); output
+    (doc_id, fp_hash) rows — join fp_hash to find local-overlap docs.
+    """
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("fp_hash", T.LongType())]
+    )
+    B = np.uint64(1000003)
+    MOD_MASK = np.uint64((1 << 61) - 1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                s = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                if len(s) < k:
+                    continue
+                # rolling polynomial hash of all k-grams
+                n_grams = len(s) - k + 1
+                h = np.zeros(n_grams, dtype=np.uint64)
+                acc = np.uint64(0)
+                for i in range(k):
+                    acc = (acc * B + s[i]) & MOD_MASK
+                h[0] = acc
+                top = B
+                for _ in range(k - 2):
+                    top = (top * B) & MOD_MASK
+                for i in range(1, n_grams):
+                    acc = ((acc - s[i - 1] * top) * B + s[i + k - 1]) & MOD_MASK
+                    h[i] = acc
+                if n_grams <= window:
+                    sel = {int(h.min())}
+                else:
+                    idx = np.arange(n_grams - window + 1)
+                    wins = np.lib.stride_tricks.sliding_window_view(h, window)
+                    sel = set(int(x) for x in wins.min(axis=1))
+                for v in sorted(sel):
+                    ids.append(int(doc_id))
+                    fps.append(int(np.uint64(v).astype(np.int64)))
+            yield pd.DataFrame({"doc_id": ids, "fp_hash": fps})
+
+    return docs.select("doc_id", text_col).mapInPandas(kernel, schema=schema)

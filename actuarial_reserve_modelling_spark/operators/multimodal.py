@@ -1,0 +1,107 @@
+"""Multimodal column handling (SURVEY §2.10 L6).
+
+Design: media travels as an opaque ``binary`` payload column next to a
+typed metadata struct; decode / feature-extract / resize / frame-sample
+are Arrow kernels over ``mapInPandas`` so bytes never round-trip through
+Python row objects. The decode internals are STUBBED (no image/audio
+libs in this container): ``decode_media`` raises NotImplementedError for
+real codecs and ships a clearly-marked deterministic fake so the
+Spark-side plumbing — schema, batching, partitioning — is real and
+testable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def attach_binary_payload(docs: DataFrame, mime: str = "text/plain") -> DataFrame:
+    """Build the multimodal layout from a text table: binary payload +
+    metadata struct. For real media, the payload comes straight off the
+    source (e.g. parquet BYTE_ARRAY of image bytes)."""
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"), F.length(payload).cast("bigint").alias("n_bytes")
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str) -> np.ndarray:
+    """Real decode path — STUB. Container has no PIL/ffmpeg; a production
+    build plugs the codec in here (one function, same signature)."""
+    raise NotImplementedError(
+        "media codecs unavailable in this environment; use fake_decode_features"
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("feat0", T.IntegerType()),
+        T.StructField("feat_mean", T.DoubleType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas.
+
+    DETERMINISTIC FAKE standing in for decode+embed: feat0 = first
+    payload byte, feat_mean = mean byte value rounded to 6 dp. The
+    batching/schema/partitioning is exactly what a real CLIP/CNN
+    featurizer uses — swap the body, keep the plan."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "byte_len": [], "feat0": [], "feat_mean": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                out["doc_id"].append(int(doc_id))
+                out["byte_len"].append(len(buf))
+                out["feat0"].append(int(buf[0]) if len(buf) else -1)
+                out["feat_mean"].append(round(float(buf.mean()), 6) if len(buf) else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame/sample extraction pattern (video frame-sample analogue):
+    1 payload row → N sampled 'frames'. Deterministic fake: one frame
+    per every_n_bytes slice, id + first byte. Real impl replaces the
+    slicer with a container demuxer; the explode-shaped output contract
+    (one row per frame, frame_idx ordered) is the stable part."""
+    frames = F.expr(
+        f"transform(sequence(0, int(octet_length(payload) / {every_n_bytes})), "
+        f"i -> named_struct('frame_idx', i, 'lead_byte', "
+        f"coalesce(ascii(substring(cast(payload AS STRING), i * {every_n_bytes} + 1, 1)), -1)))"
+    )
+    return media.select("doc_id", F.explode(frames).alias("f")).select(
+        "doc_id", F.col("f.frame_idx").alias("frame_idx"), F.col("f.lead_byte").alias("lead_byte")
+    )

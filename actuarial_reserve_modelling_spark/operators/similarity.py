@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (SURVEY §2.10 L3/L4).
+
+Brute-force cosine is the exact baseline: query-set × corpus with the
+query side broadcast, dot products as JVM higher-order functions
+(zip_with + aggregate over doubles — no Python in the loop). At 100 TB
+the corpus side streams through executors once per query batch;
+cost is O(|Q|·|C|·d) FLOPs but zero shuffle beyond the final top-k.
+
+The scale path is LSH bucketing (random hyperplanes): signatures are
+O(n), candidates come from bucket joins, and exact cosine re-ranks only
+candidates. Approximate by construction → checked by a recall test, not
+the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_double(col: str):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: str, b: str):
+    """Σ a_i·b_i as a JVM expression (sequential fold, like DuckDB's
+    list_dot_product, so cross-engine float results agree)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: str, b: str):
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output (query_id, neighbor_id, rank, sim); sim rounded to 6 dp
+    *before* ranking so ordering (and therefore rank) is stable across
+    engines; ties broken by neighbor id. Excludes self-matches.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qvec", "cvec"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L4: all pairs with cosine ≥ threshold (exact self-join form —
+    correctness baseline; use ann_lsh blocking at scale)."""
+    a = embeddings.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
+    b = embeddings.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
+    return (
+        a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+        .select("v1", "v2", F.round(cosine("e1", "e2"), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    num_planes: int = 16,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature (one int bucket per band of
+    planes). Plane matrix is seeded and regenerated identically in every
+    task — no driver-side state to ship."""
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()), T.StructField("sig", T.LongType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
+        for pdf in batches:
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(vecs) == 0:
+                yield pd.DataFrame({"vec_id": [], "sig": []})
+                continue
+            bits = (vecs @ planes) > 0
+            sig = bits @ (1 << np.arange(num_planes, dtype=np.int64))
+            yield pd.DataFrame({"vec_id": pdf[id_col], "sig": sig})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 10,
+    num_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH blocking → exact
+    cosine re-rank of candidates only. num_tables signatures per vector;
+    a candidate is any corpus vector sharing ≥1 bucket with the query.
+    Recall tested against cosine_topk (not SQL-oracle-checkable)."""
+    sig_tables = [
+        hyperplane_signatures(embeddings, num_planes, seed + t, dim).withColumn(
+            "table", F.lit(t)
+        )
+        for t in range(num_tables)
+    ]
+    corpus_sigs = sig_tables[0]
+    for s in sig_tables[1:]:
+        corpus_sigs = corpus_sigs.unionByName(s)
+    qids = {r[0] for r in queries.select("vec_id").collect()}
+    query_sigs = corpus_sigs.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "table", "sig"
+    )
+    cand = (
+        corpus_sigs.join(F.broadcast(query_sigs), ["table", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cosine("qvec", "cvec"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

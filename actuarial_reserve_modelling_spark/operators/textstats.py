@@ -1,0 +1,98 @@
+"""Text analysis operators (SURVEY §2.10 L5): token counting, quality
+scoring, heuristic language ID, and content fingerprints.
+
+Everything here is built-in JVM expressions (split/regexp/array ops) —
+the textbook case for *not* writing UDFs: per-document string math at
+100 TB must stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORDS = "filter(split(text, ' '), x -> x != '')"
+# BPE-ish pre-tokenization: letter runs, digit runs, single other glyphs.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Tiny stopword-style marker sets for the heuristic language scorer.
+# (Declarative toy lists — the mechanism, argmax-of-marker-hits, is the
+# real product; swap lists for fasttext-style models via pandas_udf.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "tabular": ("table", "row", "column", "scan"),
+    "relational": ("join", "merge", "hash", "agg"),
+    "temporal": ("window", "batch", "order", "filter"),
+}
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + regex (BPE-ish pre-tokenizer) token counts."""
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(WORDS)).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")).alias("re_tokens"),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length/punctuation/stopword-ratio quality heuristics with a
+    composite keep/drop score (C4/Gopher-style rule scoring)."""
+    n_words = F.size(F.expr(WORDS))
+    n_chars = F.length("text")
+    punct = F.size(F.expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)"))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.expr(WORDS)), F.array(F.lit("the"), F.lit("a"))
+        )
+    )
+    mean_word_len = (n_chars - n_words + 1).cast("double") / n_words.cast("double")
+    score = (
+        F.when((n_words >= 10) & (n_words <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(punct.cast("double") / n_chars.cast("double") < 0.2, F.lit(0.3)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(stop_hits >= 1, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_computed"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def _marker_hits(words: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.array_intersect(words, F.array(*[F.lit(m) for m in markers])))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language/domain ID: argmax of marker-set hits over the
+    distinct word set, first-listed set wins ties, 'und' when all zero."""
+    words = F.array_distinct(F.expr(WORDS))
+    hits = {name: _marker_hits(words, ms) for name, ms in LANG_MARKERS.items()}
+    h1, h2, h3 = hits["tabular"], hits["relational"], hits["temporal"]
+    pred = (
+        F.when((h1 >= h2) & (h1 >= h3) & (h1 > 0), "tabular")
+        .when((h2 >= h3) & (h2 > 0), "relational")
+        .when(h3 > 0, "temporal")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        h1.alias("hits_tabular"),
+        h2.alias("hits_relational"),
+        h3.alias("hits_temporal"),
+        pred.alias("pred_lang"),
+    )
+
+
+def content_fingerprints(docs: DataFrame) -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text (the cheap exact-after-normalization tier;
+    winnowing in operators/dedup.py is the locality-sensitive tier)."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
+    return docs.select(
+        "doc_id", F.substring(F.md5(normalized), 1, 16).alias("fingerprint")
+    )

@@ -1,4 +1,372 @@
-"""L1-L6 — LLM-data-pipeline queries (SURVEY §2.10). Filled in
-Milestone 3; importing this module registers its queries."""
+"""L1-L6 — LLM-data-pipeline queries (SURVEY §2.10).
+
+Dedup family (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+near-dup), similarity search (exact top-k + ANN), text analysis (stats,
+token counts, quality, lang-id, fingerprints), multimodal plumbing.
+Thresholds were chosen from the measured data distributions so outputs
+are non-trivial (word-Jaccard τ=0.95 → ~1.9k pairs at sf0.01; cosine
+τ=0.4 → 59 pairs; char-3-gram τ=0.6 on the doc_id<100 subset → ~200).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.catalog import load_table
+from actuarial_reserve_modelling_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    winnowing_fingerprints,
+)
+from actuarial_reserve_modelling_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from actuarial_reserve_modelling_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_pairs,
+    cosine_topk,
+)
+from actuarial_reserve_modelling_spark.operators.textstats import (
+    content_fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+from actuarial_reserve_modelling_spark.plans.registry import register
+
+# Shared CTE: distinct non-empty whitespace tokens, mirrored by
+# operators.dedup.TOKENS on the Spark side.
+_WORDS_CTE = """
+    words AS (
+        SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> ''
+    )
+"""
+
+
+@register(
+    "l1_exact_dedup",
+    "L1,A8",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: shuffle 16-byte digests, not documents."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "l2_minhash_lsh_dedup",
+    "L2,L4",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    c AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
+    i AS (
+        SELECT a.doc_id d1, b.doc_id d2, count(*) k
+        FROM words a JOIN words b USING (w)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) AS jac
+    FROM i JOIN c c1 ON d1 = c1.doc_id JOIN c c2 ON d2 = c2.doc_id
+    WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
+    """,
+)
+def l2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(192) → LSH(24 bands × 8 rows) → exact-Jaccard verify at
+    τ=0.95. The oracle computes the exact all-pairs answer; LSH recall
+    at τ with these parameters is 1 − 4e-12, so outputs match."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.95, bands=24, rows_per_band=8, seed=42)
+    return pairs.filter(F.col("jac") >= 0.95)
+
+
+@register(
+    "l2b_simhash_pairs",
+    "L2",
+    oracle="""
+    WITH words AS (
+        SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE doc_id < 200
+        ) WHERE w <> ''
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
+    bits AS (
+        SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS sign
+        FROM h, unnest(generate_series(0, 59)) AS t(b)
+    ),
+    votes AS (SELECT doc_id, b, sum(sign) s FROM bits GROUP BY 1, 2),
+    fp AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS fp
+        FROM votes GROUP BY 1
+    )
+    SELECT a.doc_id d1, b.doc_id d2,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 2
+    """,
+)
+def l2b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (60-bit, md5 word hashes, fully JVM-side) near-dup pairs
+    at Hamming ≤ 2 on the doc_id<200 subset."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = simhash_near_dup_pairs(docs, max_hamming=2)
+    return pairs.select("d1", "d2", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+@register(
+    "l2c_ngram_jaccard",
+    "L2",
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT doc_id, substr(text, i, 3) AS s
+        FROM documents, unnest(generate_series(1, len(text) - 2)) AS t(i)
+        WHERE doc_id < 100 AND len(text) >= 3
+    ),
+    c AS (SELECT doc_id, count(*) n FROM g GROUP BY doc_id),
+    i AS (
+        SELECT a.doc_id d1, b.doc_id d2, count(*) k
+        FROM g a JOIN g b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) AS jac
+    FROM i JOIN c c1 ON d1 = c1.doc_id JOIN c c2 ON d2 = c2.doc_id
+    WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.6
+    """,
+)
+def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 3-gram Jaccard pairs (τ=0.6) on the doc_id<100 subset —
+    JVM sequence/substring n-gram construction, no UDF."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 100) & (F.length("text") >= 3)
+    )
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.6)
+
+
+_COS = (
+    "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) * "
+    "list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6)"
+)
+
+
+@register(
+    "l4_cosine_pairs",
+    "L4,L2",
+    oracle=f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2, {_COS} AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS} >= 0.4
+    """,
+)
+def l4_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine ≥ 0.4 (exact baseline;
+    ann path is l3b). JVM zip_with/aggregate dot products."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.4)
+
+
+@register(
+    "l3_cosine_topk",
+    "L3,W4",
+    oracle=f"""
+    WITH sims AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS sim
+        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id<10: brute-force
+    baseline with broadcast query side; ranking on 6-dp-rounded sims
+    (engine-stable), ties by neighbor id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim"
+    )
+
+
+@register("l3b_ann_lsh_topk", "L3", oracle=None)
+def l3b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via multi-table hyperplane LSH blocking + exact
+    re-rank. Approximate ⇒ rows-only check; tests/test_llm.py asserts
+    recall ≥ 0.8 vs the exact baseline. These embeddings are nearly
+    uniform on the sphere (top neighbors at cosine ≈0.4-0.5, i.e. ~63°),
+    so signatures must be short: 4 planes × 16 tables measured 0.96
+    recall; clustered real-world embeddings would use longer signatures
+    for sharper buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(emb, queries, k=5, num_planes=4, num_tables=16, seed=42)
+
+
+@register(
+    "l5_text_stats",
+    "L5",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(len(list_filter(string_split(text, ' '), w -> w <> ''))), 4)
+               AS avg_words
+    FROM documents GROUP BY lang
+    """,
+)
+def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats by language tag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(F.size(F.expr("filter(split(text, ' '), x -> x != '')"))), 4).alias(
+            "avg_words"
+        ),
+    )
+
+
+@register(
+    "l5b_token_counts",
+    "L5",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+               AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+               AS re_tokens,
+           CAST(len(text) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def l5b_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    out = token_counts(docs)
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.col("re_tokens").cast("bigint").alias("re_tokens"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+
+
+@register(
+    "l5c_quality_scores",
+    "L5",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+               len(text) AS n_chars,
+               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct,
+               len(list_intersect(
+                   list_distinct(list_filter(string_split(text, ' '), w -> w <> '')),
+                   ['the', 'a'])) AS stop_hits
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           CAST(n_chars AS INT) AS n_chars_computed,
+           round((n_chars - n_words + 1) / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+           round(CAST((CASE WHEN n_words BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END)
+               + (CASE WHEN punct / CAST(n_chars AS DOUBLE) < 0.2 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN stop_hits >= 1 THEN 0.2 ELSE 0.0 END) AS DOUBLE), 2)
+               AS quality_score
+    FROM base
+    """,
+)
+def l5c_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style rule-based quality scoring."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return quality_scores(docs)
+
+
+@register(
+    "l5d_lang_id",
+    "L5",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ws
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id,
+               CAST(len(list_intersect(ws, ['table', 'row', 'column', 'scan'])) AS INT) AS hits_tabular,
+               CAST(len(list_intersect(ws, ['join', 'merge', 'hash', 'agg'])) AS INT) AS hits_relational,
+               CAST(len(list_intersect(ws, ['window', 'batch', 'order', 'filter'])) AS INT) AS hits_temporal
+        FROM w
+    )
+    SELECT doc_id, hits_tabular, hits_relational, hits_temporal,
+           CASE WHEN hits_tabular >= hits_relational AND hits_tabular >= hits_temporal
+                     AND hits_tabular > 0 THEN 'tabular'
+                WHEN hits_relational >= hits_temporal AND hits_relational > 0 THEN 'relational'
+                WHEN hits_temporal > 0 THEN 'temporal'
+                ELSE 'und' END AS pred_lang
+    FROM hits
+    """,
+)
+def l5d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-set language/domain classification (argmax of
+    stopword-style hits — the n-gram-heuristic mechanism)."""
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "l5e_fingerprints",
+    "L5,L1",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
+               AS fingerprint
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+)
+def l5e_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content md5 fingerprints (exact-after-normalization)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    return content_fingerprints(docs)
+
+
+@register("l5f_winnowing", "L2,L5", oracle=None)
+def l5f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=5, w=4) — local-overlap
+    detection. Deterministic but iterative ⇒ rows-only; unit tests pin
+    the algorithm (shift invariance, self-containment)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    return winnowing_fingerprints(docs, k=5, window=4)
+
+
+@register(
+    "l6_multimodal",
+    "L6",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS feat0,
+           'text/plain' AS mime
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+)
+def l6_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text → binary payload + typed
+    metadata struct → Arrow feature-extraction kernel (deterministic
+    fake decode; see operators/multimodal.py). Oracle checks byte_len +
+    first-byte feature + metadata propagation."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    media = attach_binary_payload(docs)
+    feats = extract_features(media)
+    meta = media.select("doc_id", F.col("meta.mime").alias("mime"))
+    return feats.join(meta, "doc_id").select("doc_id", "byte_len", "feat0", "mime")

@@ -38,9 +38,9 @@ def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w_rn).alias("rn"),
-        F.rank().over(w_rank).alias("rnk"),
-        F.dense_rank().over(w_rank).alias("drnk"),
+        F.row_number().over(w_rn).cast("bigint").alias("rn"),
+        F.rank().over(w_rank).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w_rank).cast("bigint").alias("drnk"),
     )
 
 
@@ -119,7 +119,7 @@ def w4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
         )
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), F.col("rn").cast("bigint").alias("rn"))
     )
 
 
@@ -140,7 +140,7 @@ def o2_ntile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     w = Window.orderBy("c_custkey")
     return (
-        cust.select("c_custkey", F.ntile(8).over(w).alias("bucket"))
+        cust.select("c_custkey", F.ntile(8).over(w).cast("bigint").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -227,8 +227,8 @@ def f1_f2_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "F3",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           floor(l_quantity / 7.0) AS weeks,
-           ceil(l_discount * 100) AS disc_pct,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS weeks,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
            round(ln(l_extendedprice + 1), 6) AS log_price,
            round(pow(l_tax, 2), 8) AS tax_sq,
            abs(l_quantity - 25) AS qdist
@@ -270,7 +270,7 @@ def f4_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy(
             F.date_trunc("month", "o_orderdate").alias("month"),
-            F.year("o_orderdate").alias("yr"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
@@ -299,7 +299,7 @@ def f5_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         F.round(sq, 4).alias("sq_norm"),
     )

@@ -1,0 +1,93 @@
+"""LLM-pipeline operator behavior beyond the SQL oracle: ANN recall,
+winnowing robustness, LSH blocking integrity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.catalog import load_table
+from actuarial_reserve_modelling_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    winnowing_fingerprints,
+)
+from actuarial_reserve_modelling_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+from .conftest import SF_SMOKE
+
+
+def test_ann_recall_vs_exact(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(emb, queries, k=5, num_planes=4, num_tables=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ANN recall {recall:.2f} too low"
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),
+            Row(doc_id=2, text="a b c d e f g z"),  # jac = 7/9 ≈ 0.78
+            Row(doc_id=3, text="q r s t u v w x"),  # jac = 0 vs 1
+        ]
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, num_hashes=256).collect()}
+    est_12 = sum(a == b for a, b in zip(sigs[1], sigs[2])) / 256
+    est_13 = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 256
+    assert abs(est_12 - 7 / 9) < 0.15
+    assert est_13 < 0.1
+
+
+def test_lsh_candidates_contain_near_identical_pair(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta") for i in (1, 2)]
+        + [Row(doc_id=3, text="one two three four five six")]
+    )
+    sigs = minhash_signatures(docs, num_hashes=192)
+    cands = {(r["d1"], r["d2"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_winnowing_detects_shared_substring(spark):
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared + " unique tail one"),
+            Row(doc_id=2, text="prefix words here " + shared),
+            Row(doc_id=3, text="completely different content with no overlap at all xyz"),
+        ]
+    )
+    fps = winnowing_fingerprints(docs, k=5, window=4)
+    by_doc = {
+        r["doc_id"]: set(r["fs"])
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp_hash").alias("fs")).collect()
+    }
+    overlap_12 = len(by_doc[1] & by_doc[2]) / min(len(by_doc[1]), len(by_doc[2]))
+    overlap_13 = len(by_doc[1] & by_doc[3]) / min(len(by_doc[1]), len(by_doc[3]))
+    assert overlap_12 > 0.5, f"shared-substring overlap too low: {overlap_12:.2f}"
+    assert overlap_13 < 0.2, f"unrelated docs overlap too high: {overlap_13:.2f}"
+
+
+def test_winnowing_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 20)
+    a = sorted(map(tuple, winnowing_fingerprints(docs).collect()))
+    b = sorted(map(tuple, winnowing_fingerprints(docs.repartition(7)).collect()))
+    assert a == b
+
+
+def test_multimodal_decode_stub_raises():
+    from actuarial_reserve_modelling_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "image/png")

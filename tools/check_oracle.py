@@ -52,6 +52,53 @@ def _canon(cols, rows):
     return names, ms
 
 
+_SPARK_TYPE_CAT = {
+    "int": "i32",
+    "bigint": "i64",
+    "smallint": "i16",
+    "tinyint": "i8",
+    "double": "f64",
+    "float": "f32",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts",
+    "binary": "bin",
+}
+
+
+def _duck_cat(t: str) -> str:
+    t = t.upper()
+    return {
+        "INTEGER": "i32",
+        "BIGINT": "i64",
+        "SMALLINT": "i16",
+        "TINYINT": "i8",
+        "HUGEINT": "i128",
+        "UBIGINT": "u64",
+        "DOUBLE": "f64",
+        "FLOAT": "f32",
+        "VARCHAR": "str",
+        "BOOLEAN": "bool",
+        "DATE": "date",
+        "TIMESTAMP": "ts",
+        "BLOB": "bin",
+    }.get(t.split("(")[0], t.lower())
+
+
+def _spark_types(sdf) -> dict[str, str]:
+    out = {}
+    for f in sdf.schema.fields:
+        s = f.dataType.simpleString()
+        out[f.name] = _SPARK_TYPE_CAT.get(s, s)
+    return out
+
+
+def _duck_types(con, sql: str) -> dict[str, str]:
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: _duck_cat(r[1]) for r in rows}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -100,6 +147,12 @@ def main() -> int:
         if sn != dn:
             failed.append(name)
             print(f"FAIL  {name}: columns differ spark={sn} duckdb={dn}")
+            continue
+        st, dt = _spark_types(sdf), _duck_types(con, oracles[name])
+        tdiff = {c: (st.get(c), dt.get(c)) for c in st if st.get(c) != dt.get(c)}
+        if tdiff:
+            failed.append(name)
+            print(f"FAIL  {name}: column types differ (spark, duckdb): {tdiff}")
             continue
         if len(srows) != len(drows):
             failed.append(name)
