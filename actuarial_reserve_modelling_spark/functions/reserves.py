@@ -30,6 +30,7 @@ linearly with input splits; skew-free (cost is ~uniform per row).
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -68,6 +69,7 @@ def simulate_reserves(
     mean_claim: float = MEAN_CLAIM,
     std_claim: float = STD_CLAIM,
     claim_interval: float = CLAIM_INTERVAL,
+    exact_claims: bool = False,
 ) -> DataFrame:
     """Per-policy expected reserve over ``n_trials`` Monte Carlo trials.
 
@@ -76,6 +78,14 @@ def simulate_reserves(
     claim total — the same estimator as main.rs:75,80 restated per policy
     (sum over policies is taken by the caller, so partial aggregation
     stays map-side).
+
+    By default the per-trial claim total is drawn via the exact
+    distributional identity  Σ_{j=1..n} N(μ,σ²) ≡ N(n·μ, n·σ²):
+    one Normal draw per policy replaces the ~E[n]·n_trials individual
+    claim draws (≈100× fewer RNG calls at the default parameters) with
+    an output that is *identical in distribution* to the reference's
+    claim-by-claim loop (main.rs:70-73). ``exact_claims=True`` keeps the
+    claim-by-claim draws for strict procedural parity.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,7 +100,12 @@ def simulate_reserves(
                 # n = floor(x) claims per trial (main.rs:70); total across
                 # trials — sum of per-trial sums == sum of all claims.
                 n_claims = int(np.floor(x).sum())
-                total = rng.normal(mean_claim, std_claim, n_claims).sum()
+                if exact_claims:
+                    total = rng.normal(mean_claim, std_claim, n_claims).sum()
+                else:
+                    total = rng.normal(
+                        n_claims * mean_claim, math.sqrt(n_claims) * std_claim
+                    ) if n_claims > 0 else 0.0
                 out[i] = total / n_trials  # mean over trials (main.rs:80)
             yield pd.DataFrame({"id": ids, "mean_reserve": out})
 

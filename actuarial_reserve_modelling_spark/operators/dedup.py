@@ -135,8 +135,12 @@ def verify_jaccard(
     toks = docs.select(
         F.col("doc_id"), F.expr(TOKENS.replace("text", text_col)).alias("tokens")
     )
-    t1 = toks.select(F.col("doc_id").alias("d1"), F.col("tokens").alias("tok1"))
-    t2 = toks.select(F.col("doc_id").alias("d2"), F.col("tokens").alias("tok2"))
+    # token table is n_docs rows of short arrays — broadcast both sides
+    # so the (potentially huge) candidate list never shuffles for this
+    # join. At corpus sizes where tokens outgrow broadcast, drop the hint
+    # and let AQE pick shuffled hash join.
+    t1 = F.broadcast(toks.select(F.col("doc_id").alias("d1"), F.col("tokens").alias("tok1")))
+    t2 = F.broadcast(toks.select(F.col("doc_id").alias("d2"), F.col("tokens").alias("tok2")))
     inter = F.size(F.array_intersect("tok1", "tok2")).cast("double")
     union = (F.size("tok1") + F.size("tok2") - F.size(F.array_intersect("tok1", "tok2"))).cast(
         "double"

@@ -79,11 +79,13 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(192) → LSH(24 bands × 8 rows) → exact-Jaccard verify at
+    """MinHash(192) → LSH(16 bands × 12 rows) → exact-Jaccard verify at
     τ=0.95. The oracle computes the exact all-pairs answer; LSH recall
-    at τ with these parameters is 1 − 4e-12, so outputs match."""
+    at τ with these parameters is 1 − 4e-6 per pair (≈0 expected misses
+    at any tested SF), while r=12 keeps the candidate set ~2× smaller
+    than r=8 on this deliberately similarity-saturated corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, threshold=0.95, bands=24, rows_per_band=8, seed=42)
+    pairs = minhash_near_dup_pairs(docs, threshold=0.95, bands=16, rows_per_band=12, seed=42)
     return pairs.filter(F.col("jac") >= 0.95)
 
 

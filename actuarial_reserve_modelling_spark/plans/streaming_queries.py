@@ -1,4 +1,100 @@
-"""T1-T6 — Structured Streaming queries (SURVEY §2.9). Filled in
-Milestone 4; importing this module registers its queries."""
+"""T1-T4 — streaming queries, oracle-checked via batch equivalence
+(SURVEY §2.9): each runs a real Structured Streaming query (file-arrival
+source, AvailableNow trigger, memory sink) whose drained result must
+equal the DuckDB batch answer over the same rows. T5/T6 (watermark
+semantics) are behavioral and live in tests/test_streaming.py.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.plans.registry import register
+from actuarial_reserve_modelling_spark.streaming.pipeline import (
+    events_stream_source,
+    run_to_table,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@register(
+    "t1_stream_batch_equivalence",
+    "T1",
+    oracle="SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def t1_stream_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-arrival incremental source drained with AvailableNow — the
+    EventBridge→Lambda pattern (stack.py:382-393) as a data-plane
+    stream. Result must equal the plain batch aggregate."""
+    stream, _ = events_stream_source(spark, sf_dir)
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_table(counts, output_mode="complete")
+
+
+@register(
+    "t2_tumbling_window",
+    "T2",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def t2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows per event_type."""
+    stream, _ = events_stream_source(spark, sf_dir)
+    return run_to_table(tumbling_counts(stream), output_mode="complete")
+
+
+@register(
+    "t3_sliding_window",
+    "T3",
+    oracle="""
+    WITH starts AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type
+        FROM events
+    )
+    SELECT w_start, event_type, count(*) AS n FROM starts GROUP BY 1, 2
+    """,
+)
+def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes: each event belongs to
+    exactly two windows — the oracle expands that membership manually."""
+    stream, _ = events_stream_source(spark, sf_dir)
+    return run_to_table(sliding_counts(stream), output_mode="complete")
+
+
+@register(
+    "t4_session_window",
+    "T4",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL '5 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM ordered
+    )
+    SELECT min(ts) AS w_start, max(ts) + INTERVAL '5 minutes' AS w_end,
+           user_id, count(*) AS n
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 5-minute gap. Spark merges events with
+    inter-arrival < gap; session end = last event + gap — the oracle is
+    the classic gaps-and-islands SQL with the same >= boundary rule."""
+    stream, _ = events_stream_source(spark, sf_dir)
+    return run_to_table(session_counts(stream), output_mode="complete")

@@ -1,0 +1,70 @@
+"""Write-side operators (SURVEY §2.1 S5-S7).
+
+* S5 — scalar text sink: the reference writes one float per (worker,
+  file) as ``output/<job_id>/<file>.txt`` (main.rs:81,
+  entrypoint.sh:14-22). Spark-native: ``repartition(k).write.text``.
+* S6 — partitioned parquet sink: the 100 TB layout (hive-style
+  partition directories, pruned on read).
+* S7 — idempotent/resumable writes: the reference skips a file when its
+  output exists (entrypoint.sh:24-28). Spark-native equivalents:
+  ``mode('ignore')`` for whole-dataset skip and *dynamic partition
+  overwrite* for deterministic per-partition recompute — rerunning a
+  failed job rewrites exactly the partitions it owns, nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_scalar_text(df: DataFrame, path: str, num_files: int = 1) -> None:
+    """S5: write a (single-column castable-to-string) result as text
+    files, one value per line, ``num_files`` output partitions."""
+    out = df.select(F.col(df.columns[0]).cast("string").alias("value"))
+    out.repartition(num_files).write.mode("overwrite").text(path)
+
+
+def read_scalar_text(spark: SparkSession, path: str) -> DataFrame:
+    """Re-read an S5 sink (the Lambda's gather, lambda:28-33) — sums the
+    per-partition scalars; empty lines/files are filtered like the
+    Lambda's Size>0 predicate."""
+    txt = spark.read.text(path)
+    return txt.filter(F.length(F.trim("value")) > 0).select(
+        F.col("value").cast("double").alias("value")
+    )
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """S6: hive-partitioned parquet layout; readers prune on the
+    partition columns. Writer-side: keep files big (repartition by the
+    partition cols first so each directory gets few, large files —
+    the small-files problem is the #1 operational failure at 100 TB)."""
+    df.repartition(*[F.col(c) for c in partition_cols]).write.mode("overwrite").partitionBy(
+        *partition_cols
+    ).parquet(path)
+
+
+def write_if_absent(df: DataFrame, path: str) -> bool:
+    """S7a: whole-dataset idempotent write — ``mode('ignore')`` is a
+    no-op when output exists (the entrypoint.sh:24 check, minus the
+    race). Returns True if a write happened."""
+    import os
+
+    existed = os.path.exists(path)
+    df.write.mode("ignore").parquet(path)
+    return not existed
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """S7b: resumable per-partition recompute — dynamic partition
+    overwrite replaces only the partitions present in ``df``, leaving
+    completed partitions untouched. This is the scalable form of the
+    reference's per-file skip: recompute is idempotent per partition."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -1,0 +1,116 @@
+"""Structured Streaming building blocks (SURVEY §2.9).
+
+The reference's "streaming" is control-plane only: an EventBridge rule
+fires a Lambda when a Batch job succeeds (stack.py:382-393). The
+data-plane analogue is a file-arrival source: new files under a path
+trigger incremental processing (T1), with windowed/sessionized/
+deduplicated stateful operators downstream (T2-T6).
+
+Execution model notes for scale: every query here is incremental —
+state lives in the state store keyed by (group keys, window), watermarks
+bound state size, and ``Trigger.AvailableNow`` gives batch-equivalent
+replay semantics (used by the oracle checks: streaming result ==
+the batch/SQL answer over the same files).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.catalog import load_table
+
+
+def events_stream_source(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> tuple[DataFrame, str]:
+    """Materialize `events` as a multi-file parquet directory and open it
+    as a file-arrival stream (T1). Each file plays the role of one
+    "arrived partition" — the direct analogue of the reference's
+    S3-object-landed → EventBridge → Lambda hop."""
+    src_dir = tempfile.mkdtemp(prefix="arm_stream_src_")
+    batch = load_table(spark, sf_dir, "events")
+    batch.repartition(n_files).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return stream, src_dir
+
+
+def run_to_table(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming frame to completion (AvailableNow) into a memory
+    sink and return the result as a batch DataFrame. AvailableNow drains
+    everything currently in the source then stops — which is exactly the
+    batch-equivalence contract the oracle compares against."""
+    name = f"arm_mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="arm_stream_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """T2: tumbling event-time window counts per event_type."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """T3: sliding windows — each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """T4: per-user session windows (gap-merged; end = last event + gap)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def watermarked_tumbling(
+    events: DataFrame, width: str = "10 minutes", late: str = "10 minutes"
+) -> DataFrame:
+    """T5: watermark + append-mode tumbling counts; events later than the
+    watermark are dropped, finalized windows are emitted exactly once."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+
+
+def stream_dedup(events: DataFrame, late: str = "10 minutes") -> DataFrame:
+    """T6: stateful dedup bounded by watermark — duplicate event_ids
+    arriving within the watermark horizon are suppressed; state for
+    older keys is garbage-collected."""
+    return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(["event_id"])

@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are materialized with the `noop` sink — full computation, zero
+sink cost — matching how the plans would run on a cluster. The set maps
+to the BASELINE.md bench slots: M0 reserve pipeline (full 10k trials),
+A4 Q1-shape aggregation, J1/J2 join suite, W1-W4 window suite, L3
+embedding top-k, plus the L2 MinHash-LSH dedup pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _bench_queries(spark, sf_dir):
+    from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
+    from actuarial_reserve_modelling_spark.functions.reserves import simulate_reserves
+    from actuarial_reserve_modelling_spark.plans.registry import load_all
+
+    registry = load_all()
+
+    def m0_reserve(spark, sf_dir):
+        portfolio = synthetic_portfolio(load_table(spark, sf_dir, "customer"))
+        return simulate_reserves(portfolio, n_trials=10_000, seed=42)
+
+    picks = {
+        "m0_reserve_10k": m0_reserve,
+        "a4_q1": registry["a4_groupby_q1"].spark_fn,
+        "j1_broadcast_join": registry["j1_broadcast_join_agg"].spark_fn,
+        "j2_outer_join": registry["j2_left_outer_join"].spark_fn,
+        "j5_asof_join": registry["j5_asof_join"].spark_fn,
+        "w1_ranking": registry["w1_ranking"].spark_fn,
+        "w3_running_agg": registry["w3_running_agg"].spark_fn,
+        "w4_topk_per_group": registry["w4_topk_per_group"].spark_fn,
+        "l3_cosine_topk": registry["l3_cosine_topk"].spark_fn,
+        "l2_minhash_dedup": registry["l2_minhash_lsh_dedup"].spark_fn,
+    }
+    return picks
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from actuarial_reserve_modelling_spark.session import get_spark
+
+    spark = get_spark(app_name="arm-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM/codegen/Arrow spin-up, not counted
+    from actuarial_reserve_modelling_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "customer").agg(F.count(F.lit(1))).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in _bench_queries(spark, sf_dir).items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

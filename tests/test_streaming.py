@@ -1,0 +1,162 @@
+"""T5/T6 watermark semantics (not SQL-expressible → behavioral tests)
+plus batch-equivalence spot checks for the streaming surface."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from actuarial_reserve_modelling_spark.streaming.pipeline import (
+    run_to_table,
+    stream_dedup,
+    watermarked_tumbling,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+def _write_batch(spark, dirpath: str, idx: int, rows: list[tuple]) -> None:
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    sub = os.path.join(dirpath, f"b{idx}")
+    df.coalesce(1).write.mode("overwrite").parquet(sub)
+    # FileStreamSource orders by modification time; writes land within
+    # the same clock tick, so pin mtimes to make arrival order explicit.
+    import time
+
+    base = time.time() - 1000 + idx * 100
+    for root, _, files in os.walk(sub):
+        for f in files:
+            os.utime(os.path.join(root, f), (base, base))
+
+
+def _open_stream(spark, dirpath: str):
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(dirpath, "b*"))
+    )
+
+
+def test_t5_watermark_drops_late_rows(spark, tmp_path):
+    """A row older than (max event time - watermark delay) arriving in a
+    later *run* must be dropped from append-mode output.
+
+    Note: within a single AvailableNow drain, Spark applies the
+    late-record filter with the watermark planned at run start, so
+    back-to-back micro-batches don't yet drop — the arrival must land in
+    a new run (checkpointed watermark), which is also the realistic
+    pattern (EventBridge-style triggers, T1)."""
+    from datetime import datetime as dt
+
+    d = tempfile.mkdtemp(prefix="arm_t5_")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        agg = watermarked_tumbling(
+            _open_stream(spark, d), width="10 minutes", late="10 minutes"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: events at 10:00 and 11:00 → checkpointed watermark 10:50
+    _write_batch(spark, d, 0, [(1, dt(2024, 1, 1, 10, 0, 0), 1), (2, dt(2024, 1, 1, 11, 0, 0), 1)])
+    run()
+    # run 2: event_id=3 is below the watermark (10:01 < 10:50) → dropped
+    _write_batch(spark, d, 1, [(3, dt(2024, 1, 1, 10, 1, 0), 1), (4, dt(2024, 1, 1, 11, 30, 0), 1)])
+    run()
+    # run 3: advance watermark so every surviving window finalizes
+    _write_batch(spark, d, 2, [(5, dt(2024, 1, 1, 12, 30, 0), 1)])
+    run()
+
+    got = {(r["w_start"].isoformat(), r["n"]) for r in spark.read.parquet(out).collect()}
+    assert ("2024-01-01T10:00:00", 1) in got, got  # late row NOT counted
+    assert ("2024-01-01T10:00:00", 2) not in got, got
+    assert ("2024-01-01T11:30:00", 1) in got, got  # on-time row counted
+
+
+def test_t6_dedup_within_watermark(spark):
+    from datetime import datetime as dt
+
+    d = tempfile.mkdtemp(prefix="arm_t6_")
+    _write_batch(
+        spark,
+        d,
+        0,
+        [
+            (1, dt(2024, 1, 1, 10, 0, 0), 1),
+            (2, dt(2024, 1, 1, 10, 1, 0), 1),
+        ],
+    )
+    # batch 1 re-sends event_id=1 within the horizon → suppressed
+    _write_batch(
+        spark,
+        d,
+        1,
+        [
+            (1, dt(2024, 1, 1, 10, 2, 0), 1),
+            (3, dt(2024, 1, 1, 10, 3, 0), 1),
+        ],
+    )
+    out = run_to_table(
+        stream_dedup(_open_stream(spark, d), late="10 minutes"), output_mode="append"
+    )
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3], ids
+
+
+def test_sinks_roundtrip_and_resume(spark, tmp_path):
+    """S5 scalar sink round-trip + S7 dynamic-partition resume."""
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        overwrite_partitions,
+        read_scalar_text,
+        write_if_absent,
+        write_partitioned_parquet,
+        write_scalar_text,
+    )
+
+    scalar = spark.createDataFrame([(1234.5,)], "total double")
+    p5 = str(tmp_path / "s5")
+    write_scalar_text(scalar, p5)
+    back = read_scalar_text(spark, p5).collect()
+    assert [r["value"] for r in back] == [1234.5]
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("part"), (F.col("id") * 2.0).alias("v")
+    )
+    p6 = str(tmp_path / "s6")
+    write_partitioned_parquet(df, p6, ["part"])
+    assert spark.read.parquet(p6).count() == 100
+    # partition pruning happens at plan time
+    pruned = spark.read.parquet(p6).filter(F.col("part") == 2)
+    assert pruned.count() == 25
+
+    # S7a: second write is a no-op
+    p7 = str(tmp_path / "s7")
+    assert write_if_absent(df, p7) is True
+    assert write_if_absent(df.limit(1), p7) is False
+    assert spark.read.parquet(p7).count() == 100
+
+    # S7b: recompute only partition 2; other partitions untouched
+    redo = df.filter(F.col("part") == 2).withColumn("v", F.col("v") + 1000)
+    overwrite_partitions(redo, p6, ["part"])
+    after = spark.read.parquet(p6)
+    assert after.count() == 100
+    assert after.filter((F.col("part") == 2) & (F.col("v") >= 1000)).count() == 25
+    assert after.filter((F.col("part") == 1) & (F.col("v") >= 1000)).count() == 0
