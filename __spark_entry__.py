@@ -24,11 +24,20 @@ def _registry():
     return load_all()
 
 
+def _prepare(spark: SparkSession) -> None:
+    """Make an externally-created session compatible with our plans:
+    executors must import our kernels, and timestamps must collect as
+    UTC (DuckDB's timestamps are UTC-naive — a non-UTC session TZ would
+    shift every timestamp result against the oracle)."""
+    from actuarial_reserve_modelling_spark.session import ship_package
+
+    ship_package(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from actuarial_reserve_modelling_spark.session import ship_package
-
-        ship_package(spark)  # executors must import our kernels
+        _prepare(spark)
         return fn(spark, sf_dir)
 
     return run
@@ -38,9 +47,8 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
     from actuarial_reserve_modelling_spark.functions.reserves import simulate_reserves
-    from actuarial_reserve_modelling_spark.session import ship_package
 
-    ship_package(spark)
+    _prepare(spark)
     portfolio = synthetic_portfolio(load_table(spark, "/root/testdata/sf0.001", "customer"))
     return simulate_reserves(portfolio, n_trials=1_000, seed=42)
 

@@ -1,0 +1,201 @@
+"""Extended surface: remaining SURVEY §2 rows and the SQL front door.
+
+Covers S4 (object-listing source), J2 full outer, A7 cube, F4 date
+arithmetic, pivot, correlated subqueries via ``spark.sql`` (the parser /
+planner front door — Catalyst is our optimizer, SURVEY §7), and a real
+Python UDTF (U4's general form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.catalog import load_table, register_views
+from actuarial_reserve_modelling_spark.plans.registry import register
+
+
+@register("s4_listing_source", "S4", oracle=None)
+def s4_listing_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store listing with predicates — the Lambda's size>0 +
+    suffix filter (calculate_average_reserves.py:28-31) over Spark's
+    distributed FileIndex (binaryFile source; driver-side listing
+    parallelizes across executors for large prefixes). Rows-only check
+    (the static oracle string can't reference sf_dir); unit test pins
+    the expected table names."""
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return (
+        listing.filter((F.col("length") > 0) & F.col("path").endswith(".parquet"))
+        .select(
+            F.regexp_extract("path", "[^/]+$", 0).alias("file_name"),
+            F.col("length").alias("size_bytes"),
+        )
+        .orderBy("file_name")
+    )
+
+
+@register(
+    "j2b_full_outer_join",
+    "J2",
+    oracle="""
+    WITH o AS (SELECT * FROM orders WHERE o_custkey % 3 = 0 AND o_orderkey % 7 = 0),
+         c AS (SELECT * FROM customer WHERE c_custkey % 5 = 0)
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_null,
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_null,
+           count(DISTINCT coalesce(o_custkey, c_custkey)) AS n_keys
+    FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j2b_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer equi-join with both-sided null production; summary
+    aggregate keeps the checked output compact. DuckDB sum(CASE) yields
+    HUGEINT → casts align to bigint."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") % 3 == 0) & (F.col("o_orderkey") % 7 == 0)
+    )
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    j = o.join(c, o.o_custkey == c.c_custkey, "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_left_null"),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_right_null"),
+        F.countDistinct(F.coalesce("o_custkey", "c_custkey")).alias("n_keys"),
+    )
+
+
+@register(
+    "a7b_cube",
+    "A7",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey % 5 AS nk_mod, count(*) AS n,
+           round(sum(c_acctbal), 2) AS bal
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey % 5)
+    """,
+)
+def a7b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of the two dims)."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "nk_mod", F.col("c_nationkey") % 5
+    )
+    return cust.cube("c_mktsegment", "nk_mod").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+    )
+
+
+@register(
+    "f4b_date_arith",
+    "F4",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '2024-01-01', o_orderdate) AS BIGINT) AS days_since,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           CAST(quarter(o_orderdate) AS INT) AS q
+    FROM orders WHERE o_orderkey % 333 = 5
+    """,
+)
+def f4b_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datediff / interval add / calendar extraction. Spark's dayofweek
+    is 1=Sunday..7 while DuckDB's is 0=Sunday..6, so the Spark
+    expression subtracts 1 to align."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 333 == 5)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+    )
+
+
+@register(
+    "q_sql_correlated_subquery",
+    "SQL front door; P6,A2",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 2) AS bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API front door: Catalyst parses/decorrelates the
+    correlated scalar subquery into an aggregate + join — zero custom
+    planner code (SURVEY §7 architecture stance)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.8 FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@register(
+    "q_pivot",
+    "A4 (pivot form)",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list keeps the plan a single pass —
+    unlisted-value pivots need a distinct-scan first)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("P"),
+    )
+
+
+@register(
+    "u4b_python_udtf",
+    "U4",
+    oracle="""
+    SELECT c_custkey, CAST(unnest(generate_series(1, c_custkey % 3 + 1)) AS INT) AS i,
+           CAST((unnest(generate_series(1, c_custkey % 3 + 1))) ** 2 AS INT) AS sq
+    FROM customer WHERE c_custkey % 200 = 11
+    """,
+)
+def u4b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python UDTF (Spark 3.5+ arrow-backed table function) via
+    LATERAL join — the general 1→N row form the explode path (u4) can't
+    express when the expansion logic isn't a builtin."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i int, sq int")
+    class ExpandSquares:
+        def eval(self, n: int):
+            for i in range(1, n + 1):
+                yield i, i * i
+
+    spark.udtf.register("expand_squares", ExpandSquares)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, t.i, t.sq
+        FROM customer, LATERAL expand_squares(CAST(c_custkey % 3 + 1 AS INT)) t
+        WHERE c_custkey % 200 = 11
+        """
+    )

@@ -81,6 +81,40 @@ def test_asof_join_semantics(spark):
     assert got2 == {("a", 5): 20.0, ("a", 1): None, ("b", 3): None}
 
 
+def test_s4_listing_source_names(spark, registry):
+    """S4 rows-only query: the listing must surface exactly the ten
+    tables with nonzero sizes."""
+    rows = registry["s4_listing_source"].spark_fn(spark, SF_SMOKE).collect()
+    names = sorted(r["file_name"] for r in rows)
+    expected = sorted(
+        f"{t}.parquet"
+        for t in "region nation customer supplier part orders lineitem events documents embeddings".split()
+    )
+    assert names == expected
+    assert all(r["size_bytes"] > 0 for r in rows)
+
+
+def test_repartition_by_range_bucketing(spark):
+    """O2's scale path: repartitionByRange gives contiguous, sorted,
+    non-overlapping key ranges per partition (the entrypoint.sh ceil-div
+    slicing, distributed)."""
+    from pyspark.sql import functions as F2
+
+    df = spark.range(0, 1000).select(F2.col("id"))
+    parts = (
+        df.repartitionByRange(8, "id")
+        .select("id", F2.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F2.min("id").alias("lo"), F2.max("id").alias("hi"), F2.count("*").alias("n"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(parts) == 8
+    assert sum(p["n"] for p in parts) == 1000
+    for a, b in zip(parts, parts[1:]):
+        assert a["hi"] < b["lo"]  # non-overlapping contiguous ranges
+
+
 def test_approx_count_distinct_rsd(spark, registry):
     exact = (
         registry["a5_count_distinct"].spark_fn(spark, SF_SMOKE).collect()[0]["n_cust"]
