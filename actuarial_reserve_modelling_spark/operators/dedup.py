@@ -80,10 +80,25 @@ def minhash_signatures(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # memoized token→hash: corpora repeat tokens heavily, so hashing
+        # each distinct token once beats per-occurrence digests by ~10×
+        cache: dict[str, int] = {}
+
+        def base_hash(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                )
+                cache[t] = h
+            return h
+
         for pdf in batches:
             sigs = []
             for toks in pdf["tokens"]:
-                base = _token_base_hashes(list(toks))
+                base = np.fromiter(
+                    (base_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
                 if len(base) == 0:
                     sigs.append(np.zeros(num_hashes, dtype=np.int64).tolist())
                     continue
@@ -103,25 +118,38 @@ def lsh_candidate_pairs(
     max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Band the signatures and emit candidate (d1, d2) pairs sharing at
-    least one band bucket. Pure built-ins: slice → hash → explode →
-    self-join on (band, bucket). ``max_bucket_size`` drops degenerate
-    buckets (skew guard) — at recall-critical thresholds the dropped
-    buckets are band collisions of near-identical docs that other bands
-    recover."""
+    least one band bucket.
+
+    Single-pass formulation: slice → hash → explode → groupBy bucket →
+    sorted member list → two-level combination explode. A bucket
+    self-join would execute the (Arrow kernel) signature subtree twice
+    and shuffle it twice; here the kernel runs once and the only
+    shuffles are the bucket groupBy and the final pair distinct. The
+    two-level explode (one row per (bucket, member) carrying only the
+    members *after* it) keeps per-row arrays ≤ bucket size — no giant
+    combination arrays.
+
+    ``max_bucket_size`` drops degenerate buckets (skew guard): a band
+    value collecting a huge near-identical cluster contributes O(n²)
+    pairs; other bands recover recall for genuinely-similar pairs, and
+    at 100 TB you lower the cap and log the drops.
+    """
     band_cols = [
         F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(f"b{i}")
         for i in range(bands)
     ]
     banded = signatures.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
-    sized = banded.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    small = sized.filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
-    a, b = small.alias("a"), small.alias("b")
+    members = grouped.select(F.posexplode("ids").alias("i", "d1"), "ids")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        members.select(
+            "d1",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1)).alias("d2"),
+        )
         .distinct()
     )
 
