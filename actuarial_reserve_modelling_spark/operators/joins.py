@@ -1,4 +1,12 @@
-"""J5 — as-of join (SURVEY §2.3), expressed as union + ordered window.
+"""J4/J5 — range join and as-of join (SURVEY §2.3).
+
+As-of join: union + ordered window (below). Range join: Spark plans a
+point-in-interval join with no equi key as BroadcastNestedLoopJoin —
+O(|L|·|R|). ``bucketed_range_join`` restores hash-join scaling by
+quantizing time into buckets: each interval explodes into the buckets it
+overlaps, points join on their bucket, and the exact containment
+predicate filters residually. Cost: O(|R|·avg_span/bucket) expansion +
+one hash shuffle — the standard interval-bucketing trick.
 
 Spark has no ASOF JOIN; the scalable composition is:
 
@@ -20,6 +28,42 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo: str,
+    hi: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``lo <= point_ts < hi`` — without an equi key and without a
+    nested-loop plan.
+
+    Both sides gain a ``_rj_bucket`` = floor(epoch/bucket_seconds)
+    column; intervals are exploded over every bucket they overlap
+    (``sequence`` is JVM-side). Choose ``bucket_seconds`` near the
+    median interval span: expansion factor ≈ span/bucket + 1.
+    """
+    p = points.withColumn(
+        "_rj_bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / bucket_seconds)
+    )
+    i = intervals.withColumn(
+        "_rj_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lo)) / bucket_seconds),
+                F.floor(F.unix_timestamp(F.col(hi)) / bucket_seconds),
+            )
+        ),
+    )
+    joined = p.join(i, "_rj_bucket", how).filter(
+        (F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) < F.col(hi))
+    )
+    return joined.drop("_rj_bucket")
 
 
 def asof_join(

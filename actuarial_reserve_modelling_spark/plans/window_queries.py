@@ -190,6 +190,45 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j4b_pure_range_join",
+    "J4",
+    oracle="""
+    WITH intervals AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS lo,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS hi
+        FROM events WHERE event_id % 97 = 0
+    )
+    SELECT lo, count(*) AS n, CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                                       ELSE 0 END) AS BIGINT) AS n_clicks
+    FROM events JOIN intervals ON ts >= lo AND ts < hi
+    GROUP BY lo
+    """,
+)
+def j4b_pure_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure point-in-interval join (no equi key): Spark's native plan is
+    a nested loop; bucketed_range_join (operators/joins.py) makes it a
+    hash join on quantized time buckets + residual filter."""
+    from actuarial_reserve_modelling_spark.operators.joins import bucketed_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .select(F.date_trunc("hour", "ts").alias("lo"))
+        .distinct()
+        .withColumn("hi", F.col("lo") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = bucketed_range_join(
+        ev.select("ts", "event_type"), intervals, "ts", "lo", "hi", bucket_seconds=3600
+    )
+    return joined.groupBy("lo").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clicks"),
+    )
+
+
 # --- F: scalar function surface --------------------------------------------
 
 

@@ -1,0 +1,101 @@
+"""Property tests (SURVEY §5.2-3): partial/final aggregation invariance,
+as-of join equivalence with pandas merge_asof, kernel mode equivalence."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.operators.joins import asof_join
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@_slow
+@given(
+    values=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=80),
+    k=st.integers(min_value=1, max_value=12),
+)
+def test_a3_aggregation_partition_invariance(spark, values, k):
+    """sum/count/min/max/avg (as exact ints) are invariant to physical
+    partitioning — the reference's worker-count invariant (A3)."""
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    base = df.agg(
+        F.sum("v").alias("s"), F.count("v").alias("c"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).collect()[0]
+    rep = (
+        df.repartition(k)
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("c"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert tuple(base) == tuple(rep)
+
+
+@_slow
+@given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=15),
+    right_ts=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=15),
+    exact=st.booleans(),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts, exact):
+    """Our union+window as-of join must agree with pandas merge_asof for
+    a single key group and unique right timestamps."""
+    right_ts = sorted(set(right_ts))
+    lpdf = pd.DataFrame({"k": "a", "t": sorted(left_ts)})
+    rpdf = pd.DataFrame({"k": "a", "t": right_ts, "rv": [float(t * 10) for t in right_ts]})
+    expected = pd.merge_asof(
+        lpdf, rpdf, on="t", by="k", allow_exact_matches=exact
+    )
+
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    out = asof_join(
+        left, right, on="t", by=["k"], value_cols=["rv"], allow_exact_matches=exact
+    ).toPandas()
+
+    got = sorted(
+        (int(t), None if pd.isna(v) else float(v)) for t, v in zip(out["t"], out["rv_right"])
+    )
+    want = sorted(
+        (int(t), None if pd.isna(v) else float(v)) for t, v in zip(expected["t"], expected["rv"])
+    )
+    assert got == want
+
+
+def test_exact_claims_mode_statistically_equivalent(spark):
+    """The Normal-sum fast path and the claim-by-claim path are the same
+    distribution: totals across a portfolio must agree within Monte
+    Carlo error."""
+    import math
+
+    from actuarial_reserve_modelling_spark.functions.reserves import (
+        analytic_moments,
+        total_reserves,
+    )
+    from actuarial_reserve_modelling_spark.functions.reserves import simulate_reserves
+
+    pf = spark.createDataFrame(
+        [(str(i), float(365 * (i % 10 + 1))) for i in range(60)], "id string, term double"
+    )
+    n = 1500
+    fast = total_reserves(pf, n_trials=n).collect()[0][0]
+    exact = (
+        simulate_reserves(pf, n_trials=n, exact_claims=True)
+        .agg(F.sum("mean_reserve"))
+        .collect()[0][0]
+    )
+    terms = [365.0 * (i % 10 + 1) for i in range(60)]
+    _, var = analytic_moments(terms)
+    sigma = math.sqrt(var / n)
+    assert abs(fast - exact) < 8 * sigma, (fast, exact, sigma)
