@@ -1,0 +1,135 @@
+"""Statistical aggregates, collection aggregates, and sampling
+(rounding out A-row and F-row coverage: stddev/variance/corr, median,
+percentiles, collect_set, richer array ops, TABLESAMPLE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.catalog import load_table
+from actuarial_reserve_modelling_spark.plans.registry import register
+
+
+@register(
+    "a9_stats_aggregates",
+    "A4,A5 (statistical family)",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_discount), 8) AS var_disc,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qe,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qe,
+           round(skewness(l_quantity), 4) AS skew_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a9_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate family. Both engines use numerically
+    stable single-pass algorithms; rounding absorbs last-ulp drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qe"),
+        # corr to 4dp: the two engines' single-pass moment updates drift
+        # beyond 1e-6 on 60k+ rows
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qe"),
+        # skewness to 4dp: DuckDB applies the sample-bias correction
+        # (factor ~1+3/2n), Spark reports population skewness
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+    )
+
+
+@register(
+    "a10_median_percentile",
+    "A4 (ordered statistics)",
+    oracle="""
+    SELECT o_orderstatus,
+           round(median(o_totalprice), 2) AS med_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a10_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + continuous percentile. At 100 TB exact ordered
+    statistics need a full sort per group — approx_percentile (a10b) is
+    the scale path; this is the exact baseline."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 2).alias("med_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+    )
+
+
+@register("a10b_approx_percentile", "A6 (sketch family)", oracle=None)
+def a10b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — mergeable, one
+    pass, bounded error; deterministic for fixed data but not equal to
+    the exact quantile → rows-only check + unit test tolerance."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("approx_median")
+    )
+
+
+@register(
+    "a11_collect_set",
+    "A4,F5 (collection aggregates)",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           CAST(len(list_distinct(list(c_mktsegment))) AS INT) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def a11_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set with array_sort for deterministic output (SURVEY
+    §5.2-1: never emit unsorted collect_set in checked queries)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
+    )
+
+
+@register(
+    "f5b_array_ops",
+    "F5",
+    oracle="""
+    SELECT vec_id,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+           CAST(array_position(embedding, list_max(embedding)) AS INT) AS argmax_1based,
+           round(CAST(embedding[3] AS DOUBLE), 6) AS third,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+    FROM embeddings WHERE vec_id % 25 = 1
+    """,
+)
+def f5b_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_max/min/position/element_at/filter — all JVM higher-order
+    functions over the embedding column."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 1)
+    return emb.select(
+        "vec_id",
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        F.array_position("embedding", F.array_max("embedding")).cast("int").alias(
+            "argmax_1based"
+        ),
+        F.round(F.element_at("embedding", 3).cast("double"), 6).alias("third"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register("o6_tablesample", "O3 (sampling)", oracle=None)
+def o6_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling — deterministic within Spark (seed
+    fixed) but engine-specific RNG → rows-only; the unit test pins
+    reproducibility and the sampling fraction tolerance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_sampled"),
+    )

@@ -115,6 +115,32 @@ def test_repartition_by_range_bucketing(spark):
         assert a["hi"] < b["lo"]  # non-overlapping contiguous ranges
 
 
+def test_approx_percentile_tolerance(spark, registry):
+    approx = (
+        registry["a10b_approx_percentile"]
+        .spark_fn(spark, SF_SMOKE)
+        .collect()[0]["approx_median"]
+    )
+    from actuarial_reserve_modelling_spark.catalog import load_table
+
+    exact = (
+        load_table(spark, SF_SMOKE, "orders")
+        .agg(F.median("o_totalprice"))
+        .collect()[0][0]
+    )
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_tablesample_seeded_reproducible(spark, registry):
+    a = registry["o6_tablesample"].spark_fn(spark, SF_SMOKE).collect()[0]
+    b = registry["o6_tablesample"].spark_fn(spark, SF_SMOKE).collect()[0]
+    assert tuple(a) == tuple(b)
+    from actuarial_reserve_modelling_spark.catalog import load_table
+
+    total = load_table(spark, SF_SMOKE, "lineitem").count()
+    assert abs(a["n_sampled"] / total - 0.1) < 0.03
+
+
 def test_approx_count_distinct_rsd(spark, registry):
     exact = (
         registry["a5_count_distinct"].spark_fn(spark, SF_SMOKE).collect()[0]["n_cust"]

@@ -69,6 +69,8 @@ _SPARK_TYPE_CAT = {
 
 def _duck_cat(t: str) -> str:
     t = t.upper()
+    if t.endswith("[]"):
+        return f"array<{_duck_cat(t[:-2])}>"
     return {
         "INTEGER": "i32",
         "BIGINT": "i64",
@@ -90,7 +92,12 @@ def _spark_types(sdf) -> dict[str, str]:
     out = {}
     for f in sdf.schema.fields:
         s = f.dataType.simpleString()
-        out[f.name] = _SPARK_TYPE_CAT.get(s, s)
+        if s.startswith("array<") and s.endswith(">"):
+            inner = s[6:-1]
+            s = f"array<{_SPARK_TYPE_CAT.get(inner, inner)}>"
+        else:
+            s = _SPARK_TYPE_CAT.get(s, s)
+        out[f.name] = s
     return out
 
 
