@@ -109,7 +109,10 @@ def simulate_reserves(
                 out[i] = total / n_trials  # mean over trials (main.rs:80)
             yield pd.DataFrame({"id": ids, "mean_reserve": out})
 
-    return policies.select("id", "term").mapInPandas(kernel, schema=_RESULT_SCHEMA)
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    src = spread_for_kernel(policies.select("id", "term"))
+    return src.mapInPandas(kernel, schema=_RESULT_SCHEMA)
 
 
 def total_reserves(policies: DataFrame, n_trials: int = NUM_SIMULATIONS, seed: int = 42) -> DataFrame:

@@ -107,7 +107,11 @@ def minhash_signatures(
                 sigs.append(m.view(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
-    toks = docs.select("doc_id", F.expr(TOKENS.replace("text", text_col)).alias("tokens"))
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    toks = spread_for_kernel(
+        docs.select("doc_id", F.expr(TOKENS.replace("text", text_col)).alias("tokens"))
+    )
     return toks.mapInPandas(kernel, schema=schema)
 
 
@@ -336,4 +340,6 @@ def winnowing_fingerprints(
                     fps.append(int(np.uint64(v).astype(np.int64)))
             yield pd.DataFrame({"doc_id": ids, "fp_hash": fps})
 
-    return docs.select("doc_id", text_col).mapInPandas(kernel, schema=schema)
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    return spread_for_kernel(docs.select("doc_id", text_col)).mapInPandas(kernel, schema=schema)

@@ -88,7 +88,11 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
                 out["feat_mean"].append(round(float(buf.mean()), 6) if len(buf) else 0.0)
             yield pd.DataFrame(out)
 
-    return media.select("doc_id", "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    return spread_for_kernel(media.select("doc_id", "payload")).mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:

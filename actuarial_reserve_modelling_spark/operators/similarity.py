@@ -120,7 +120,11 @@ def hyperplane_signatures(
             sig = bits @ (1 << np.arange(num_planes, dtype=np.int64))
             yield pd.DataFrame({"vec_id": pdf[id_col], "sig": sig})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    return spread_for_kernel(embeddings.select(id_col, vec_col)).mapInPandas(
+        kernel, schema=schema
+    )
 
 
 def ann_lsh_topk(

@@ -56,10 +56,16 @@ def main() -> None:
     spark = get_spark(app_name="arm-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM/codegen/Arrow spin-up, not counted
-    from actuarial_reserve_modelling_spark.catalog import load_table
+    # warmup: JVM/codegen spin-up AND the Python-worker pool (a fleet of
+    # pyspark daemons forks on first Arrow kernel use — charge that to
+    # warmup, not to the first kernel query)
+    from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
+    from actuarial_reserve_modelling_spark.functions.reserves import simulate_reserves
 
     load_table(spark, sf_dir, "customer").agg(F.count(F.lit(1))).collect()
+    simulate_reserves(
+        synthetic_portfolio(load_table(spark, sf_dir, "customer")), n_trials=10
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name, fn in _bench_queries(spark, sf_dir).items():
