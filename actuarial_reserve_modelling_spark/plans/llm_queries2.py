@@ -1,0 +1,132 @@
+"""Second batch of LLM/function-surface queries: embedding centroids,
+vector normalization, richer string functions, typed JSON parsing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from actuarial_reserve_modelling_spark.catalog import load_table
+from actuarial_reserve_modelling_spark.plans.registry import register
+
+
+@register(
+    "l7_label_centroids",
+    "L3,F5,A4",
+    oracle="""
+    SELECT label, CAST(i AS INT) AS dim_idx,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
+    FROM embeddings, unnest(generate_series(1, 4)) t(i)
+    GROUP BY label, i
+    """,
+)
+def l7_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (first 4 dims checked): posexplode
+    the vector, average per (label, dim). The scale form of "mean
+    embedding per cluster" — one shuffle keyed by (label, dim), partial
+    aggregation map-side; at 100 TB prefer aggregating the full vector
+    with element-wise sums (zip_with over an accumulator) to avoid the
+    64× row blowup, which is what ``centroid_vectors`` in
+    operators/similarity.py would do; this exploded form is the
+    SQL-checkable baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("idx0", "x")
+    ).select(
+        "label",
+        (F.col("idx0") + 1).cast("int").alias("dim_idx"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return (
+        exploded.filter(F.col("dim_idx") <= 4)
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
+    )
+
+
+@register(
+    "l7b_vector_normalize",
+    "L3,F5",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings WHERE vec_id % 40 = 3
+    )
+    SELECT e.vec_id,
+           round(n.nrm, 6) AS norm,
+           round(CAST(e.embedding[1] AS DOUBLE) / n.nrm, 6) AS unit_first
+    FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
+    """,
+)
+def l7b_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalization (the standard pre-step before cosine → dot
+    simplification at scale): computed entirely with JVM higher-order
+    functions; checked via the norm and the first unit component."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 40 == 3)
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(sq)
+    return emb.select(
+        "vec_id",
+        F.round(nrm, 6).alias("norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / nrm, 6).alias("unit_first"),
+    )
+
+
+@register(
+    "f1b_string_funcs2",
+    "F1",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           lpad(CAST(p_size AS VARCHAR), 5, '0') AS padded,
+           reverse(p_brand) AS rev_brand,
+           CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+           repeat(left(p_type, 2), 2) AS twice
+    FROM part WHERE p_partkey % 97 = 13
+    """,
+)
+def f1b_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-tier string functions: regexp_replace / lpad / reverse /
+    instr / repeat / left."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 97 == 13)
+    return part.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.lpad(F.col("p_size").cast("string"), 5, "0").alias("padded"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.instr("p_name", "a").cast("bigint").alias("first_a"),
+        F.repeat(F.substring("p_type", 1, 2), 2).alias("twice"),
+    )
+
+
+@register(
+    "f7b_json_typed",
+    "F7,F6",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k
+    FROM events
+    GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) % 10
+    """,
+)
+def f7b_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema (not
+    string-path extraction) then struct field access — the schema-on-read
+    path used when the JSON shape is known."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", T.StructType([T.StructField("k", T.LongType())])).alias("p")
+    )
+    return (
+        parsed.select((F.col("p.k") % 10).alias("k_mod"), F.col("p.k").alias("k"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("k").alias("min_k"))
+    )

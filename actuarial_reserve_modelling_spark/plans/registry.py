@@ -47,6 +47,7 @@ def load_all() -> dict[str, Query]:
         extended,
         kernel_queries,
         llm_queries,
+        llm_queries2,
         relational,
         stats_queries,
         streaming_queries,

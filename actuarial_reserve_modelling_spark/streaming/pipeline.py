@@ -20,6 +20,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from actuarial_reserve_modelling_spark.catalog import load_table
 
@@ -106,6 +107,60 @@ def watermarked_tumbling(
         .groupBy(F.window("ts", width).alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("w_start"), "n")
+    )
+
+
+def stateful_user_counters(events: DataFrame) -> DataFrame:
+    """T-row extension: a CUSTOM stateful operator via
+    ``applyInPandasWithState`` — running per-user event count and value
+    sum, maintained across micro-batches in the state store.
+
+    This is the escape hatch for stateful logic Spark's built-in
+    windows can't express (custom session rules, CEP-ish patterns,
+    online model state). State is one small tuple per user — bounded,
+    shuffled once on the key.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        import pandas as pd  # local import: runs on executors
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            # NoTimeout: processing-time timeouts keep an AvailableNow
+            # drain alive waiting for timers — idle-state GC belongs to
+            # long-running deployments, not batch-equivalent replays
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

@@ -121,6 +121,62 @@ def test_t6_dedup_within_watermark(spark):
     assert ids == [1, 2, 3], ids
 
 
+def test_stateful_custom_operator(spark, tmp_path):
+    """applyInPandasWithState: per-user counters accumulate across
+    micro-batches (update mode) — the custom-stateful escape hatch."""
+    from datetime import datetime as dt
+
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        stateful_user_counters,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    d = tempfile.mkdtemp(prefix="arm_state_")
+    b0 = [(1, dt(2024, 1, 1, 10, 0), 1, 10.0), (2, dt(2024, 1, 1, 10, 1), 2, 5.0)]
+    b1 = [(3, dt(2024, 1, 1, 10, 2), 1, 7.0)]
+    for i, rows in enumerate([b0, b1]):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, f"b{i}"))
+        base = __import__("time").time() - 1000 + i * 100
+        for root, _, files in os.walk(os.path.join(d, f"b{i}")):
+            for f in files:
+                os.utime(os.path.join(root, f), (base, base))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "b*"))
+    )
+    import uuid
+
+    name = "arm_state_" + uuid.uuid4().hex[:8]
+    q = (
+        stateful_user_counters(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    # update mode: user 1 appears after batch 0 (n=1) and batch 1 (n=2);
+    # the LAST update per user must show accumulated state
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (2, 17.0), rows
+    assert final[2] == (1, 5.0), rows
+
+
 def test_sinks_roundtrip_and_resume(spark, tmp_path):
     """S5 scalar sink round-trip + S7 dynamic-partition resume."""
     from actuarial_reserve_modelling_spark.sources.sinks import (
