@@ -123,6 +123,53 @@ def f5b_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a12_salted_aggregate",
+    "A4 (skew-safe form; SURVEY §4.3)",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a12_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately hot key
+    (l_returnflag has 3 values → every value is a hot key). The oracle
+    is the PLAIN group-by: salting must not change answers."""
+    from actuarial_reserve_modelling_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(li, ["l_returnflag"], num_salts=16, sums=["l_quantity"])
+    return out.select(
+        "l_returnflag", F.round("sum_l_quantity", 2).alias("qty"), F.col("n")
+    )
+
+
+@register(
+    "j7_salted_join",
+    "J1 (skew-safe form; SURVEY §4.3)",
+    oracle="""
+    SELECT n_name, count(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def j7_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-join against the plain-join oracle — identical
+    output, hot fact keys spread across 8 salt partitions."""
+    from actuarial_reserve_modelling_spark.operators.skew import salted_join
+
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "nationkey"
+    )
+    joined = salted_join(cust, nation, on="nationkey", num_salts=8)
+    return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n"))
+
+
 @register("o6_tablesample", "O3 (sampling)", oracle=None)
 def o6_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling — deterministic within Spark (seed
