@@ -170,6 +170,34 @@ def j7_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "a7c_grouping_sets",
+    "A7",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, count(*) AS n,
+           CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey) AS BIGINT) AS gid
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def a7c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation (the
+    grouping() bitmask distinguishes real NULL keys from rollup rows) —
+    through the SQL front door since the DataFrame API only exposes
+    rollup/cube shorthands."""
+    from actuarial_reserve_modelling_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, count(*) AS n,
+               CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey) AS BIGINT) AS gid
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
 @register("o6_tablesample", "O3 (sampling)", oracle=None)
 def o6_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling — deterministic within Spark (seed
