@@ -34,9 +34,6 @@ from pyspark.sql import types as T
 # DuckDB oracle's string_split + filter + DISTINCT.
 TOKENS = "array_distinct(filter(split(text, ' '), x -> x != ''))"
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-
-
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """L1: group by md5(text); keep the minimum doc_id as the canonical
     representative. Returns (text_hash, keep_id, dup_count)."""
@@ -44,17 +41,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
         docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
-    )
-
-
-def _token_base_hashes(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit base hash per token (blake2b, seed-independent)."""
-    return np.array(
-        [
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            for t in tokens
-        ],
-        dtype=np.uint64,
     )
 
 

@@ -164,6 +164,34 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each left event matches right events of
+    the same user within ``within`` *before* it. Both sides carry
+    watermarks so the join state is garbage-collected — the time-bound
+    predicate is what makes unbounded-stream joins feasible (state per
+    side ≈ watermark horizon of rows, keyed by user)."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.user_id = r.user_id AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL {within}"
+        ),
+        "inner",
+    ).select(
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
 def stream_dedup(events: DataFrame, late: str = "10 minutes") -> DataFrame:
     """T6: stateful dedup bounded by watermark — duplicate event_ids
     arriving within the watermark horizon are suppressed; state for

@@ -177,6 +177,46 @@ def test_stateful_custom_operator(spark, tmp_path):
     assert final[2] == (1, 5.0), rows
 
 
+def test_stream_stream_join_batch_equivalence(spark):
+    """Stream-stream time-bound join drained with AvailableNow must
+    equal the same join run as a plain batch query."""
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        events_stream_source,
+        run_to_table,
+        stream_stream_join,
+    )
+    from .conftest import SF_SMOKE
+
+    stream, _ = events_stream_source(spark, SF_SMOKE, n_files=3)
+    purchases_s = stream.filter(F.col("event_type") == "purchase")
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    # the arrival files hold randomly-distributed event times, so an
+    # in-span watermark would GC join state between micro-batches and
+    # drop legitimate pairs; batch equivalence needs the watermark to
+    # exceed the data's full time span (production uses a tight one)
+    streamed = run_to_table(
+        stream_stream_join(purchases_s, clicks_s, watermark="90 days"),
+        output_mode="append",
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("l")
+    c = ev.filter(F.col("event_type") == "click").alias("r")
+    batch = p.join(
+        c,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 30 minutes"
+        ),
+    ).select(
+        F.col("l.event_id").alias("left_id"), F.col("r.event_id").alias("right_id")
+    )
+    s_pairs = {(r["left_id"], r["right_id"]) for r in streamed.collect()}
+    b_pairs = {(r["left_id"], r["right_id"]) for r in batch.collect()}
+    assert len(b_pairs) > 0
+    assert s_pairs == b_pairs
+
+
 def test_sinks_roundtrip_and_resume(spark, tmp_path):
     """S5 scalar sink round-trip + S7 dynamic-partition resume."""
     from actuarial_reserve_modelling_spark.sources.sinks import (
