@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
         stats_queries,
         streaming_queries,
         window_queries,
+        window_queries2,
     )
 
     return REGISTRY

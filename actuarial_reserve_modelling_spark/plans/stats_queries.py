@@ -198,6 +198,34 @@ def a7c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("a13_bloom_filter", "A6 (sketch family), J3", oracle=None)
+def a13_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style membership pre-filter for a fact-dim semi-join: hash
+    dim keys into a 64k-bucket set (a k=1 Bloom filter — Spark's
+    internal ``bloom_filter_agg`` is not SQL-exposed in this build, so
+    the sketch is composed from collect_set + xxhash64), broadcast it,
+    and pre-filter the fact side map-side before the exact join. False
+    positives (bucket collisions) only cost extra rows into the exact
+    join, never wrong answers; false negatives are impossible. Rows-only
+    check; the unit test pins both bounds."""
+    nbits = 65536
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = cust.agg(
+        F.collect_set(F.pmod(F.xxhash64("c_custkey"), F.lit(nbits))).alias("buckets")
+    )
+    filtered = orders.join(F.broadcast(sketch)).filter(
+        F.array_contains("buckets", F.pmod(F.xxhash64("o_custkey"), F.lit(nbits)))
+    )
+    exact = cust.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    true_hits = filtered.join(exact, "o_custkey", "left_semi")
+    return filtered.agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+    ).crossJoin(true_hits.agg(F.count(F.lit(1)).alias("n_true")))
+
+
 @register("o6_tablesample", "O3 (sampling)", oracle=None)
 def o6_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling — deterministic within Spark (seed

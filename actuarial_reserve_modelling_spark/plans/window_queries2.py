@@ -1,0 +1,103 @@
+"""Window tier 2 (range frames, distribution ranks) and reshaping
+(unpivot/melt) — rounding out W-row and O-row coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.catalog import load_table
+from actuarial_reserve_modelling_spark.plans.registry import register
+
+
+@register(
+    "w5_range_frame",
+    "W3",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW)
+               AS n_last_30m,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW), 4)
+               AS v_last_30m
+    FROM events WHERE user_id % 25 = 3
+    """,
+)
+def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frames (trailing 30-minute aggregates per user) — the
+    value-based frame built-in windows provide; unlike ROWS frames the
+    bound is event-time, so ties and gaps are handled by value."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 3)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 60, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_30m"),
+        F.round(F.sum("value").over(w), 4).alias("v_last_30m"),
+    )
+
+
+@register(
+    "w6_distribution_ranks",
+    "W1",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WHERE o_custkey % 100 = 7
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w6_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist over a global ordering (single-partition
+    window — acceptable because the filtered input is small; for full-
+    table distribution ranks at scale, bucket into quantiles via
+    approx_percentile instead)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 7)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "o7_unpivot",
+    "O4 (reshape)",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    ) WHERE l_orderkey % 400 = 11
+    """,
+)
+def o7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt — wide→long reshape (inverse of q_pivot), a plan-
+    level expand with no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 400 == 11)
+    melted = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    name = (
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_discount", "discount")
+        .otherwise("tax")
+    )
+    return melted.select(
+        "l_orderkey", "l_linenumber", name.alias("metric"), F.round("val", 4).alias("val")
+    )

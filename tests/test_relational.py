@@ -141,6 +141,25 @@ def test_tablesample_seeded_reproducible(spark, registry):
     assert abs(a["n_sampled"] / total - 0.1) < 0.03
 
 
+def test_bloom_filter_bounds(spark, registry):
+    """No false negatives; false-positive rate within the sketch's
+    design bound (n=10k keys, 80k bits → fpp ≈ 2-3%)."""
+    row = registry["a13_bloom_filter"].spark_fn(spark, SF_SMOKE).collect()[0]
+    from actuarial_reserve_modelling_spark.catalog import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    true_n = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_semi"
+    ).count()
+    assert row["n_true"] == true_n  # zero false negatives
+    total = orders.count()
+    fp = row["n_bloom_pass"] - true_n
+    assert fp / max(total - true_n, 1) < 0.1
+
+
 def test_approx_count_distinct_rsd(spark, registry):
     exact = (
         registry["a5_count_distinct"].spark_fn(spark, SF_SMOKE).collect()[0]["n_cust"]
