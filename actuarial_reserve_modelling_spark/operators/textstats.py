@@ -88,6 +88,61 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def clean_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-corpus text normalization, all JVM-side: lowercase, strip
+    control chars, redact URL/email-shaped spans, collapse whitespace.
+    Returns (doc_id, clean, n_redactions)."""
+    col = F.lower(F.col(text_col))
+    col = F.regexp_replace(col, "[\\x00-\\x1f]", " ")
+    url = "https?://[^ ]+"
+    email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    n_red = (
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{url}', 0)"))
+        + F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{email}', 0)"))
+    )
+    col = F.regexp_replace(col, url, "<url>")
+    col = F.regexp_replace(col, email, "<email>")
+    col = F.trim(F.regexp_replace(col, "\\s+", " "))
+    return docs.select(
+        "doc_id", col.alias("clean"), n_red.cast("int").alias("n_redactions")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style document chunking: fixed-size token windows with
+    overlap, JVM-side (split → sequence of chunk starts → slice →
+    re-join). One output row per chunk with (doc_id, chunk_idx,
+    chunk_text, n_tokens); short documents yield one chunk.
+
+    At 100 TB this is a narrow map (explode multiplies rows by
+    ~len/stride) — no shuffle; downstream embedding/indexing sees
+    bounded-size texts.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+    starts = F.expr(
+        f"sequence(1, greatest(size(filter(split({text_col}, ' '), x -> x != '')) "
+        f"- {overlap}, 1), {stride})"
+    )
+    exploded = docs.select(
+        "doc_id", toks.alias("toks"), F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice("toks", F.col("start"), F.lit(chunk_tokens))
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+    )
+
+
 def content_fingerprints(docs: DataFrame) -> DataFrame:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text (the cheap exact-after-normalization tier;

@@ -115,6 +115,62 @@ def ts1_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l5g_text_cleaning",
+    "L5",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(text), '[\\x00-\\x1f]', ' ', 'g'),
+                       'https?://[^ ]+', '<url>', 'g'),
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<email>', 'g'),
+               '\\s+', ' ', 'g')) AS clean,
+           CAST(len(regexp_extract_all(lower(text), 'https?://[^ ]+'))
+              + len(regexp_extract_all(lower(text),
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS INT) AS n_redactions
+    FROM documents WHERE doc_id % 19 = 2
+    """,
+)
+def l5g_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning: lowercase, control-char strip, URL/email
+    redaction, whitespace collapse (operators/textstats.py clean_text)."""
+    from actuarial_reserve_modelling_spark.operators.textstats import clean_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 2)
+    return clean_text(docs)
+
+
+@register(
+    "l8_chunking",
+    "L5,U4 (RAG chunking)",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents WHERE doc_id % 9 = 1
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, start, start + 31), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, start, start + 31)) AS INT) AS n_tokens
+    FROM s
+    """,
+)
+def l8_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks (32 tokens, 8 overlap) — the
+    standard RAG/embedding pre-step, JVM-side explode with no shuffle."""
+    from actuarial_reserve_modelling_spark.operators.textstats import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 1)
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@register(
     "f1b_string_funcs2",
     "F1",
     oracle="""
