@@ -193,6 +193,59 @@ def minhash_near_dup_pairs(
     return verify_jaccard(cands, docs, threshold)
 
 
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph → one canonical
+    representative (minimum doc_id) per cluster. This is the final step
+    of production dedup: pairs → clusters → keep one doc per cluster.
+
+    Iterative min-label propagation: each vertex repeatedly adopts the
+    smallest label among itself and its neighbors until fixpoint. Each
+    round is two hash joins + a groupBy-min; near-dup components are
+    small (cliques of near-identical docs), so convergence takes
+    O(log(diameter)) ≈ 2-4 rounds. Labels are localCheckpointed per
+    round to cut the growing lineage. At 100 TB scale use the
+    large-star/small-star variant (halves rounds); the loop shape is
+    identical. Returns (doc_id, rep_id) for every vertex in the graph.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("rep_id", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("rep_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("rep_id"), F.coalesce("nbr_min", F.col("rep_id"))
+                ).alias("rep_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.rep_id") != F.col("o.rep_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # --- SimHash ----------------------------------------------------------------
 
 # 60-bit word hash: first 15 hex chars of md5 — chosen because both

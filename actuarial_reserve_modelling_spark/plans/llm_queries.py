@@ -91,6 +91,45 @@ def l2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l2e_dedup_clusters",
+    "L2,L4 (clustering; iterative)",
+    oracle=f"""
+    WITH RECURSIVE {_WORDS_CTE},
+    c AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
+    i AS (
+        SELECT a.doc_id d1, b.doc_id d2, count(*) k
+        FROM words a JOIN words b USING (w)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d1, d2
+        FROM i JOIN c c1 ON d1 = c1.doc_id JOIN c c2 ON d2 = c2.doc_id
+        WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
+    ),
+    edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    closure(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT e.a, cl.b FROM edges e JOIN closure cl ON e.b = cl.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS rep_id
+    FROM closure GROUP BY a
+    """,
+)
+def l2e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the verified
+    MinHash pair graph, canonical representative = min doc_id per
+    component (iterative min-label propagation,
+    operators/dedup.py::dedup_clusters). The oracle computes the same
+    components via a recursive transitive-closure CTE."""
+    from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.95, bands=16, rows_per_band=16, seed=42)
+    return dedup_clusters(pairs.select("d1", "d2"))
+
+
+@register(
     "l2b_simhash_pairs",
     "L2",
     oracle="""

@@ -79,6 +79,18 @@ def test_winnowing_detects_shared_substring(spark):
     assert overlap_13 < 0.2, f"unrelated docs overlap too high: {overlap_13:.2f}"
 
 
+def test_dedup_clusters_components(spark):
+    """Min-label propagation finds components: a 4-chain (1-2-3-4), a
+    2-clique (10-11), and transitivity across the chain."""
+    from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "d1 long, d2 long"
+    )
+    got = {r["doc_id"]: r["rep_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_winnowing_deterministic(spark):
     docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 20)
     a = sorted(map(tuple, winnowing_fingerprints(docs).collect()))
