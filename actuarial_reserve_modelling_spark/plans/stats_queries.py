@@ -198,6 +198,29 @@ def a7c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a14_argmax_aggregates",
+    "A5 (argmax family), L1",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name, c_acctbal) AS richest,
+           arg_min(c_name, c_acctbal) AS poorest,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def a14_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates) — the one-pass form of "keep
+    the best row per group" (e.g. dedup keep-highest-quality): no window,
+    no self-join, partial-aggregatable."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
 @register("a13_bloom_filter", "A6 (sketch family), J3", oracle=None)
 def a13_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-style membership pre-filter for a fact-dim semi-join: hash

@@ -217,6 +217,42 @@ def test_stream_stream_join_batch_equivalence(spark):
     assert s_pairs == b_pairs
 
 
+def test_foreachbatch_upsert_sink(spark, tmp_path):
+    """foreachBatch: arbitrary per-micro-batch sink logic (the upsert /
+    merge escape hatch). Each batch dynamic-overwrites its users'
+    partitions — idempotent under replay, exactly the S7 pattern driven
+    from a stream."""
+    from actuarial_reserve_modelling_spark.sources.sinks import overwrite_partitions
+
+    out = str(tmp_path / "upserts")
+    stream, _ = __import__(
+        "actuarial_reserve_modelling_spark.streaming.pipeline",
+        fromlist=["events_stream_source"],
+    ).events_stream_source(spark, "/root/testdata/sf0.001", n_files=3)
+
+    seen_batches = []
+
+    def upsert(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        agg = batch_df.groupBy("user_id").agg(F.count("*").alias("n"))
+        overwrite_partitions(agg, out, ["user_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen_batches) == 3  # one per arrival file
+    import os as _os
+
+    assert _os.path.isdir(out)
+    result = spark.read.parquet(out)
+    assert result.count() > 0
+    assert set(result.columns) == {"n", "user_id"}
+
+
 def test_sinks_roundtrip_and_resume(spark, tmp_path):
     """S5 scalar sink round-trip + S7 dynamic-partition resume."""
     from actuarial_reserve_modelling_spark.sources.sinks import (
