@@ -75,6 +75,7 @@ def asof_join(
     suffix: str = "_right",
     allow_exact_matches: bool = True,
     right_tiebreak: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.on <= left.on`` (or ``<`` if not allow_exact_matches),
@@ -84,7 +85,11 @@ def asof_join(
 
     ``value_cols`` are the right-side columns to carry; they are
     suffixed. ``right_tiebreak`` makes the choice deterministic when two
-    right rows share a timestamp (highest wins).
+    right rows share a timestamp (highest wins). ``tolerance`` (a SQL
+    interval string, e.g. ``"30 minutes"``; only for timestamp ``on``
+    columns) nulls the carried values when the matched right row is
+    older than ``left.on - tolerance`` — pandas ``merge_asof``'s
+    tolerance semantics.
     """
     by = list(by)
     # Right rows sort before left rows at equal time iff exact matches
@@ -114,11 +119,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = right_asof.unionByName(left_asof)
-    filled = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried]
+    fill_cols = [F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried]
+    # carry the matched right row's own time so tolerance can bound it
+    unioned = unioned.withColumn(
+        "_r_on", F.when(F.col("_side") == right_tag, F.col(on))
     )
+    fill_cols.append(F.last("_r_on", ignorenulls=True).over(w).alias("_f_on"))
+    filled = unioned.select("*", *fill_cols)
     is_left = F.col("_side") == left_tag
+    if tolerance is not None:
+        in_tol = F.col("_f_on") >= F.col(on) - F.expr(f"INTERVAL {tolerance}")
+        out_cols = [
+            F.when(in_tol, F.col(f"_f_{c}")).alias(c) for c in carried
+        ]
+    else:
+        out_cols = [F.col(f"_f_{c}").alias(c) for c in carried]
     return filled.filter(is_left).select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
-        *[F.col(f"_f_{c}").alias(c) for c in carried],
+        *out_cols,
     )

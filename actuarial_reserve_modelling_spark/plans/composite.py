@@ -243,6 +243,49 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q22_global_sales_opportunity",
+    "P5,A2,F1,A4 (scalar subquery + anti-join)",
+    oracle="""
+    WITH wealthy AS (
+        SELECT c_custkey, c_nationkey % 7 AS cc, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    )
+    SELECT cc, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM wealthy w
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = w.c_custkey AND o.o_totalprice > 400000)
+    GROUP BY cc
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average —
+    broadcast as a one-row literal), anti-join against orders, grouped
+    totals by a derived code."""
+    cust = load_table(spark, sf_dir, "customer")
+    # uncorrelated scalar subquery as a broadcast one-row cross join —
+    # stays fully declarative (no driver-side collect)
+    avg_df = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    wealthy = (
+        cust.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", (F.col("c_nationkey") % 7).alias("cc"), "c_acctbal")
+    )
+    # "no recent big order" anti-join side (plain no-orders is empty at
+    # the tested SFs — every wealthy customer has some order)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    no_orders = wealthy.join(
+        orders, wealthy.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("cc").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+@register(
     "q18_large_orders",
     "J2,A4,P6 (HAVING via subquery)",
     oracle="""

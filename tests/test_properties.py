@@ -73,6 +73,33 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts, exact):
     assert got == want
 
 
+def test_asof_join_tolerance(spark):
+    """tolerance nulls matches older than left.on - tolerance, like
+    pandas merge_asof(tolerance=...)."""
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [("a", dt(2024, 1, 1, 12, 0))], "k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", dt(2024, 1, 1, 11, 0), 1.0), ("a", dt(2024, 1, 1, 11, 50), 2.0)],
+        "k string, t timestamp, rv double",
+    )
+    near = asof_join(
+        left, right, on="t", by=["k"], value_cols=["rv"], tolerance="30 minutes"
+    ).collect()[0]
+    assert near["rv_right"] == 2.0  # 11:50 within 30 min of 12:00
+    far = asof_join(
+        left,
+        right.filter("rv = 1.0"),
+        on="t",
+        by=["k"],
+        value_cols=["rv"],
+        tolerance="30 minutes",
+    ).collect()[0]
+    assert far["rv_right"] is None  # 11:00 is outside tolerance
+
+
 def test_exact_claims_mode_statistically_equivalent(spark):
     """The Normal-sum fast path and the claim-by-claim path are the same
     distribution: totals across a portfolio must agree within Monte
