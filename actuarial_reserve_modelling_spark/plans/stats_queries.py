@@ -221,6 +221,62 @@ def a14_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a15_regression_aggregates",
+    "A4 (regression family), U3",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a15_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression as built-in aggregates (regr_slope /
+    intercept / r2 / count) — the single-pass JVM form of per-group
+    model fitting; applyInPandas (u3) is the escape hatch for anything
+    beyond linear."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "s6_partitioned_roundtrip",
+    "S6,S3",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY c_mktsegment
+    """,
+)
+def s6_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-parquet write → partition-pruned re-read → aggregate,
+    checked against the direct answer. Puts the writer path inside the
+    correctness gate; the re-read scan lists only the two matching
+    partition directories (PartitionFilters)."""
+    import tempfile
+
+    from actuarial_reserve_modelling_spark.sources.sinks import write_partitioned_parquet
+
+    out = tempfile.mkdtemp(prefix="arm_s6_") + "/cust"
+    cust = load_table(spark, sf_dir, "customer")
+    write_partitioned_parquet(cust, out, ["c_mktsegment"])
+    back = spark.read.parquet(out).filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+    )
+
+
 @register("a13_bloom_filter", "A6 (sketch family), J3", oracle=None)
 def a13_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-style membership pre-filter for a fact-dim semi-join: hash

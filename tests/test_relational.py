@@ -141,6 +141,44 @@ def test_tablesample_seeded_reproducible(spark, registry):
     assert abs(a["n_sampled"] / total - 0.1) < 0.03
 
 
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing: co-located storage layout removes the join shuffle —
+    both sides bucketed by the key into the same bucket count join with
+    zero Exchange operators (the 100 TB repeated-join optimization)."""
+    import uuid
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    from actuarial_reserve_modelling_spark.catalog import load_table
+
+    suffix = uuid.uuid4().hex[:8]
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode("overwrite").saveAsTable(
+        f"b_orders_{suffix}"
+    )
+    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode("overwrite").saveAsTable(
+        f"b_cust_{suffix}"
+    )
+    bo = spark.table(f"b_orders_{suffix}")
+    bc = spark.table(f"b_cust_{suffix}")
+    # disable auto-broadcast so the join would otherwise shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey).groupBy("c_mktsegment").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the join itself must not exchange either side (only the final
+        # aggregate exchanges)
+        join_part = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert join_part.count("Exchange") == 0, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS b_orders_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS b_cust_{suffix}")
+
+
 def test_bloom_filter_bounds(spark, registry):
     """No false negatives; false-positive rate within the sketch's
     design bound (n=10k keys, 80k bits → fpp ≈ 2-3%)."""
