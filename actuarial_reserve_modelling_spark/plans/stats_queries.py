@@ -277,6 +277,25 @@ def s6_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("a16_hll_sketch_union", "A6 (sketch family)", oracle=None)
+def a16_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (DataSketches HLL): build one
+    sketch per segment, then union sketches to the global estimate —
+    the pattern that makes distinct counts composable across partitions,
+    days, and reruns at 100 TB (store sketch bytes, merge later; never
+    recount). Rows-only (sketch estimates ≠ exact); test bounds error."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_seg = cust.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sketch")
+    )
+    return per_seg.agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sketch")), 0)
+        .cast("bigint")
+        .alias("approx_total_custkeys"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+
+
 @register("a13_bloom_filter", "A6 (sketch family), J3", oracle=None)
 def a13_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-style membership pre-filter for a fact-dim semi-join: hash

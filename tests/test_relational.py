@@ -198,6 +198,22 @@ def test_bloom_filter_bounds(spark, registry):
     assert fp / max(total - true_n, 1) < 0.1
 
 
+def test_hll_sketch_union_accuracy(spark, registry):
+    """Sketch-union estimate within HLL error bounds of the exact
+    distinct count, and invariant to partitioning (mergeability)."""
+    row = registry["a16_hll_sketch_union"].spark_fn(spark, SF_SMOKE).collect()[0]
+    from actuarial_reserve_modelling_spark.catalog import load_table
+
+    exact = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select("c_custkey")
+        .distinct()
+        .count()
+    )
+    assert abs(row["approx_total_custkeys"] - exact) / exact < 0.05
+    assert row["n_sketches"] == 5
+
+
 def test_approx_count_distinct_rsd(spark, registry):
     exact = (
         registry["a5_count_distinct"].spark_fn(spark, SF_SMOKE).collect()[0]["n_cust"]
