@@ -70,7 +70,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     "J1,J2,A4,F4",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8)))
+                AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -104,8 +106,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    # exact decimal accumulation: a double sum's order-dependent last
+    # ULP can flip 2dp rounding on boundary values (seen at sf0.001) —
+    # per-term decimal quantization is deterministic on both engines
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,8)")
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.sum(rev).cast("double").alias("revenue")
     )
 
 

@@ -171,6 +171,27 @@ def l8_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f7c_to_json",
+    "F7,F6",
+    oracle="""
+    SELECT event_id,
+           CAST(to_json(struct_pack(t := event_type, u := user_id)) AS VARCHAR) AS j
+    FROM events WHERE event_id % 101 = 4
+    """,
+)
+def f7c_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct → JSON serialization (the write side of F7; both engines
+    emit identical compact JSON for int/string fields)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 4)
+    return ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+        ).alias("j"),
+    )
+
+
+@register(
     "f1b_string_funcs2",
     "F1",
     oracle="""
