@@ -1,0 +1,143 @@
+"""Remaining surface fill-ins: multiset set-ops, nth_value windows,
+edit-distance fuzzy matching, bit aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.catalog import load_table
+from actuarial_reserve_modelling_spark.plans.registry import register
+
+
+@register(
+    "o5b_multiset_ops",
+    "O5",
+    oracle="""
+    SELECT 'intersect_all' AS op, nationkey, count(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey % 2 = 0
+        INTERSECT ALL
+        SELECT c_nationkey FROM customer WHERE c_custkey % 3 = 0
+    ) GROUP BY nationkey
+    UNION ALL
+    SELECT 'except_all', nationkey, count(*) FROM (
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_custkey % 2 = 0
+        EXCEPT ALL
+        SELECT c_nationkey FROM customer WHERE c_custkey % 3 = 0
+    ) GROUP BY nationkey
+    """,
+)
+def o5b_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — multiset (bag) semantics, preserving
+    duplicate counts, vs o5's distinct forms."""
+    cust = load_table(spark, sf_dir, "customer")
+    evens = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    thirds = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    ia = (
+        evens.intersectAll(thirds)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    ea = (
+        evens.exceptAll(thirds)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    return ia.unionByName(ea)
+
+
+@register(
+    "w7_nth_value",
+    "W2",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_order
+    FROM orders
+    WHERE o_custkey % 120 = 11
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w7_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / whole-partition last_value (unbounded both ways)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 120 == 11)
+    w_running = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w_running).alias("second_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    )
+
+
+@register(
+    "l9_fuzzy_levenshtein",
+    "L2,F1",
+    oracle="""
+    WITH heads AS (
+        SELECT doc_id, substr(text, 1, 24) AS head
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT a.doc_id d1, b.doc_id d2,
+           CAST(levenshtein(a.head, b.head) AS INT) AS dist
+    FROM heads a JOIN heads b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 15
+    """,
+)
+def l9_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (classic DP levenshtein, JVM-side)
+    over document heads — the string-similarity tier below token-set
+    Jaccard. All-pairs on a bounded subset; at scale, block first
+    (length buckets / q-gram prefilter) exactly like MinHash."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    heads = docs.select("doc_id", F.substring("text", 1, 24).alias("head"))
+    a = heads.select(F.col("doc_id").alias("d1"), F.col("head").alias("h1"))
+    b = heads.select(F.col("doc_id").alias("d2"), F.col("head").alias("h2"))
+    return (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .withColumn("dist", F.levenshtein("h1", "h2").cast("int"))
+        .filter(F.col("dist") <= 15)
+        .select("d1", "d2", "dist")
+    )
+
+
+@register(
+    "a17_bit_aggregates",
+    "A5 (bitwise family)",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_custkey) AS all_and,
+           bit_or(o_custkey) AS any_or,
+           bit_xor(o_custkey) AS parity
+    FROM orders WHERE o_orderkey % 50 = 21
+    GROUP BY o_orderstatus
+    """,
+)
+def a17_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and / bit_or / bit_xor grouped aggregates (flag-mask
+    folding; order-independent by construction)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 21)
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_custkey").alias("all_and"),
+        F.bit_or("o_custkey").alias("any_or"),
+        F.bit_xor("o_custkey").alias("parity"),
+    )

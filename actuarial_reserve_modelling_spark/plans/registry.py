@@ -48,6 +48,7 @@ def load_all() -> dict[str, Query]:
         kernel_queries,
         llm_queries,
         llm_queries2,
+        misc_queries,
         relational,
         stats_queries,
         streaming_queries,
