@@ -121,6 +121,91 @@ def l9_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a18_count_if_mode",
+    "A5,F8 (conditional/modal aggregates)",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+               CAST(count_if(l_quantity >= 30) AS BIGINT) AS n_bulk
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    qc AS (
+        SELECT l_returnflag, l_quantity, count(*) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (SELECT l_returnflag, max(c) AS mc FROM qc GROUP BY 1),
+    modal AS (
+        SELECT qc.l_returnflag, min(l_quantity) AS modal_qty
+        FROM qc JOIN m ON qc.l_returnflag = m.l_returnflag AND qc.c = m.mc
+        GROUP BY qc.l_returnflag
+    )
+    SELECT base.l_returnflag, n_discounted, n_bulk, modal_qty
+    FROM base JOIN modal ON base.l_returnflag = modal.l_returnflag
+    """,
+)
+def a18_count_if_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if conditional counting + an explicitly tie-broken modal
+    value (max frequency, ties → smallest value). The built-in mode()
+    exists in both engines but resolves ties arbitrarily — at sf0.001
+    they disagree — so checked queries must pin the tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 30).alias("n_bulk"),
+    )
+    qc = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    modal = qc.groupBy("l_returnflag").agg(
+        F.max_by(
+            "l_quantity", F.struct(F.col("c"), (-F.col("l_quantity")).alias("neg"))
+        ).alias("modal_qty")
+    )
+    return base.join(modal, "l_returnflag")
+
+
+@register(
+    "f4c_month_grid",
+    "F4,O4 (calendar grid + zero-fill)",
+    oracle="""
+    WITH ext AS (
+        SELECT date_trunc('month', min(o_orderdate)) AS lo,
+               date_trunc('month', max(o_orderdate)) AS hi
+        FROM orders
+    ),
+    grid AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL '1 month')) AS TIMESTAMP)
+               AS month
+        FROM ext
+    ),
+    per_month AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT g.month, CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders
+    FROM grid g LEFT JOIN per_month p ON g.month = p.month
+    """,
+)
+def f4c_month_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete month grid between data extents with zero-filled counts
+    (the calendar-dimension pattern: no missing months in reports)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ext = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    grid = ext.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    per_month = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grid.join(per_month, "month", "left").select(
+        "month", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders")
+    )
+
+
+@register(
     "a17_bit_aggregates",
     "A5 (bitwise family)",
     oracle="""
