@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
         relational,
         stats_queries,
         streaming_queries,
+        tpch_more,
         window_queries,
         window_queries2,
     )
