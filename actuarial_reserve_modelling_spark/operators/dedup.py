@@ -54,6 +54,16 @@ def minhash_signatures(
     pandas kernel vectorized as a (k × n_tokens) matrix per doc.
     Returns (doc_id, sig: array<bigint>).
     """
+    toks = docs.select("doc_id", F.expr(TOKENS.replace("text", text_col)).alias("tokens"))
+    return _signatures_from_tokens(toks, num_hashes=num_hashes, seed=seed)
+
+
+def _signatures_from_tokens(
+    toks: DataFrame, num_hashes: int = 192, seed: int = 42
+) -> DataFrame:
+    """MinHash kernel over a pre-tokenized (doc_id, tokens) frame —
+    shared by the raw-text path and the exact-collapse path, which has
+    already paid for tokenization."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
@@ -79,26 +89,43 @@ def minhash_signatures(
                 cache[t] = h
             return h
 
+        # keep the (num_hashes × chunk_tokens) work matrix under ~512 MB
+        chunk_token_budget = max(1, (1 << 26) // num_hashes)
+
         for pdf in batches:
-            sigs = []
-            for toks in pdf["tokens"]:
-                base = np.fromiter(
-                    (base_hash(t) for t in toks), dtype=np.uint64, count=len(toks)
-                )
-                if len(base) == 0:
-                    sigs.append(np.zeros(num_hashes, dtype=np.int64).tolist())
-                    continue
-                # (k, n) = a[:,None]*base[None,:] + b[:,None], min over n
-                m = (a[:, None] * base[None, :] + b[:, None]).min(axis=1)
-                sigs.append(m.view(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+            n = len(pdf)
+            tok_lists = list(pdf["tokens"])
+            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+            sig_rows = np.zeros((n, num_hashes), dtype=np.int64)
+            # chunked batch vectorization: concatenate token hashes for a
+            # run of docs, broadcast all hash functions over the flat
+            # array, segment-minimize with minimum.reduceat — one numpy
+            # dispatch per chunk instead of one per document
+            start = 0
+            while start < n:
+                end, tot = start, 0
+                while end < n and (end == start or tot + lens[end] <= chunk_token_budget):
+                    tot += lens[end]
+                    end += 1
+                nonempty = [i for i in range(start, end) if lens[i] > 0]
+                if nonempty:
+                    base = np.fromiter(
+                        (base_hash(t) for i in nonempty for t in tok_lists[i]),
+                        dtype=np.uint64,
+                        count=int(lens[nonempty].sum()),
+                    )
+                    bounds = np.concatenate(
+                        ([0], np.cumsum(lens[nonempty])[:-1])
+                    ).astype(np.int64)
+                    m = a[:, None] * base[None, :] + b[:, None]  # (k, tot)
+                    mins = np.minimum.reduceat(m, bounds, axis=1)  # (k, docs)
+                    sig_rows[nonempty, :] = mins.T.view(np.int64)
+                start = end
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": list(sig_rows)})
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    toks = spread_for_kernel(
-        docs.select("doc_id", F.expr(TOKENS.replace("text", text_col)).alias("tokens"))
-    )
-    return toks.mapInPandas(kernel, schema=schema)
+    return spread_for_kernel(toks).mapInPandas(kernel, schema=schema)
 
 
 def lsh_candidate_pairs(
@@ -153,12 +180,35 @@ def verify_jaccard(
     toks = docs.select(
         F.col("doc_id"), F.expr(TOKENS.replace("text", text_col)).alias("tokens")
     )
+    return _verify_jaccard_tokens(candidates, toks, threshold)
+
+
+def _verify_jaccard_tokens(
+    candidates: DataFrame, toks: DataFrame, threshold: float
+) -> DataFrame:
+    """verify_jaccard over a pre-tokenized (doc_id, tokens) frame.
+
+    Set cardinalities are invariant under injective maps, so Jaccard is
+    computed on xxhash64-hashed token arrays: bigint array_intersect is
+    several times cheaper than string array_intersect (no per-element
+    string hashing/equality in the hot loop), and the broadcast side
+    shrinks to 8 bytes per token. A 64-bit in-document collision
+    (probability ~n²/2⁶⁵ per doc) is the accepted approximation — the
+    same trade every production MinHash pipeline makes.
+    """
+    hashed = toks.select(
+        "doc_id", F.expr("transform(tokens, t -> xxhash64(t))").alias("tokens")
+    )
     # token table is n_docs rows of short arrays — broadcast both sides
     # so the (potentially huge) candidate list never shuffles for this
     # join. At corpus sizes where tokens outgrow broadcast, drop the hint
     # and let AQE pick shuffled hash join.
-    t1 = F.broadcast(toks.select(F.col("doc_id").alias("d1"), F.col("tokens").alias("tok1")))
-    t2 = F.broadcast(toks.select(F.col("doc_id").alias("d2"), F.col("tokens").alias("tok2")))
+    t1 = F.broadcast(
+        hashed.select(F.col("doc_id").alias("d1"), F.col("tokens").alias("tok1"))
+    )
+    t2 = F.broadcast(
+        hashed.select(F.col("doc_id").alias("d2"), F.col("tokens").alias("tok2"))
+    )
     inter = F.size(F.array_intersect("tok1", "tok2")).cast("double")
     union = (F.size("tok1") + F.size("tok2") - F.size(F.array_intersect("tok1", "tok2"))).cast(
         "double"
@@ -181,16 +231,83 @@ def minhash_near_dup_pairs(
     bands: int = 24,
     rows_per_band: int = 8,
     seed: int = 42,
+    text_col: str = "text",
 ) -> DataFrame:
-    """L2 end-to-end: MinHash → LSH blocking → exact-Jaccard verify.
+    """L2 end-to-end: exact collapse → MinHash → LSH blocking →
+    exact-Jaccard verify → pair expansion.
 
-    With b=24, r=8 the miss probability at jac=0.95 is (1-0.95^8)^24
+    Stage 0 (the big win on real corpora, which are full of exact
+    duplicates): group documents by their *distinct token set* and run
+    the quadratic-ish LSH machinery on one representative per group.
+    Jaccard is a pure function of the token set, so every member of a
+    group has identical similarity relationships; the final answer is
+    reconstructed exactly as
+
+      * within-group pairs: jaccard 1.0 by construction (≥ any
+        threshold), emitted directly without verification;
+      * cross-group pairs: each verified representative pair (r1, r2)
+        expands to members(g1) × members(g2).
+
+    A group of n identical docs costs O(n) instead of O(n²) signature +
+    verify work; only distinct token sets enter the LSH shuffle. With
+    b=24, r=8 the LSH miss probability at jac=0.95 is (1-0.95^8)^24
     ≈ 4e-12, so the verified output equals the exact all-pairs answer
-    (which is what the DuckDB oracle computes) without the O(n²) scan.
+    (what the DuckDB oracle computes) without the O(n²) scan.
+
+    Token-less documents (empty token set) are excluded up front: their
+    Jaccard with anything — including each other — is 0/0 = NULL in the
+    oracle, never ≥ threshold.
     """
-    sigs = minhash_signatures(docs, num_hashes=bands * rows_per_band, seed=seed)
+    toks = docs.select(
+        "doc_id", F.expr(TOKENS.replace("text", text_col)).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    # canonical token-set key: sorted array digest (order-independent;
+    # chr(30) separator cannot appear in whitespace-split tokens)
+    groups = (
+        toks.withColumn("tkey", F.md5(F.concat_ws("\x1e", F.array_sort("tokens"))))
+        .groupBy("tkey")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("members"),
+            F.min_by("tokens", "doc_id").alias("tokens"),
+        )
+        # reused by signatures, verify, and both expansions — cache to
+        # keep the tokenization+shuffle subtree from running 4×
+        .localCheckpoint(eager=False)
+    )
+    rep_toks = groups.select(F.col("rep_id").alias("doc_id"), "tokens")
+    sigs = _signatures_from_tokens(rep_toks, num_hashes=bands * rows_per_band, seed=seed)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
-    return verify_jaccard(cands, docs, threshold)
+    rep_pairs = _verify_jaccard_tokens(cands, rep_toks, threshold)
+
+    members = groups.select("rep_id", "members")
+    m1 = F.broadcast(
+        members.select(F.col("rep_id").alias("d1"), F.col("members").alias("m1"))
+    )
+    m2 = F.broadcast(
+        members.select(F.col("rep_id").alias("d2"), F.col("members").alias("m2"))
+    )
+    cross = (
+        rep_pairs.join(m1, "d1")
+        .join(m2, "d2")
+        .select(F.explode("m1").alias("a"), "m2", "jac")
+        .select("a", F.explode("m2").alias("b"), "jac")
+        .select(
+            F.least("a", "b").alias("d1"), F.greatest("a", "b").alias("d2"), "jac"
+        )
+    )
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.posexplode("members").alias("i", "d1"), "members")
+        .select(
+            "d1",
+            F.explode(
+                F.slice("members", F.col("i") + 2, F.size("members") - F.col("i") - 1)
+            ).alias("d2"),
+        )
+        .withColumn("jac", F.lit(1.0))
+    )
+    return cross.unionByName(within)
 
 
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
