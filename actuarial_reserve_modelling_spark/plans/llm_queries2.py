@@ -3,7 +3,7 @@ vector normalization, richer string functions, typed JSON parsing."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -241,4 +241,66 @@ def f7b_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.select((F.col("p.k") % 10).alias("k_mod"), F.col("p.k").alias("k"))
         .groupBy("k_mod")
         .agg(F.count(F.lit(1)).alias("n"), F.min("k").alias("min_k"))
+    )
+
+
+@register(
+    "l5h_tfidf",
+    "L5,A4,W4",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+        SELECT tok, count(*) AS df FROM tf GROUP BY tok
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, tok, tf, df,
+           round(tf * ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1)), 6)
+               AS tfidf,
+           rnk
+    FROM (
+        SELECT t.doc_id, t.tok, t.tf, d.df, n.n_docs,
+               CAST(row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf * ln((CAST(n.n_docs AS DOUBLE) + 1)
+                                      / (CAST(d.df AS DOUBLE) + 1)) DESC, t.tok
+               ) AS INT) AS rnk
+        FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
+    )
+    WHERE rnk <= 3 AND doc_id % 20 = 3
+    """,
+)
+def l5h_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed IDF ln((N+1)/(df+1)); top-3 terms per doc
+    (rank ties broken by token). The canonical text-featurization
+    pipeline: explode → per-(doc,term) count → per-term doc frequency →
+    broadcast-join the (small) term dictionary back, window top-k.
+    At 100 TB the term dictionary is the only global state and it is
+    vocabulary-sized, not corpus-sized; everything else stays keyed by
+    doc. All-double scoring: identical IEEE ops on exact integer inputs
+    on both engines, so 6dp rounding is hash-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (
+        F.col("tf")
+        * F.log((F.col("n_docs").cast("double") + 1) / (F.col("df").cast("double") + 1))
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "tok")
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") % 20 == 3))
+        .select("doc_id", "tok", "tf", "df", F.round(score, 6).alias("tfidf"), "rnk")
     )

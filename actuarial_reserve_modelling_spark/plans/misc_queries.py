@@ -226,3 +226,40 @@ def a17_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_custkey").alias("any_or"),
         F.bit_xor("o_custkey").alias("parity"),
     )
+
+
+@register(
+    "s9_json_roundtrip",
+    "S3,S5 (JSON lines source/sink)",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderkey % 200 = 1
+    """,
+)
+def s9_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → schema-enforced re-read, checked against the
+    direct parquet answer — value fidelity through the text format is
+    the point (Spark writes shortest-round-trip doubles, so the re-read
+    double is bit-identical). Explicit read schema: schema inference on
+    JSON is a full extra pass at 100 TB and is never what you want."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    out = tempfile.mkdtemp(prefix="arm_s9_") + "/orders_json"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 200 == 1)
+        .select(
+            "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+        )
+    )
+    orders.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out)

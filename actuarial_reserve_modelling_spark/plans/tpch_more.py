@@ -386,3 +386,82 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q16_supplier_part_variety",
+    "J1,J2,A5,P6",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_size IN (1, 4, 7, 10, 13)
+      AND p_type NOT LIKE 'PROMO%'
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: lineitem stands in for the absent
+    partsupp as the part↔supplier bridge): distinct-supplier count per
+    (brand, type) with negated predicates (<>, NOT LIKE, IN). The
+    distinct agg expands to a two-phase hash aggregate keyed on
+    (brand, type, suppkey) — the shuffle carries unique triples only."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 4, 7, 10, 13)
+        & ~F.col("p_type").like("PROMO%")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_shipments",
+    "J3,A4,P6",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%gear%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+    ),
+    total AS (SELECT sum(qty) AS total_qty FROM shipped)
+    SELECT s_suppkey, s_name, round(qty, 2) AS qty
+    FROM supplier
+    JOIN shipped ON s_suppkey = l_suppkey
+    CROSS JOIN total
+    WHERE qty > 0.012 * total_qty
+    """,
+)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped quantity stands in for the
+    absent partsupp availability): suppliers whose shipped quantity of
+    name-matched parts in a year exceeds a fraction of the total — a
+    grouped sum reused as both join input and scalar threshold (same
+    decorrelation pattern as Q15)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(_dec_sum(F.col("l_quantity")).alias("qty"))
+    )
+    total = shipped.agg(F.sum("qty").alias("total_qty"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        shipped.crossJoin(F.broadcast(total))
+        .filter(F.col("qty") > 0.012 * F.col("total_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("qty", 2).alias("qty"))
+    )
