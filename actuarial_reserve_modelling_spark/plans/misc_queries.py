@@ -263,3 +263,41 @@ def s9_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(out)
+
+
+@register(
+    "s10_schema_evolution",
+    "S3,S6 (mergeSchema read across evolving batches)",
+    oracle="""
+    SELECT CAST(1 AS INT) AS batch, count(*) AS n,
+           round(sum(c_acctbal), 2) AS bal, CAST(0 AS BIGINT) AS n_seg
+    FROM customer WHERE c_custkey % 4 = 0
+    UNION ALL
+    SELECT CAST(2 AS INT), count(*), round(sum(c_acctbal), 2), count(c_mktsegment)
+    FROM customer WHERE c_custkey % 4 = 1
+    """,
+)
+def s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across ingest batches: batch 1 lacks a column
+    that batch 2 adds; ``mergeSchema`` resolves the union schema and
+    back-fills NULL. The production pattern for append-only datasets
+    whose schema widens over time — the alternative (rewriting old
+    batches) is a non-starter at 100 TB. mergeSchema's footer-merge cost
+    is per-file at plan time; pin the merged schema explicitly once it
+    stabilizes."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="arm_s10_") + "/cust"
+    cust = load_table(spark, sf_dir, "customer")
+    cust.filter(F.col("c_custkey") % 4 == 0).select("c_custkey", "c_acctbal").write.parquet(
+        out + "/batch=1"
+    )
+    cust.filter(F.col("c_custkey") % 4 == 1).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    ).write.parquet(out + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        F.count("c_mktsegment").alias("n_seg"),
+    )
