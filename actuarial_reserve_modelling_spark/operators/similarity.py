@@ -172,3 +172,146 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: Lloyd's k-means with
+    data-derived init (the ``n_centroids`` lowest-id vectors) and
+    decimal-exact mean updates.
+
+    Determinism notes: init is order-free (keyed by id); assignment
+    breaks distance ties by centroid index; the per-cluster mean uses
+    DECIMAL(30,8)-quantized sums so reduction order cannot perturb the
+    result. Centroids are (k × d) doubles — driver-resident, broadcast
+    into the assignment kernel's closure; training touches the corpus
+    ``n_iters + 1`` times, all scans, no shuffle wider than (cluster,
+    dim) pairs.
+    """
+    init_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    centroids = np.array([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    for _ in range(n_iters):
+        assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.join(embeddings.select(id_col, vec_col), id_col)
+            .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("double").cast("decimal(30,8)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
+            .collect()
+        )
+        new_centroids = centroids.copy()  # empty clusters keep their centroid
+        for r in means:
+            new_centroids[r["cluster"], r["dim"]] = r["m"]
+        centroids = new_centroids
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by L2
+    (ties → lowest centroid index). One Arrow kernel pass: (batch × d)
+    @ (d × k) — the coarse-quantizer matmul every IVF implementation
+    runs; centroids ride along in the task closure (k·d doubles)."""
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("cluster", T.IntegerType())]
+    )
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    cent_sq = (cent * cent).sum(axis=1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], "cluster": []})
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # ||v-c||² = ||v||² - 2 v·c + ||c||²; ||v||² constant per row
+            d2 = cent_sq[None, :] - 2.0 * (vecs @ cent.T)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(np.asarray(pdf[id_col]), nprobe),
+                    "cluster": order.astype(np.int32).ravel(),
+                }
+            )
+
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    return spread_for_kernel(embeddings.select(id_col, vec_col)).mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer → corpus partitioned into
+    inverted lists → each query probes its ``nprobe`` nearest lists →
+    exact cosine re-rank of candidates only.
+
+    The 100 TB shape: centroids are tiny and global; the corpus is
+    scanned once to build (cluster → members) — in production that
+    assignment is *persisted* (partitioned by cluster) and amortized
+    across every subsequent query batch, so per-query cost is
+    nprobe/n_centroids of a full scan plus the re-rank. Recall depends
+    on how clustered the corpus is; on near-uniform vectors it
+    approaches the probed-fraction baseline (test asserts the measured
+    bound), on real clustered embeddings it is far higher.
+    """
+    centroids = ivf_train_centroids(
+        embeddings, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    lists = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    probes = ivf_assign(
+        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), "cluster")
+    cand = (
+        lists.join(F.broadcast(probes), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cosine("qvec", "cvec"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

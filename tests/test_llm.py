@@ -13,7 +13,11 @@ from actuarial_reserve_modelling_spark.operators.dedup import (
     minhash_signatures,
     winnowing_fingerprints,
 )
-from actuarial_reserve_modelling_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from actuarial_reserve_modelling_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+)
 
 from .conftest import SF_SMOKE
 
@@ -31,6 +35,26 @@ def test_ann_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"ANN recall {recall:.2f} too low"
+
+
+def test_ivf_recall_vs_exact_and_determinism(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    res1 = ann_ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=6)
+    rows1 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in res1.collect()}
+    approx = {(q, n) for q, n, _ in rows1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall:.2f} too low"
+    # training + assignment are deterministic: identical output twice
+    rows2 = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=6).collect()
+    }
+    assert rows1 == rows2
 
 
 def test_minhash_signature_estimates_jaccard(spark):
