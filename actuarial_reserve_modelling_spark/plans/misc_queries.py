@@ -301,3 +301,28 @@ def s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("c_acctbal"), 2).alias("bal"),
         F.count("c_mktsegment").alias("n_seg"),
     )
+
+
+@register(
+    "f5c_explode_outer",
+    "F5,O4 (NULL-preserving unnest)",
+    oracle="""
+    SELECT p_partkey,
+           unnest(CASE WHEN p_partkey % 5 = 0
+                       THEN [CAST(NULL AS VARCHAR)]
+                       ELSE string_split(p_name, ' ') END) AS word
+    FROM part
+    WHERE p_partkey % 3 = 1
+    """,
+)
+def f5c_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with an empty/NULL array survive as a single
+    NULL row (plain explode drops them — silently losing parents is the
+    classic unnest bug in fact tables). The oracle spells the same
+    semantics with a [NULL] CASE pad, since DuckDB's unnest drops
+    empties too."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 == 1)
+    arr = F.when(
+        F.col("p_partkey") % 5 == 0, F.lit(None).cast("array<string>")
+    ).otherwise(F.split("p_name", " "))
+    return part.select("p_partkey", F.explode_outer(arr).alias("word"))

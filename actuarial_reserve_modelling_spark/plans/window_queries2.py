@@ -101,3 +101,51 @@ def o7_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return melted.select(
         "l_orderkey", "l_linenumber", name.alias("metric"), F.round("val", 4).alias("val")
     )
+
+
+@register(
+    "w8_nulls_ordering",
+    "W1,J2,F8",
+    oracle="""
+    SELECT c_custkey, c_nationkey, CAST(last_dt AS TIMESTAMP) AS last_dt, rnk
+    FROM (
+        SELECT c_custkey, c_nationkey, last_dt,
+               CAST(row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY last_dt DESC NULLS LAST, c_custkey
+               ) AS INT) AS rnk
+        FROM (
+            SELECT c_custkey, c_nationkey, max(o_orderdate) AS last_dt
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_nationkey
+        )
+    )
+    WHERE c_custkey % 10 = 0
+    """,
+)
+def w8_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking over a NULLable sort key with explicit NULLS LAST —
+    customers never having ordered sort after every real date. Engines
+    disagree on default NULL placement (Spark: ASC=nulls first,
+    DESC=nulls last; DuckDB: nulls last... by version), so checked
+    queries must always say it explicitly; this row pins that rule."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    last_o = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.max("o_orderdate").alias("last_dt"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("last_dt").desc_nulls_last(), "c_custkey"
+    )
+    return (
+        last_o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("last_dt").cast("timestamp").alias("last_dt"),
+            "rnk",
+        )
+    )
