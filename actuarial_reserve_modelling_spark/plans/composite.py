@@ -372,3 +372,79 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_qty", 2).alias("total_qty"),
         )
     )
+
+
+@register(
+    "l10_corpus_prep",
+    "L1,L5,A8 (end-to-end training-data prep)",
+    oracle="""
+    WITH cleaned AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(text), '[\\x00-\\x1f]', ' ', 'g'),
+                           'https?://[^ ]+', '<url>', 'g'),
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<email>', 'g'),
+                   '\\s+', ' ', 'g')) AS clean
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM cleaned
+        WHERE len(list_filter(string_split(clean, ' '), x -> x <> '')) >= 12
+          AND lang IN ('en', 'de')
+    ),
+    dedup AS (
+        SELECT md5(clean) AS h, min(doc_id) AS doc_id FROM quality GROUP BY 1
+    ),
+    survivors AS (
+        SELECT d.doc_id, q.clean FROM dedup d JOIN quality q ON q.doc_id = d.doc_id
+    ),
+    t AS (
+        SELECT doc_id, list_filter(string_split(clean, ' '), x -> x <> '') AS toks
+        FROM survivors
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 8, 1), 24)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 24 AS INT) AS chunk_idx,
+           md5(array_to_string(list_slice(toks, start, start + 31), ' ')) AS chunk_hash,
+           CAST(len(list_slice(toks, start, start + 31)) AS INT) AS n_tokens
+    FROM s
+    """,
+)
+def l10_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-data-pipeline composite: normalize text → drop
+    low-quality and out-of-scope-language docs → exact-dedup on the
+    *cleaned* form (normalization-aware: byte-different but
+    content-equal docs collapse) → chunk survivors into overlapping
+    32-token windows for embedding/indexing. Chunks leave as md5
+    digests — at 100 TB the gate ships hashes, not text.
+
+    Plan shape: narrow maps end-to-end except two shuffles — the dedup
+    groupBy(md5) (16-byte keys) and the survivor join-back. Chunking is
+    an explode, no shuffle. Every stage is an operator the registry
+    also checks in isolation (l5g, l5c, l1, l8)."""
+    from actuarial_reserve_modelling_spark.operators.textstats import (
+        chunk_documents,
+        clean_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = clean_text(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    n_toks = F.size(F.expr("filter(split(clean, ' '), x -> x != '')"))
+    quality = cleaned.filter((n_toks >= 12) & F.col("lang").isin("en", "de"))
+    dedup = quality.groupBy(F.md5("clean").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = dedup.join(quality.select("doc_id", "clean"), "doc_id")
+    chunks = chunk_documents(survivors, chunk_tokens=32, overlap=8, text_col="clean")
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_hash"),
+        "n_tokens",
+    )
