@@ -126,3 +126,41 @@ def test_exact_claims_mode_statistically_equivalent(spark):
     _, var = analytic_moments(terms)
     sigma = math.sqrt(var / n)
     assert abs(fast - exact) < 8 * sigma, (fast, exact, sigma)
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+                 min_size=0, max_size=6),
+        min_size=2, max_size=12,
+    ),
+    threshold=st.sampled_from([0.5, 0.75, 1.0]),
+)
+def test_minhash_collapse_equals_bruteforce(spark, docs, threshold):
+    """minhash_near_dup_pairs (exact-collapse → LSH → verify → expand)
+    must equal brute-force all-pairs Jaccard: duplicates, singleton
+    groups, and token-less docs all round-trip through the collapse.
+    b=32,r=2 keeps the LSH miss probability < 1e-6 at every threshold
+    used, so any discrepancy is a real bug, not sampling."""
+    from actuarial_reserve_modelling_spark.operators.dedup import minhash_near_dup_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["d1"], r["d2"])
+        for r in minhash_near_dup_pairs(
+            sdf, threshold=threshold, bands=32, rows_per_band=2
+        ).collect()
+    }
+    expected = set()
+    sets = [frozenset(t) for t in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            union = sets[i] | sets[j]
+            if not union:
+                continue
+            jac = len(sets[i] & sets[j]) / len(union)
+            if jac >= threshold:
+                expected.add((i, j))
+    assert got == expected
