@@ -43,6 +43,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return
     the full registry."""
     from actuarial_reserve_modelling_spark.plans import (  # noqa: F401
+        analytics,
         composite,
         extended,
         kernel_queries,
