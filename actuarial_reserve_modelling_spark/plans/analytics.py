@@ -133,3 +133,69 @@ def w10_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "w11_funnel",
+    "A4,A5,J2,F8 (ordered-sequence funnel)",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) FILTER (event_type = 'view') AS t_view
+        FROM events GROUP BY user_id HAVING t_view IS NOT NULL
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT count(v.user_id) AS n_view,
+           count(c.user_id) AS n_click,
+           count(p.user_id) AS n_purchase
+    FROM v
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+)
+def w11_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel view → click → purchase: each stage's
+    entry time is the earliest qualifying event strictly after the
+    previous stage. Three grouped mins joined back on user — the stage
+    tables shrink monotonically, so at scale each successive join is
+    cheaper (and broadcastable once below threshold); the events scan
+    is reused by plan, not re-read."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"))
+        .filter(F.col("t_view").isNotNull())
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click"),
+            F.count("t_purchase").alias("n_purchase"),
+        )
+    )
