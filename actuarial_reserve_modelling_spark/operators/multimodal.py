@@ -109,3 +109,47 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return media.select("doc_id", F.explode(frames).alias("f")).select(
         "doc_id", F.col("f.frame_idx").alias("frame_idx"), F.col("f.lead_byte").alias("lead_byte")
     )
+
+def resize_media(
+    media: DataFrame, target_bytes: int = 16, payload_col: str = "payload"
+) -> DataFrame:
+    """Resize/thumbnail pattern: payload → fixed-size payload.
+
+    DETERMINISTIC FAKE standing in for an image resize: stride-sample
+    the byte stream down to exactly ``target_bytes`` (repeating the
+    last byte when the source is shorter). The contract a real resizer
+    keeps: output payload has fixed, known size regardless of input —
+    which is what makes downstream batching (fixed-shape tensors)
+    possible. Arrow kernel; bytes never become Python row objects.
+    Output: (doc_id, payload: binary[target_bytes], orig_bytes)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("orig_bytes", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, origs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(buf) == 0:
+                    resized = np.zeros(target_bytes, dtype=np.uint8)
+                else:
+                    idx = np.minimum(
+                        (np.arange(target_bytes) * len(buf)) // target_bytes,
+                        len(buf) - 1,
+                    )
+                    resized = buf[idx]
+                ids.append(int(doc_id))
+                outs.append(resized.tobytes())
+                origs.append(len(buf))
+            yield pd.DataFrame({"doc_id": ids, "payload": outs, "orig_bytes": origs})
+
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    return spread_for_kernel(media.select("doc_id", payload_col)).mapInPandas(
+        kernel, schema=schema
+    )

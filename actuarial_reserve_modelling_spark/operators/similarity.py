@@ -251,7 +251,6 @@ def ivf_assign(
             # ||v-c||² = ||v||² - 2 v·c + ||c||²; ||v||² constant per row
             d2 = cent_sq[None, :] - 2.0 * (vecs @ cent.T)
             order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(np.asarray(pdf[id_col]), nprobe),

@@ -404,6 +404,19 @@ def l5f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, k=5, window=4)
 
 
+@register("l6b_multimodal_resize", "L6", oracle=None)
+def l6b_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail plumbing: payload → fixed-size payload (16-byte
+    deterministic stride-sample fake; real image resize swaps the kernel
+    body, keeps the fixed-output-size contract). Binary output column =>
+    rows-only check; tests assert size + determinism."""
+    from actuarial_reserve_modelling_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    resized = resize_media(attach_binary_payload(docs), target_bytes=16)
+    return resized.select("doc_id", "orig_bytes", F.length("payload").alias("resized_bytes"))
+
+
 @register(
     "l6_multimodal",
     "L6",

@@ -127,3 +127,22 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00", "image/png")
+
+
+def test_multimodal_resize_fixed_size(spark):
+    from actuarial_reserve_modelling_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") % 13 == 0)
+    out = resize_media(attach_binary_payload(docs), target_bytes=16).collect()
+    assert len(out) > 0
+    for r in out:
+        assert len(r["payload"]) == 16
+        assert r["orig_bytes"] > 0
+    # deterministic: same input -> same resized bytes
+    again = resize_media(attach_binary_payload(docs), target_bytes=16).collect()
+    assert {(r["doc_id"], bytes(r["payload"])) for r in out} == {
+        (r["doc_id"], bytes(r["payload"])) for r in again
+    }
