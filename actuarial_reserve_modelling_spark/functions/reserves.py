@@ -159,3 +159,64 @@ def analytic_moments(terms: np.ndarray) -> tuple[float, float]:
     mean = float((MEAN_CLAIM * e_n).sum())
     var = float((e_n * STD_CLAIM**2 + var_n * MEAN_CLAIM**2).sum())
     return mean, var
+
+def simulate_reserves_sql(
+    policies: DataFrame,
+    n_trials: int = NUM_SIMULATIONS,
+    seed: int = 42,
+    mean_claim: float = MEAN_CLAIM,
+    std_claim: float = STD_CLAIM,
+    claim_interval: float = CLAIM_INTERVAL,
+) -> DataFrame:
+    """The Monte Carlo kernel with zero Python: hash-derived uniforms +
+    inverse-transform / Box-Muller sampling as built-in column
+    expressions, whole-stage-codegen end to end.
+
+    Per (policy, trial), three independent U(0,1) draws come from
+    ``xxhash64(id, trial, salt)`` → top 53 bits → (0,1). Exponential via
+    ``-mean·ln(u)``, claim count ``n = floor(x)`` (main.rs:70), per-trial
+    claim total via the same distributional identity as the Arrow kernel
+    (Σ N(μ,σ²) ≡ N(nμ, nσ²)) with a Box-Muller normal. Deterministic and
+    partition-invariant for the same reason the kernel is: the random
+    stream depends only on (id, trial, seed), never on physical layout.
+
+    Trade-off vs ``simulate_reserves``: this materializes one row per
+    (policy, trial) — n_trials× row inflation through the exchange-free
+    narrow pipeline — where the Arrow kernel loops trials inside one
+    batch. The kernel wins at high trial counts; this form wins when
+    Python workers are unavailable or per-trial rows are wanted anyway
+    (e.g. percentile-of-trials analyses, which plain SQL can then do).
+    Statistically both match the reference (main.rs:62-80); bitwise they
+    differ (different RNG streams), so tests check analytic tolerance.
+    """
+    import math as _math
+
+    def unif(salt: int):
+        h = F.xxhash64(F.col("id"), F.col("trial"), F.lit(salt), F.lit(seed))
+        return (F.shiftrightunsigned(h, 11).cast("double") + F.lit(0.5)) / F.lit(
+            float(1 << 53)
+        )
+
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    t = spread_for_kernel(policies.select("id", "term")).withColumn(
+        "trial", F.explode(F.sequence(F.lit(0), F.lit(n_trials - 1)))
+    )
+    x = -(F.col("term") / F.lit(claim_interval)) * F.log(unif(1))
+    n = F.floor(x)
+    z = F.sqrt(F.lit(-2.0) * F.log(unif(2))) * F.cos(F.lit(2.0 * _math.pi) * unif(3))
+    reserve = F.when(
+        n > 0,
+        n.cast("double") * F.lit(mean_claim)
+        + F.sqrt(n.cast("double")) * F.lit(std_claim) * z,
+    ).otherwise(F.lit(0.0))
+    # decimal accumulation: mean over trials independent of reduction order
+    return (
+        t.select("id", reserve.alias("r"))
+        .groupBy("id")
+        .agg(
+            (F.sum(F.col("r").cast("decimal(30,8)")) / F.lit(n_trials))
+            .cast("double")
+            .alias("mean_reserve")
+        )
+    )

@@ -36,6 +36,22 @@ def u1_reserve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id", F.round("mean_reserve", 6).alias("mean_reserve"))
 
 
+@register("u1b_reserve_sql_mc", "U1,U4,A3 (pure-JVM Monte Carlo)", oracle=None)
+def u1b_reserve_sql_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 restated with zero Python: xxhash64-derived uniforms +
+    inverse-transform/Box-Muller sampling as built-in expressions
+    (functions/reserves.py::simulate_reserves_sql). 1000 trials here
+    (rows-only smoke); tests check analytic tolerance + partition
+    invariance. The per-(policy, trial) row form also unlocks plain-SQL
+    trial analytics (percentiles over trials) the scalar kernel hides."""
+    from actuarial_reserve_modelling_spark.functions.reserves import (
+        simulate_reserves_sql,
+    )
+
+    portfolio = synthetic_portfolio(load_table(spark, sf_dir, "customer"))
+    return simulate_reserves_sql(portfolio, n_trials=1_000, seed=42)
+
+
 @register(
     "u2_scalar_udf",
     "U2",

@@ -75,3 +75,31 @@ def test_csv_failfast_on_malformed(spark, tmp_path):
     df = read_policies_csv(spark, str(p))
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_sql_mc_matches_analytic_and_invariant(spark, policies_dir):
+    """The pure-JVM Monte Carlo (simulate_reserves_sql) passes the same
+    gates as the Arrow kernel: analytic tolerance, seed determinism,
+    partition invariance."""
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.functions.reserves import (
+        simulate_reserves_sql,
+    )
+
+    path, terms = policies_dir
+    df = read_policies_csv(spark, path)
+    total = (
+        simulate_reserves_sql(df, n_trials=N_TRIALS)
+        .agg(F.sum(F.col("mean_reserve").cast("decimal(38,12)")).cast("double"))
+        .collect()[0][0]
+    )
+    mean, var = analytic_moments(terms)
+    sigma = math.sqrt(var / N_TRIALS)
+    assert abs(total - mean) < 5 * sigma, (total, mean, sigma)
+
+    a = sorted(simulate_reserves_sql(df.repartition(2), n_trials=100, seed=7).collect())
+    b = sorted(simulate_reserves_sql(df.repartition(10), n_trials=100, seed=7).collect())
+    c = sorted(simulate_reserves_sql(df.repartition(2), n_trials=100, seed=8).collect())
+    assert a == b
+    assert a != c
