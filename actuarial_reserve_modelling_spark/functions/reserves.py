@@ -189,7 +189,37 @@ def simulate_reserves_sql(
     Statistically both match the reference (main.rs:62-80); bitwise they
     differ (different RNG streams), so tests check analytic tolerance.
     """
-    import math as _math
+    t = trial_reserves_sql(
+        policies,
+        n_trials=n_trials,
+        seed=seed,
+        mean_claim=mean_claim,
+        std_claim=std_claim,
+        claim_interval=claim_interval,
+    )
+    # decimal accumulation: mean over trials independent of reduction order
+    return (
+        t.groupBy("id")
+        .agg(
+            (F.sum(F.col("r").cast("decimal(30,8)")) / F.lit(n_trials))
+            .cast("double")
+            .alias("mean_reserve")
+        )
+    )
+
+def trial_reserves_sql(
+    policies: DataFrame,
+    n_trials: int = NUM_SIMULATIONS,
+    seed: int = 42,
+    mean_claim: float = MEAN_CLAIM,
+    std_claim: float = STD_CLAIM,
+    claim_interval: float = CLAIM_INTERVAL,
+) -> DataFrame:
+    """One row per (policy, trial): ``(id, trial, r)`` — the raw trial
+    matrix behind ``simulate_reserves_sql``, exposed for distributional
+    analytics (VaR/TVaR, trial percentiles) that need more than the
+    per-policy mean. Same hash-derived random stream: deterministic,
+    partition-invariant."""
 
     def unif(salt: int):
         h = F.xxhash64(F.col("id"), F.col("trial"), F.lit(salt), F.lit(seed))
@@ -204,19 +234,52 @@ def simulate_reserves_sql(
     )
     x = -(F.col("term") / F.lit(claim_interval)) * F.log(unif(1))
     n = F.floor(x)
-    z = F.sqrt(F.lit(-2.0) * F.log(unif(2))) * F.cos(F.lit(2.0 * _math.pi) * unif(3))
+    z = F.sqrt(F.lit(-2.0) * F.log(unif(2))) * F.cos(F.lit(2.0 * math.pi) * unif(3))
     reserve = F.when(
         n > 0,
         n.cast("double") * F.lit(mean_claim)
         + F.sqrt(n.cast("double")) * F.lit(std_claim) * z,
     ).otherwise(F.lit(0.0))
-    # decimal accumulation: mean over trials independent of reduction order
-    return (
-        t.select("id", reserve.alias("r"))
-        .groupBy("id")
-        .agg(
-            (F.sum(F.col("r").cast("decimal(30,8)")) / F.lit(n_trials))
-            .cast("double")
-            .alias("mean_reserve")
-        )
+    return t.select("id", "trial", reserve.alias("r"))
+
+
+def reserve_risk_measures(
+    policies: DataFrame,
+    n_trials: int = NUM_SIMULATIONS,
+    seed: int = 42,
+    quantiles: tuple[float, ...] = (0.95, 0.99),
+) -> DataFrame:
+    """Portfolio risk measures from the simulated trial distribution:
+    for each requested level q, the VaR (exact q-quantile of per-trial
+    portfolio totals) and TVaR/CTE (mean of the tail at or above it) —
+    the reserve adequacy numbers actuaries actually publish, which the
+    reference's mean-only output (main.rs:80) cannot express.
+
+    Shape at scale: (policies × trials) rows collapse to n_trials
+    portfolio totals (decimal sums, order-invariant) — the distribution
+    is trials-sized no matter how big the portfolio, so the quantile
+    step is trivially small. Returns (q, var_value, tvar_value)."""
+    t = trial_reserves_sql(policies, n_trials=n_trials, seed=seed)
+    totals = t.groupBy("trial").agg(
+        F.sum(F.col("r").cast("decimal(30,8)")).cast("double").alias("total")
     )
+    rows = []
+    for q in quantiles:
+        var_q = totals.agg(
+            F.expr(f"percentile(total, {q})").alias("v")
+        )
+        tail = (
+            totals.crossJoin(F.broadcast(var_q))
+            .filter(F.col("total") >= F.col("v"))
+            .agg(
+                F.first(F.col("v")).alias("var_value"),
+                F.avg("total").alias("tvar_value"),
+            )
+            .select(F.lit(q).alias("q"), F.round("var_value", 2).alias("var_value"),
+                    F.round("tvar_value", 2).alias("tvar_value"))
+        )
+        rows.append(tail)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -52,6 +52,21 @@ def u1b_reserve_sql_mc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simulate_reserves_sql(portfolio, n_trials=1_000, seed=42)
 
 
+@register("u1c_reserve_risk_measures", "U1,A4 (VaR/TVaR over trials)", oracle=None)
+def u1c_reserve_risk_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portfolio VaR and TVaR at 95%/99% from the simulated trial
+    distribution (functions/reserves.py::reserve_risk_measures) — the
+    reserve-adequacy analytics the reference's mean-only pipeline cannot
+    produce. Stochastic => rows-only; tests check CLT tolerance and
+    ordering (tvar >= var, p99 >= p95)."""
+    from actuarial_reserve_modelling_spark.functions.reserves import (
+        reserve_risk_measures,
+    )
+
+    portfolio = synthetic_portfolio(load_table(spark, sf_dir, "customer"))
+    return reserve_risk_measures(portfolio, n_trials=1_000, seed=42)
+
+
 @register(
     "u2_scalar_udf",
     "U2",

@@ -103,3 +103,29 @@ def test_sql_mc_matches_analytic_and_invariant(spark, policies_dir):
     c = sorted(simulate_reserves_sql(df.repartition(2), n_trials=100, seed=8).collect())
     assert a == b
     assert a != c
+
+
+def test_risk_measures_clt_tolerance_and_ordering(spark, policies_dir):
+    """VaR/TVaR from the trial distribution: p95/p99 within CLT
+    tolerance of the analytic normal approximation, and the ordering
+    invariants (TVaR >= VaR, p99 >= p95) hold."""
+    import math as m
+
+    from actuarial_reserve_modelling_spark.functions.reserves import (
+        reserve_risk_measures,
+    )
+
+    path, terms = policies_dir
+    df = read_policies_csv(spark, path)
+    rows = {
+        r["q"]: r
+        for r in reserve_risk_measures(df, n_trials=N_TRIALS, seed=42).collect()
+    }
+    mean, var = analytic_moments(terms)
+    sigma = m.sqrt(var)
+    for q, z in ((0.95, 1.6449), (0.99, 2.3263)):
+        got = rows[q]["var_value"]
+        approx = mean + z * sigma
+        assert abs(got - approx) < 0.8 * sigma, (q, got, approx, sigma)
+        assert rows[q]["tvar_value"] >= rows[q]["var_value"]
+    assert rows[0.99]["var_value"] >= rows[0.95]["var_value"]
