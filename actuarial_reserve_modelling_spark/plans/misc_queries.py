@@ -326,3 +326,28 @@ def f5c_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey") % 5 == 0, F.lit(None).cast("array<string>")
     ).otherwise(F.split("p_name", " "))
     return part.select("p_partkey", F.explode_outer(arr).alias("word"))
+
+
+@register(
+    "s11_orc_roundtrip",
+    "S3,S5 (ORC source/sink)",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM customer WHERE c_custkey % 3 = 0
+    GROUP BY c_mktsegment
+    """,
+)
+def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → re-read → aggregate, checked against the direct
+    parquet answer. ORC is the other columnar format Spark speaks
+    natively (predicate pushdown, column pruning, zlib/zstd) — parity
+    for shops whose lake is ORC/Hive."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="arm_s11_") + "/cust_orc"
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    cust.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+    )
