@@ -314,3 +314,24 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def hash_embed(
+    df: DataFrame, text_col: str, dim: int = 16, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic text → vector featurizer, entirely JVM-side: the
+    j-th component is a U(-1,1) value derived from ``xxhash64(text, j)``.
+
+    A clearly-marked STAND-IN for a learned embedding model (the
+    container has no model runtime): identical texts get identical
+    vectors, different texts get near-orthogonal ones — exactly the
+    contract the downstream index/search plumbing depends on, which is
+    what this exercises. Swap in a Pandas-UDF model call (same
+    signature) for semantic similarity; the pipeline shape is unchanged.
+    """
+    comp = (
+        f"transform(sequence(0, {dim - 1}), j -> "
+        f"cast((cast(shiftrightunsigned(xxhash64({text_col}, j), 11) as double) + 0.5)"
+        f" / {float(1 << 53)} * 2.0 - 1.0 as float))"
+    )
+    return df.select(F.col(id_col), F.expr(comp).alias("embedding"))

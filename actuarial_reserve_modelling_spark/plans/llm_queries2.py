@@ -304,3 +304,29 @@ def l5h_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rnk") <= 3) & (F.col("doc_id") % 20 == 3))
         .select("doc_id", "tok", "tf", "df", F.round(score, 6).alias("tfidf"), "rnk")
     )
+
+
+@register("l11_rag_index_search", "L3,L5,U4 (chunk -> embed -> search)", oracle=None)
+def l11_rag_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG indexing end-to-end: chunk documents (32-token windows,
+    8 overlap) → embed each chunk (deterministic hash featurizer —
+    operators/similarity.py::hash_embed, the marked stand-in for a
+    model) → exact cosine top-3 for the first 5 chunks as queries.
+    Rows-only (no SQL oracle for xxhash64-derived vectors); tests
+    assert determinism and that exact-duplicate chunks surface at
+    sim=1. The pipeline a 100 TB corpus actually runs: chunking is a
+    narrow explode, embedding a narrow map, and search goes through
+    the IVF/LSH index (l3b/l3c) once the corpus outgrows brute force."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        cosine_topk,
+        hash_embed,
+    )
+    from actuarial_reserve_modelling_spark.operators.textstats import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"), "chunk_text"
+    )
+    emb = hash_embed(chunks, "chunk_text", dim=16, id_col="chunk_id")
+    queries = emb.orderBy("chunk_id").limit(5)
+    return cosine_topk(emb, queries, k=3, id_col="chunk_id")

@@ -146,3 +146,18 @@ def test_multimodal_resize_fixed_size(spark):
     assert {(r["doc_id"], bytes(r["payload"])) for r in out} == {
         (r["doc_id"], bytes(r["payload"])) for r in again
     }
+
+
+def test_rag_hash_embed_contract(spark):
+    """hash_embed: identical texts -> identical vectors; different
+    texts -> different vectors; values bounded in (-1, 1)."""
+    from actuarial_reserve_modelling_spark.operators.similarity import hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta")],
+        "vec_id long, txt string",
+    )
+    rows = {r["vec_id"]: list(r["embedding"]) for r in hash_embed(df, "txt", dim=8).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    assert all(-1.0 < x < 1.0 for v in rows.values() for x in v)
