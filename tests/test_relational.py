@@ -224,3 +224,39 @@ def test_approx_count_distinct_rsd(spark, registry):
         .collect()[0]["approx_n_cust"]
     )
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_observe_data_quality_metrics(spark):
+    """df.observe: data-quality counters collected during the job itself
+    (no second pass over the data) — the production pattern for row
+    counts / null counts / invalid-value counts at 100 TB, where a
+    separate validation scan doubles the cost."""
+    from pyspark.sql import Observation
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    obs = Observation("quality")
+    checked = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("bad_qty"),
+        F.sum(F.col("l_extendedprice").isNull().cast("int")).alias("null_price"),
+    )
+    checked.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    assert m["n_rows"] > 0
+    assert m["bad_qty"] == 0
+    assert m["null_price"] == 0
+
+
+def test_rebalance_hint_in_plan(spark):
+    """REBALANCE hint: AQE splits/coalesces output partitions to the
+    advisory size — the knob that fixes the small-files problem on
+    100 TB writes without hand-picking a repartition count."""
+    from actuarial_reserve_modelling_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    df = li.hint("rebalance").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in plan, plan[:500]
