@@ -148,3 +148,39 @@ def u4_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.explode(F.sequence(F.lit(1), (F.col("c_custkey") % 5 + 1).cast("int"))).alias("i"),
     )
+
+
+@register(
+    "u2c_segment_reserves",
+    "U2,A4,J1",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_policies,
+           CAST(sum(CAST(100.0 / (exp(365.0 / ((c_custkey % 30 + 1) * 365.0)) - 1)
+                         AS DECIMAL(30,8))) AS DOUBLE) AS expected_reserve
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def u2c_segment_reserves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected reserves by market segment: the closed-form per-policy
+    expectation (functions/reserves.py::expected_reserve_column)
+    aggregated along a business dimension — the daily reporting query an
+    actuary runs between full simulations. Deterministic math => fully
+    oracle-checked, decimal-exact sum. At scale: one narrow map + one
+    small-key aggregation; no simulation cost at all."""
+    from actuarial_reserve_modelling_spark.functions.reserves import (
+        expected_reserve_column,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    portfolio = synthetic_portfolio(cust).join(
+        cust.select(F.col("c_custkey").cast("string").alias("id"), "c_mktsegment"),
+        "id",
+    )
+    return portfolio.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_policies"),
+        F.sum(expected_reserve_column(F.col("term")).cast("decimal(30,8)"))
+        .cast("double")
+        .alias("expected_reserve"),
+    )
