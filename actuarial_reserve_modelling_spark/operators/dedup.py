@@ -278,20 +278,42 @@ def minhash_near_dup_pairs(
     rep_toks = groups.select(F.col("rep_id").alias("doc_id"), "tokens")
     sigs = _signatures_from_tokens(rep_toks, num_hashes=bands * rows_per_band, seed=seed)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
-    rep_pairs = _verify_jaccard_tokens(cands, rep_toks, threshold)
 
-    members = groups.select("rep_id", "members")
-    m1 = F.broadcast(
-        members.select(F.col("rep_id").alias("d1"), F.col("members").alias("m1"))
+    # fused verify + expansion: one broadcast per pair side carrying the
+    # hashed tokens AND the member list, so candidate pairs are verified
+    # and expanded in a single stage (2 broadcast builds instead of 4)
+    hashed = groups.select(
+        "rep_id",
+        F.expr("transform(tokens, t -> xxhash64(t))").alias("htok"),
+        "members",
     )
-    m2 = F.broadcast(
-        members.select(F.col("rep_id").alias("d2"), F.col("members").alias("m2"))
+    side1 = F.broadcast(
+        hashed.select(
+            F.col("rep_id").alias("d1"),
+            F.col("htok").alias("tok1"),
+            F.col("members").alias("mem1"),
+        )
     )
+    side2 = F.broadcast(
+        hashed.select(
+            F.col("rep_id").alias("d2"),
+            F.col("htok").alias("tok2"),
+            F.col("members").alias("mem2"),
+        )
+    )
+    inter = F.size(F.array_intersect("tok1", "tok2")).cast("double")
+    union = (
+        F.size("tok1") + F.size("tok2") - F.size(F.array_intersect("tok1", "tok2"))
+    ).cast("double")
     cross = (
-        rep_pairs.join(m1, "d1")
-        .join(m2, "d2")
-        .select(F.explode("m1").alias("a"), "m2", "jac")
-        .select("a", F.explode("m2").alias("b"), "jac")
+        cands.join(side1, "d1")
+        .join(side2, "d2")
+        # try_divide: identical-but-empty token sets never occur here
+        # (filtered up front), but keep division NULL-safe under ANSI
+        .withColumn("jac", F.round(F.try_divide(inter, union), 6))
+        .filter(F.col("jac") >= threshold)
+        .select(F.explode("mem1").alias("a"), "mem2", "jac")
+        .select("a", F.explode("mem2").alias("b"), "jac")
         .select(
             F.least("a", "b").alias("d1"), F.greatest("a", "b").alias("d2"), "jac"
         )
