@@ -74,6 +74,14 @@ ALLOWED: dict[str, tuple[str, str]] = {
         "BatchEvalPython",
         "Python UDTFs are row-based by API definition; surface-coverage row, not a hot path",
     ),
+    "l11_rag_index_search": (
+        "BroadcastNestedLoopJoin",
+        "brute-force exact search with a 5-chunk query set broadcast; IVF/LSH are the scale path",
+    ),
+    "u1c_reserve_risk_measures": (
+        "BroadcastNestedLoopJoin",
+        "one-row VaR-quantile scalar broadcast into the tail filter",
+    ),
 }
 
 # streaming plans need a query start, not a batch explain
