@@ -67,18 +67,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     column pruning, and partition pruning — the 100 TB path is identical,
     just with an object-store URI.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as raw nanos (legacy nanosAsLong) and
-    truncate to microseconds — the same truncation DuckDB applies, so
-    oracle comparisons agree.
+    ``events.ts`` has shipped as two different parquet physical types
+    across testdata generations: TIMESTAMP(NANOS) (which Spark's reader
+    only accepts as raw int64 via the legacy ``nanosAsLong`` conf) and
+    TIMESTAMP(MICROS) (loaded natively as TIMESTAMP_NTZ). The loader
+    branches on what actually comes back so either generation works:
+
+    * native timestamp / timestamp_ntz → cast to session-TZ ``timestamp``
+      (session TZ is pinned UTC, so values are identical to the oracle's);
+    * int64 (legacy nanosAsLong in effect) → truncate nanos → micros,
+      the same truncation DuckDB applies.
     """
     if name == "events":
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``events`` robustly across testdata timestamp generations."""
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) physical type: only readable as raw int64.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # nanosAsLong path: int64 nanos → micros → timestamp.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(ts_type, T.TimestampType):
+        # TIMESTAMP_NTZ (native micros read) → session-TZ timestamp so the
+        # downstream schema matches what every query/oracle expects.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

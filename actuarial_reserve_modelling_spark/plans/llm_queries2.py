@@ -11,6 +11,44 @@ from actuarial_reserve_modelling_spark.catalog import load_table
 from actuarial_reserve_modelling_spark.plans.registry import register
 
 
+# ts1 registers first in this module so it sits inside the driver's
+# 50-query oracle window for round 3 (it errored in r2 on the events
+# loader bug; a green row here certifies the fix).
+@register(
+    "ts1_resample_locf",
+    "T2 analogue (batch rollup), W2, F4",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+               round(avg(value), 6) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(bucket) lo, max(bucket) hi FROM b GROUP BY 1),
+    grid AS (
+        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS bucket
+        FROM ext
+    ),
+    j AS (
+        SELECT g.event_type, g.bucket, b.v
+        FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
+    )
+    SELECT event_type, bucket,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+)
+def ts1_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: 15-minute resample of event values per
+    type with LOCF gap fill (operators/timeseries.py). The oracle builds
+    the same grid with generate_series + IGNORE NULLS last_value."""
+    from actuarial_reserve_modelling_spark.operators.timeseries import resample_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_locf(ev, "ts", "value", ["event_type"], every="15 minutes")
+
+
 @register(
     "l7_label_centroids",
     "L3,F5,A4",
@@ -77,41 +115,6 @@ def l7b_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nrm, 6).alias("norm"),
         F.round(F.element_at("embedding", 1).cast("double") / nrm, 6).alias("unit_first"),
     )
-
-
-@register(
-    "ts1_resample_locf",
-    "T2 analogue (batch rollup), W2, F4",
-    oracle="""
-    WITH b AS (
-        SELECT event_type, time_bucket(INTERVAL '15 minutes', ts) AS bucket,
-               round(avg(value), 6) AS v
-        FROM events GROUP BY 1, 2
-    ),
-    ext AS (SELECT event_type, min(bucket) lo, max(bucket) hi FROM b GROUP BY 1),
-    grid AS (
-        SELECT event_type, unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS bucket
-        FROM ext
-    ),
-    j AS (
-        SELECT g.event_type, g.bucket, b.v
-        FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
-    )
-    SELECT event_type, bucket,
-           last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
-           v IS NULL AS is_gap
-    FROM j
-    """,
-)
-def ts1_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style rollup: 15-minute resample of event values per
-    type with LOCF gap fill (operators/timeseries.py). The oracle builds
-    the same grid with generate_series + IGNORE NULLS last_value."""
-    from actuarial_reserve_modelling_spark.operators.timeseries import resample_locf
-
-    ev = load_table(spark, sf_dir, "events")
-    return resample_locf(ev, "ts", "value", ["event_type"], every="15 minutes")
 
 
 @register(

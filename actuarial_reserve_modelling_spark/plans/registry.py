@@ -42,19 +42,24 @@ def register(name: str, survey_rows: str, oracle: str | None = None):
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: registration) and return
     the full registry."""
+    # NOTE: import order = registration order = the driver's oracle-check
+    # order (it samples the first 50 registry entries). Rounds 1-2 used
+    # alphabetical order, which left the entire core relational/window/
+    # streaming suite outside the checked window; round 3 front-loads it.
+    # Rotate per round so every query accumulates driver correctness rows.
     from actuarial_reserve_modelling_spark.plans import (  # noqa: F401
+        relational,
+        window_queries,
+        streaming_queries,
         analytics,
-        composite,
         extended,
+        llm_queries2,
+        composite,
         kernel_queries,
         llm_queries,
-        llm_queries2,
         misc_queries,
-        relational,
         stats_queries,
-        streaming_queries,
         tpch_more,
-        window_queries,
         window_queries2,
     )
 
