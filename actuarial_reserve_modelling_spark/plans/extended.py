@@ -15,14 +15,24 @@ from actuarial_reserve_modelling_spark.catalog import load_table, register_views
 from actuarial_reserve_modelling_spark.plans.registry import register
 
 
-@register("s4_listing_source", "S4", oracle=None)
+@register(
+    "s4_listing_source",
+    "S4",
+    # The driver always runs oracles at sf0.01, so the listing path is
+    # pinned to that dir; read_blob() mirrors binaryFile's (path, length).
+    oracle="""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+           CAST(size AS BIGINT) AS size_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    WHERE size > 0
+    ORDER BY file_name
+    """,
+)
 def s4_listing_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Object-store listing with predicates — the Lambda's size>0 +
     suffix filter (calculate_average_reserves.py:28-31) over Spark's
     distributed FileIndex (binaryFile source; driver-side listing
-    parallelizes across executors for large prefixes). Rows-only check
-    (the static oracle string can't reference sf_dir); unit test pins
-    the expected table names."""
+    parallelizes across executors for large prefixes)."""
     listing = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -166,6 +176,34 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("F"), F.lit(0)).alias("F"),
         F.coalesce(F.col("O"), F.lit(0)).alias("O"),
         F.coalesce(F.col("P"), F.lit(0)).alias("P"),
+    )
+
+
+@register(
+    "u1d_reserve_closed_form",
+    "U1 (analytic companion), F3",
+    oracle="""
+    SELECT CAST(c_custkey AS VARCHAR) AS id,
+           round(100.0 / (exp(365.0 / (((c_custkey % 30) + 1) * 365.0)) - 1.0), 6)
+               AS expected_reserve
+    FROM customer
+    """,
+)
+def u1d_reserve_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form E[reserve] = 100/(exp(365/term)-1) over the synthetic
+    portfolio (functions/reserves.py expected_reserve_column, SURVEY
+    §2.4) — the deterministic, hash-checkable companion of the stochastic
+    U1 kernel, which stays under the analytic-tolerance pytest
+    (tests/test_reserves.py). Pure JVM column arithmetic, no shuffle."""
+    from actuarial_reserve_modelling_spark.catalog import synthetic_portfolio
+    from actuarial_reserve_modelling_spark.functions.reserves import (
+        expected_reserve_column,
+    )
+
+    pf = synthetic_portfolio(load_table(spark, sf_dir, "customer"))
+    return pf.select(
+        "id",
+        F.round(expected_reserve_column(F.col("term")), 6).alias("expected_reserve"),
     )
 
 
