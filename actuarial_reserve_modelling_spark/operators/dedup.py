@@ -332,57 +332,99 @@ def minhash_near_dup_pairs(
     return cross.unionByName(within)
 
 
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    """Undirected edge list (u, v) with both orientations, no self-loops."""
+    e = pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+    return (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): every node connects its strictly
+    LARGER neighbors to the minimum of its neighborhood (incl. itself).
+    Input and output are symmetric-orientation edge lists."""
+    mins = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", F.col("u")).alias("m"))
+    )
+    emitted = (
+        edges.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("d1"), F.col("m").alias("d2"))
+    )
+    # dedup happens once inside _symmetrize — no extra shuffle here
+    return _symmetrize(emitted)
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its smaller-or-equal
+    neighbors (and itself) to the minimum among them."""
+    oriented = edges.filter(F.col("v") < F.col("u"))  # smaller neighbors only
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    emitted = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("d1"), F.col("m").alias("d2"))
+        .unionByName(mins.select(F.col("u").alias("d1"), F.col("m").alias("d2")))
+    )
+    return _symmetrize(emitted)
+
+
 def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components over the near-dup pair graph → one canonical
     representative (minimum doc_id) per cluster. This is the final step
     of production dedup: pairs → clusters → keep one doc per cluster.
 
-    Iterative min-label propagation: each vertex repeatedly adopts the
-    smallest label among itself and its neighbors until fixpoint. Each
-    round is two hash joins + a groupBy-min; near-dup components are
-    small (cliques of near-identical docs), so convergence takes
-    O(log(diameter)) ≈ 2-4 rounds. Labels are localCheckpointed per
-    round to cut the growing lineage. At 100 TB scale use the
-    large-star/small-star variant (halves rounds); the loop shape is
-    identical. Returns (doc_id, rep_id) for every vertex in the graph.
+    Alternating large-star/small-star rounds (Kiveris et al., SoCC'14) —
+    the shape that holds at 100 TB: converges in O(log² n) rounds on any
+    graph (vs. O(diameter) for plain min-label propagation), and every
+    round SHRINKS the edge set toward a star forest, so per-round shuffle
+    volume decreases instead of staying flat. Each round is a groupBy-min
+    plus one broadcast-or-hash join keyed on the node id; edge lists are
+    localCheckpointed per round to cut the growing lineage. Convergence
+    is detected by an order-insensitive edge-set signature (count +
+    xxhash64 sum) — one cheap aggregate, no full comparison join.
+
+    Returns (doc_id, rep_id) for every vertex that appears in ``pairs``:
+    after convergence the edge set IS the star forest, so child→root
+    edges are read off directly and roots map to themselves.
     """
-    edges = (
-        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
-        .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
-        .distinct()
-    )
-    labels = (
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("rep_id", F.col("doc_id"))
-    )
+    edges = _symmetrize(pairs).localCheckpoint(eager=True)
+    # Vertex set off the checkpointed symmetric edges — NOT off ``pairs``,
+    # which would re-run the (often expensive) upstream pair pipeline.
+    verts = edges.select(F.col("u").alias("doc_id")).distinct()
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = signature(edges)
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("rep_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("rep_id"), F.coalesce("nbr_min", F.col("rep_id"))
-                ).alias("rep_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.rep_id") != F.col("o.rep_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = signature(edges)
+        if new_sig == sig:
             break
-    return labels
+        sig = new_sig
+
+    # Star forest: every remaining edge points child → component-min root
+    # (in the symmetric list the child is the larger endpoint). groupBy-min
+    # guards the (converged) uniqueness of each child's root.
+    child_root = (
+        edges.filter(F.col("v") < F.col("u"))
+        .groupBy(F.col("u").alias("doc_id"))
+        .agg(F.min("v").alias("rep_id"))
+    )
+    return (
+        verts.join(child_root, "doc_id", "left")
+        .select("doc_id", F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"))
+    )
 
 
 # --- SimHash ----------------------------------------------------------------

@@ -217,6 +217,43 @@ def l4_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l2d_embedding_dedup",
+    "L2,L4 (embedding-cosine near-dup -> clusters)",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.4
+    ),
+    edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    closure(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT e.a, cl.b FROM edges e JOIN closure cl ON e.b = cl.a
+    )
+    SELECT a AS vec_id, least(a, min(b)) AS rep_id
+    FROM closure GROUP BY a
+    """,
+)
+def l2d_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: exact cosine pairs (τ=0.4) →
+    large-star/small-star connected components → canonical min-vec_id
+    representative. The semantic-dedup path of a training pipeline
+    (exact text dedup catches verbatim copies; this catches paraphrases
+    that embed nearby). Scale path: swap the exact pair stage for the
+    LSH-bucketed candidates of l3b — the clustering stage is unchanged."""
+    from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.4).select(
+        F.col("v1").alias("d1"), F.col("v2").alias("d2")
+    )
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "rep_id"
+    )
+
+
+@register(
     "l3_cosine_topk",
     "L3,W4",
     oracle=f"""

@@ -164,3 +164,40 @@ def test_minhash_collapse_equals_bruteforce(spark, docs, threshold):
             if jac >= threshold:
                 expected.add((i, j))
     assert got == expected
+
+
+@_slow
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedup_clusters_equals_union_find(spark, edges):
+    """Large-star/small-star connected components must agree with a plain
+    union-find on arbitrary graphs: paths, cycles, self-loops, parallel
+    edges, multiple components."""
+    from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    sdf = spark.createDataFrame(clean, "d1 long, d2 long")
+    got = {r["doc_id"]: r["rep_id"] for r in dedup_clusters(sdf).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in clean:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+    assert got == expected
