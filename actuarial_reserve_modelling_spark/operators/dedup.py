@@ -63,7 +63,15 @@ def _signatures_from_tokens(
 ) -> DataFrame:
     """MinHash kernel over a pre-tokenized (doc_id, tokens) frame —
     shared by the raw-text path and the exact-collapse path, which has
-    already paid for tokenization."""
+    already paid for tokenization.
+
+    The 64-bit base hash per token is computed JVM-side (``xxhash64``
+    inside whole-stage codegen) so only (doc_id, array<int64>) crosses
+    the Arrow boundary and the Python kernel is pure numpy — no per-token
+    Python-object work. MinHash only needs the base hash family to be
+    uniform, not any specific function, and the verify stage is exact, so
+    the choice of xxhash64 is free.
+    """
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
@@ -75,26 +83,17 @@ def _signatures_from_tokens(
         ]
     )
 
+    hashed = toks.select(
+        "doc_id", F.expr("transform(tokens, t -> xxhash64(t))").alias("htok")
+    )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # memoized token→hash: corpora repeat tokens heavily, so hashing
-        # each distinct token once beats per-occurrence digests by ~10×
-        cache: dict[str, int] = {}
-
-        def base_hash(t: str) -> int:
-            h = cache.get(t)
-            if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-                )
-                cache[t] = h
-            return h
-
         # keep the (num_hashes × chunk_tokens) work matrix under ~512 MB
         chunk_token_budget = max(1, (1 << 26) // num_hashes)
 
         for pdf in batches:
             n = len(pdf)
-            tok_lists = list(pdf["tokens"])
+            tok_lists = [np.asarray(t, dtype=np.int64) for t in pdf["htok"]]
             lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
             sig_rows = np.zeros((n, num_hashes), dtype=np.int64)
             # chunked batch vectorization: concatenate token hashes for a
@@ -109,10 +108,8 @@ def _signatures_from_tokens(
                     end += 1
                 nonempty = [i for i in range(start, end) if lens[i] > 0]
                 if nonempty:
-                    base = np.fromiter(
-                        (base_hash(t) for i in nonempty for t in tok_lists[i]),
-                        dtype=np.uint64,
-                        count=int(lens[nonempty].sum()),
+                    base = np.concatenate([tok_lists[i] for i in nonempty]).view(
+                        np.uint64
                     )
                     bounds = np.concatenate(
                         ([0], np.cumsum(lens[nonempty])[:-1])
@@ -125,7 +122,7 @@ def _signatures_from_tokens(
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    return spread_for_kernel(toks).mapInPandas(kernel, schema=schema)
+    return spread_for_kernel(hashed).mapInPandas(kernel, schema=schema)
 
 
 def lsh_candidate_pairs(
