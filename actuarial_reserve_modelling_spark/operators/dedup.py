@@ -21,7 +21,6 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np

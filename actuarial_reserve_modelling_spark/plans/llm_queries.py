@@ -455,6 +455,29 @@ def l6b_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l6c_frame_sample",
+    "L6 (frame-sample plumbing)",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(coalesce(ascii(substr(text, CAST(i * 64 + 1 AS INT), 1)), -1) AS INT)
+               AS lead_byte
+    FROM documents,
+         unnest(generate_series(0, CAST(octet_length(encode(text)) // 64 AS INT))) t(i)
+    WHERE doc_id % 31 = 7
+    """,
+)
+def l6c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/sample plumbing: 1 binary payload row → N sampled 'frames'
+    (video frame-sample analogue; deterministic byte-slice fake — a real
+    demuxer swaps the slicer, keeps the one-row-per-frame explode
+    contract). JVM-side transform+explode, no Python in the hot path."""
+    from actuarial_reserve_modelling_spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 7)
+    return frame_sample(attach_binary_payload(docs), every_n_bytes=64)
+
+
+@register(
     "l6_multimodal",
     "L6",
     oracle="""
