@@ -16,6 +16,7 @@ from actuarial_reserve_modelling_spark.streaming.pipeline import (
     run_to_table,
     session_counts,
     sliding_counts,
+    stream_stream_join,
     tumbling_counts,
 )
 
@@ -67,6 +68,34 @@ def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly two windows — the oracle expands that membership manually."""
     stream, _ = events_stream_source(spark, sf_dir)
     return run_to_table(sliding_counts(stream), output_mode="complete")
+
+
+@register(
+    "t7_stream_stream_join",
+    "T1,J1 (stream-stream time-bound join)",
+    oracle="""
+    SELECT l.event_id AS left_id, r.event_id AS right_id,
+           l.user_id AS user_id, l.ts AS left_ts, r.ts AS right_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL '30 minutes'
+    """,
+)
+def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (purchases ↔ same-user clicks within the
+    preceding 30 min), drained with AvailableNow. The watermark is set
+    beyond the data's time span so the batch-equivalence oracle holds —
+    the arrival files carry randomly-ordered event times, and a tight
+    watermark would GC join state between micro-batches (production
+    tightens it to bound state; see streaming/pipeline.py)."""
+    stream, _ = events_stream_source(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    return run_to_table(
+        stream_stream_join(purchases, clicks, within="30 minutes", watermark="90 days"),
+        output_mode="append",
+    )
 
 
 @register(
