@@ -66,6 +66,13 @@ def main() -> None:
     simulate_reserves(
         synthetic_portfolio(load_table(spark, sf_dir, "customer")), n_trials=10
     ).write.mode("overwrite").format("noop").save()
+    # micro minhash run: compiles the LSH pipeline's codegen stages and
+    # warms the shuffle machinery the l2 query uses (64 docs ≈ free)
+    from actuarial_reserve_modelling_spark.operators.dedup import minhash_near_dup_pairs
+
+    minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents").limit(64), threshold=0.95
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name, fn in _bench_queries(spark, sf_dir).items():
