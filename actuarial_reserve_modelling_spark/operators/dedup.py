@@ -157,7 +157,13 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
-    members = grouped.select(F.posexplode("ids").alias("i", "d1"), "ids")
+    # A tight cluster collides in MANY bands, producing the same member
+    # set (hence the same pairs) once per band. Dedup the member sets
+    # BEFORE the quadratic pair expansion: the distinct here is over
+    # ≤ bands × n_buckets short arrays, while the one it saves would be
+    # over bands × Σ C(|bucket|, 2) expanded pairs.
+    unique_sets = grouped.select("ids").distinct()
+    members = unique_sets.select(F.posexplode("ids").alias("i", "d1"), "ids")
     return (
         members.select(
             "d1",
