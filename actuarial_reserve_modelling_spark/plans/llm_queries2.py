@@ -333,3 +333,82 @@ def l11_rag_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = hash_embed(chunks, "chunk_text", dim=16, id_col="chunk_id")
     queries = emb.orderBy("chunk_id").limit(5)
     return cosine_topk(emb, queries, k=3, id_col="chunk_id")
+
+
+@register(
+    "l5i_bm25",
+    "L5,A4,W4 (retrieval scoring)",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
+    dfreq AS (
+        SELECT tok, count(*) AS df FROM tf
+        WHERE tok IN ('hash', 'join', 'vector') GROUP BY tok
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               sum(ln((CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dlen / s.avgdl))) AS bm25
+        FROM tf t
+        JOIN dfreq d USING (tok)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        WHERE t.tok IN ('hash', 'join', 'vector')
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, round(bm25, 6) AS bm25, CAST(rnk AS INT) AS rnk
+    FROM (SELECT doc_id, bm25,
+                 row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 20
+    """,
+)
+def l5i_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) ranking of the corpus for a fixed 3-term
+    query — the lexical-retrieval half of a hybrid RAG index (dense half:
+    l11_rag_index_search). Per-(doc,term) tf and per-doc length stay
+    keyed by doc_id; the query-term doc frequencies and the global
+    (N, avgdl) scalars are the only broadcast state — vocabulary-bounded
+    and tiny at any corpus size. Ranking on 6dp-rounded scores keeps the
+    cross-engine tie order deterministic."""
+    terms = ["hash", "join", "vector"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    dfreq = tf.filter(F.col("tok").isin(terms)).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    score_term = (idf * (F.col("tf") * 2.2)) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dlen") / F.col("avgdl"))
+    )
+    scored = (
+        tf.filter(F.col("tok").isin(terms))
+        .join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(score_term).alias("bm25"))
+    )
+    w = Window.orderBy(F.round("bm25", 6).desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", F.round("bm25", 6).alias("bm25"), "rnk")
+    )
