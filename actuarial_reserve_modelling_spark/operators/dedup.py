@@ -521,47 +521,46 @@ def winnowing_fingerprints(
     docs: DataFrame, k: int = 5, window: int = 4, text_col: str = "text"
 ) -> DataFrame:
     """Document fingerprinting via winnowing (Schleimer et al., SIGMOD'03):
-    rolling hash over k-grams, minimum per sliding window, distinct
-    selected hashes. Arrow pandas kernel (per-row numpy); output
-    (doc_id, fp_hash) rows — join fp_hash to find local-overlap docs.
+    hash every k-gram, take the minimum of each sliding window of
+    ``window`` consecutive gram hashes, emit the distinct selected hashes
+    per document. Output (doc_id, fp_hash) — join fp_hash to find
+    local-overlap docs.
+
+    Entirely JVM-side: gram extraction is substring arithmetic, the gram
+    hash is the 60-bit md5 prefix (same derivation as SimHash's word
+    hash, reproducible in DuckDB as ``('0x' || substr(md5(g),1,15))``),
+    and the sliding minimum is a frame-bounded window aggregate. The
+    per-doc window sort is the only cost beyond the explode — no Python,
+    no shuffle besides the window partition and the final distinct.
+    Winnowing needs any fixed uniform gram hash; rolling hashes are a
+    single-threaded optimization, irrelevant under columnar execution.
     """
-    schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("fp_hash", T.LongType())]
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+                f" i -> substring({text_col}, i, {k}))"
+            )
+        ).alias("pos0", "gram"),
     )
-    B = np.uint64(1000003)
-    MOD_MASK = np.uint64((1 << 61) - 1)
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, fps = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                s = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-                if len(s) < k:
-                    continue
-                # rolling polynomial hash of all k-grams
-                n_grams = len(s) - k + 1
-                h = np.zeros(n_grams, dtype=np.uint64)
-                acc = np.uint64(0)
-                for i in range(k):
-                    acc = (acc * B + s[i]) & MOD_MASK
-                h[0] = acc
-                top = B
-                for _ in range(k - 2):
-                    top = (top * B) & MOD_MASK
-                for i in range(1, n_grams):
-                    acc = ((acc - s[i - 1] * top) * B + s[i + k - 1]) & MOD_MASK
-                    h[i] = acc
-                if n_grams <= window:
-                    sel = {int(h.min())}
-                else:
-                    idx = np.arange(n_grams - window + 1)
-                    wins = np.lib.stride_tricks.sliding_window_view(h, window)
-                    sel = set(int(x) for x in wins.min(axis=1))
-                for v in sorted(sel):
-                    ids.append(int(doc_id))
-                    fps.append(int(np.uint64(v).astype(np.int64)))
-            yield pd.DataFrame({"doc_id": ids, "fp_hash": fps})
-
-    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
-
-    return spread_for_kernel(docs.select("doc_id", text_col)).mapInPandas(kernel, schema=schema)
+    hashed = grams.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)").alias("h"),
+    )
+    doc_w = Window.partitionBy("doc_id")
+    slide_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        hashed.withColumn("n_grams", F.max("pos").over(doc_w))
+        .withColumn("wmin", F.min("h").over(slide_w))
+        # one window per valid start; short docs (n_grams <= window)
+        # degenerate to the single global-min fingerprint via pos=1
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - (window - 1), F.lit(1)))
+        .select("doc_id", F.col("wmin").alias("fp_hash"))
+        .distinct()
+    )

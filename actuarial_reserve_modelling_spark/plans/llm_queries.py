@@ -432,26 +432,75 @@ def l5e_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_fingerprints(docs)
 
 
-@register("l5f_winnowing", "L2,L5", oracle=None)
+@register(
+    "l5f_winnowing",
+    "L2,L5",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               ('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15))::BIGINT AS h
+        FROM documents,
+             unnest(generate_series(1, greatest(length(text) - 4, 0))) t(i)
+        WHERE doc_id % 17 = 0
+    ),
+    n AS (SELECT doc_id, max(pos) AS n_grams FROM g GROUP BY doc_id),
+    m AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM g
+    )
+    SELECT DISTINCT m.doc_id, wmin AS fp_hash
+    FROM m JOIN n USING (doc_id)
+    WHERE pos <= greatest(n_grams - 3, 1)
+    """,
+)
 def l5f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (k=5, w=4) — local-overlap
-    detection. Deterministic but iterative ⇒ rows-only; unit tests pin
-    the algorithm (shift invariance, self-containment)."""
+    """Winnowing fingerprints (k=5, w=4) — local-overlap detection via
+    sliding-window minima of 60-bit md5 gram hashes (operators/dedup.py
+    winnowing_fingerprints, fully JVM-side). The oracle recomputes the
+    identical selection with generate_series + a framed window min."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
     return winnowing_fingerprints(docs, k=5, window=4)
 
 
-@register("l6b_multimodal_resize", "L6", oracle=None)
+@register(
+    "l6b_multimodal_resize",
+    "L6",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, octet_length(encode(text)) AS ob, text
+        FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT doc_id,
+           CAST(ob AS BIGINT) AS orig_bytes,
+           CAST(16 AS INT) AS resized_bytes,
+           CASE WHEN ob = 0 THEN repeat('00', 16)
+                ELSE upper(array_to_string(list_transform(generate_series(0, 15),
+                     i -> lpad(to_hex(ascii(substr(text,
+                          CAST(least((i * ob) // 16, ob - 1) + 1 AS INT), 1))), 2, '0')),
+                     ''))
+           END AS payload_hex
+    FROM src
+    """,
+)
 def l6b_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/thumbnail plumbing: payload → fixed-size payload (16-byte
     deterministic stride-sample fake; real image resize swaps the kernel
-    body, keeps the fixed-output-size contract). Binary output column =>
-    rows-only check; tests assert size + determinism."""
+    body, keeps the fixed-output-size contract). The oracle rebuilds the
+    exact stride-sampled bytes from the source text (ASCII corpus ⇒
+    byte positions == char positions) and compares them as hex, pinning
+    the Arrow kernel's content, not just its output size."""
     from actuarial_reserve_modelling_spark.operators.multimodal import resize_media
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
     resized = resize_media(attach_binary_payload(docs), target_bytes=16)
-    return resized.select("doc_id", "orig_bytes", F.length("payload").alias("resized_bytes"))
+    return resized.select(
+        "doc_id",
+        "orig_bytes",
+        F.length("payload").alias("resized_bytes"),
+        F.hex("payload").alias("payload_hex"),
+    )
 
 
 @register(
