@@ -47,6 +47,10 @@ def load_all() -> dict[str, Query]:
     # alphabetical order, which left the entire core relational/window/
     # streaming suite outside the checked window; round 3 front-loads it.
     # Rotate per round so every query accumulates driver correctness rows.
+    # Round 4 should front-load the still-never-checked modules:
+    # misc_queries, stats_queries, tpch_more, window_queries2, and the
+    # llm_queries/llm_queries2 tails (l5f, l6b/l6c, l5h, l5i, l11,
+    # f1b/f7b/f7c) — everything else has r1-r3 rows.
     from actuarial_reserve_modelling_spark.plans import (  # noqa: F401
         relational,
         window_queries,

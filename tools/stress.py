@@ -72,6 +72,28 @@ def main() -> None:
         "docs_per_sec": round(n_docs / dt),
     }
 
+    # 3) large-star/small-star connected components over the full
+    #    near-dup pair graph of the replicated corpus — convergence
+    #    rounds must stay logarithmic as the graph grows
+    from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
+
+    pairs = (
+        minhash_near_dup_pairs(big_docs, threshold=0.95, bands=16, rows_per_band=12)
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.time()
+    labels = dedup_clusters(pairs)
+    n_vertices = labels.count()
+    n_components = labels.select("rep_id").distinct().count()
+    dt = time.time() - t0
+    out["dedup_clusters"] = {
+        "pairs": n_pairs,
+        "vertices": n_vertices,
+        "components": n_components,
+        "sec": round(dt, 2),
+    }
+
     print(json.dumps({"multiplier": mult, "sf_dir": sf_dir, "results": out}))
 
 
