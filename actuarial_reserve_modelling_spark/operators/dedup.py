@@ -263,11 +263,17 @@ def minhash_near_dup_pairs(
     toks = docs.select(
         "doc_id", F.expr(TOKENS.replace("text", text_col)).alias("tokens")
     ).filter(F.size("tokens") > 0)
-    # canonical token-set key: sorted array digest (order-independent;
-    # chr(30) separator cannot appear in whitespace-split tokens)
+    # canonical token-set key: two independent xxhash64 digests of the
+    # sorted hashed-token array (order-independent, 128-bit combined —
+    # no giant concat string to build; the per-token 64-bit hash is the
+    # same collision trade the verify stage already makes)
+    hkey = F.array_sort(F.expr("transform(tokens, t -> xxhash64(t))"))
     groups = (
-        toks.withColumn("tkey", F.md5(F.concat_ws("\x1e", F.array_sort("tokens"))))
-        .groupBy("tkey")
+        toks.withColumn("hkey", hkey)
+        .withColumn("k1", F.xxhash64("hkey"))
+        .withColumn("k2", F.xxhash64(F.lit(7), "hkey"))
+        .drop("hkey")
+        .groupBy("k1", "k2")
         .agg(
             F.min("doc_id").alias("rep_id"),
             F.array_sort(F.collect_list("doc_id")).alias("members"),
