@@ -174,6 +174,63 @@ def ann_lsh_topk(
     )
 
 
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    num_tables: int = 12,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Scale path for embedding near-dup PAIRS (the all-pairs analogue of
+    ``ann_lsh_topk``; swaps into ``l2d_embedding_dedup``'s pair stage):
+    multi-table hyperplane signatures → within-bucket candidate pairs →
+    exact cosine verify ≥ threshold. O(n) signatures + bucket-local
+    expansion replace the O(n²) self-join of ``cosine_pairs``.
+
+    Hyperplane LSH collision probability is (1 − θ/π) per plane, so
+    blocking is only effective at near-dup thresholds: τ=0.9 (θ≈26°)
+    gives ≈98% pair recall at the defaults, while τ≤0.5 degenerates —
+    for low-threshold pair mining use the exact form or IVF partitioning.
+    Bucket-size cap + member-set dedup mirror the MinHash-LSH design
+    (operators/dedup.py lsh_candidate_pairs).
+    """
+    sig_tables = [
+        hyperplane_signatures(embeddings, num_planes, seed + t, dim).withColumn(
+            "table", F.lit(t)
+        )
+        for t in range(num_tables)
+    ]
+    sigs = sig_tables[0]
+    for s in sig_tables[1:]:
+        sigs = sigs.unionByName(s)
+    grouped = (
+        sigs.groupBy("table", "sig")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    unique_sets = grouped.select("ids").distinct()
+    members = unique_sets.select(F.posexplode("ids").alias("i", "v1"), "ids")
+    cand = (
+        members.select(
+            "v1",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1)
+            ).alias("v2"),
+        )
+        .distinct()
+    )
+    a = embeddings.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = embeddings.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    return (
+        cand.join(F.broadcast(a), "v1")
+        .join(F.broadcast(b), "v2")
+        .select("v1", "v2", F.round(cosine("e1", "e2"), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 

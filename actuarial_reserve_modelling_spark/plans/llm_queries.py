@@ -240,8 +240,11 @@ def l2d_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star connected components → canonical min-vec_id
     representative. The semantic-dedup path of a training pipeline
     (exact text dedup catches verbatim copies; this catches paraphrases
-    that embed nearby). Scale path: swap the exact pair stage for the
-    LSH-bucketed candidates of l3b — the clustering stage is unchanged."""
+    that embed nearby). Scale path: swap the exact pair stage for
+    operators/similarity.py::lsh_cosine_pairs (hyperplane blocking +
+    exact verify, recall-tested at τ=0.9) — the clustering stage is
+    unchanged. Exact pairs are used here because the driver's synthetic
+    embeddings have no true near-dups (max pairwise cosine ≈ 0.51)."""
     from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")

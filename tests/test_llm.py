@@ -161,3 +161,43 @@ def test_rag_hash_embed_contract(spark):
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
     assert all(-1.0 < x < 1.0 for v in rows.values() for x in v)
+
+
+def test_lsh_cosine_pairs_recall_vs_exact(spark):
+    """lsh_cosine_pairs (hyperplane blocking + exact verify) must find
+    ~all true near-dup pairs at tau=0.9: clustered vectors (each base
+    vector plus small-noise copies) provide planted positives; random
+    vectors provide mass that blocking must exclude cheaply."""
+    import numpy as np
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        cosine_pairs,
+        lsh_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for _ in range(12):  # 12 clusters of 4 near-identical vectors
+        base = rng.standard_normal(64)
+        for _ in range(4):
+            v = base + 0.05 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(150):  # background noise vectors
+        rows.append((vid, [float(x) for x in rng.standard_normal(64)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["v1"], r["v2"])
+        for r in cosine_pairs(emb, threshold=0.9).collect()
+    }
+    approx = {
+        (r["v1"], r["v2"])
+        for r in lsh_cosine_pairs(emb, threshold=0.9).collect()
+    }
+    assert len(exact) >= 60  # the planted clusters produce C(4,2)*12 = 72
+    assert approx <= exact  # exact verify: no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f}"
