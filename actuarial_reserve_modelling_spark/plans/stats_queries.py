@@ -334,3 +334,53 @@ def o6_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.round(F.sum("l_quantity"), 2).alias("qty_sampled"),
     )
+
+
+@register(
+    "s5b_orc_roundtrip",
+    "S3,S6 (columnar-format interchange)",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 4 = 1
+    GROUP BY o_orderstatus
+    """,
+)
+def s5b_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interchange: parquet → ORC write → ORC scan →
+    aggregate, hash-checked against the direct parquet answer (the
+    roundtrip must be lossless, including timestamp columns). ORC is the
+    other columnar format a lake migration encounters; the plan is the
+    same scan→agg shape with ORC's own predicate pushdown."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="arm_s5b_") + "/orders_orc"
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 1)
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "s5c_jsonl_roundtrip",
+    "S3,S5 (JSON-lines corpus interchange)",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5
+    FROM documents WHERE doc_id % 23 = 3
+    """,
+)
+def s5c_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines roundtrip — the interchange format LLM corpora actually
+    ship in: parquet → .jsonl write → schema'd JSON scan → per-row md5,
+    hash-checked against the source text. Pins escaping losslessness
+    (quotes, newlines, unicode) through the JSON writer/reader pair, not
+    just row counts."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="arm_s5c_") + "/docs_jsonl"
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 3)
+    docs.select("doc_id", "text").write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id long, text string").json(out)
+    return back.select("doc_id", F.md5("text").alias("text_md5"))
