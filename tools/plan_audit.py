@@ -70,6 +70,10 @@ ALLOWED: dict[str, tuple[str, str]] = {
         "BroadcastNestedLoopJoin",
         "one-row corpus-size scalar broadcast into the IDF expression",
     ),
+    "l5i_bm25": (
+        "BroadcastNestedLoopJoin",
+        "one-row (N, avgdl) scalar broadcast into the BM25 expression",
+    ),
     "u4b_python_udtf": (
         "BatchEvalPython",
         "Python UDTFs are row-based by API definition; surface-coverage row, not a hot path",
