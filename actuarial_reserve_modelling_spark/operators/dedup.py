@@ -12,9 +12,11 @@ Scale design (the 100 TB story):
   split handles moderate skew, and a bucket-size cap drops degenerate
   buckets (logged) the way production pipelines do.
 * SimHash is fully JVM-side (md5-derived word hashes, bit arithmetic) —
-  fingerprints are one int64 per doc; near-dup pairs come from a
-  banded self-join on fingerprint prefixes or, for bounded subsets, a
-  direct pair join.
+  fingerprints are one int64 per doc; near-dup pairs come from an exact
+  pigeonhole-banded equi-join on fingerprint bands (never all-pairs).
+* N-gram Jaccard pairs use exact prefix-filter blocking (rarest-gram
+  prefixes, equi-join on prefix grams) — deterministic candidate
+  guarantee, no all-pairs stage.
 * Winnowing selects O(len/w) rolling-hash fingerprints per document —
   robust to local edits, used for code/plagiarism-style matching.
 """
@@ -32,6 +34,15 @@ from pyspark.sql import types as T
 # Tokens: distinct, non-empty, whitespace-split. Kept identical to the
 # DuckDB oracle's string_split + filter + DISTINCT.
 TOKENS = "array_distinct(filter(split(text, ' '), x -> x != ''))"
+
+def _opt_broadcast(df: DataFrame, hint: bool) -> DataFrame:
+    """Broadcast hint only when the caller asserts the side is bounded.
+    Default path leaves the strategy to Catalyst/AQE, which promotes to
+    broadcast at runtime when the actual build size is under threshold —
+    a hard-coded hint on an unbounded side forces an OOM at corpus scale
+    instead of letting the planner degrade to a shuffled join."""
+    return F.broadcast(df) if hint else df
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """L1: group by md5(text); keep the minimum doc_id as the canonical
@@ -174,7 +185,11 @@ def lsh_candidate_pairs(
 
 
 def verify_jaccard(
-    candidates: DataFrame, docs: DataFrame, threshold: float, text_col: str = "text"
+    candidates: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    broadcast_tokens: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard for each candidate pair; keep >= threshold.
     Joins the (small) token arrays to the pair list — the only stage that
@@ -182,34 +197,40 @@ def verify_jaccard(
     toks = docs.select(
         F.col("doc_id"), F.expr(TOKENS.replace("text", text_col)).alias("tokens")
     )
-    return _verify_jaccard_tokens(candidates, toks, threshold)
+    return _verify_jaccard_tokens(candidates, toks, threshold, broadcast_tokens)
 
 
 def _verify_jaccard_tokens(
-    candidates: DataFrame, toks: DataFrame, threshold: float
+    candidates: DataFrame,
+    toks: DataFrame,
+    threshold: float,
+    broadcast_tokens: bool = False,
 ) -> DataFrame:
     """verify_jaccard over a pre-tokenized (doc_id, tokens) frame.
 
     Set cardinalities are invariant under injective maps, so Jaccard is
     computed on xxhash64-hashed token arrays: bigint array_intersect is
     several times cheaper than string array_intersect (no per-element
-    string hashing/equality in the hot loop), and the broadcast side
+    string hashing/equality in the hot loop), and a broadcast build side
     shrinks to 8 bytes per token. A 64-bit in-document collision
     (probability ~n²/2⁶⁵ per doc) is the accepted approximation — the
     same trade every production MinHash pipeline makes.
+
+    ``broadcast_tokens=True`` asserts the token table is bounded (e.g. a
+    pre-filtered subset) and hints both sides so the potentially huge
+    candidate list never shuffles; the default lets AQE choose, which is
+    the only safe answer when the corpus is unbounded.
     """
     hashed = toks.select(
         "doc_id", F.expr("transform(tokens, t -> xxhash64(t))").alias("tokens")
     )
-    # token table is n_docs rows of short arrays — broadcast both sides
-    # so the (potentially huge) candidate list never shuffles for this
-    # join. At corpus sizes where tokens outgrow broadcast, drop the hint
-    # and let AQE pick shuffled hash join.
-    t1 = F.broadcast(
-        hashed.select(F.col("doc_id").alias("d1"), F.col("tokens").alias("tok1"))
+    t1 = _opt_broadcast(
+        hashed.select(F.col("doc_id").alias("d1"), F.col("tokens").alias("tok1")),
+        broadcast_tokens,
     )
-    t2 = F.broadcast(
-        hashed.select(F.col("doc_id").alias("d2"), F.col("tokens").alias("tok2"))
+    t2 = _opt_broadcast(
+        hashed.select(F.col("doc_id").alias("d2"), F.col("tokens").alias("tok2")),
+        broadcast_tokens,
     )
     inter = F.size(F.array_intersect("tok1", "tok2")).cast("double")
     union = (F.size("tok1") + F.size("tok2") - F.size(F.array_intersect("tok1", "tok2"))).cast(
@@ -234,9 +255,16 @@ def minhash_near_dup_pairs(
     rows_per_band: int = 8,
     seed: int = 42,
     text_col: str = "text",
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """L2 end-to-end: exact collapse → MinHash → LSH blocking →
     exact-Jaccard verify → pair expansion.
+
+    ``broadcast_verify`` hints the verify join's build sides (the hashed
+    token + member-list table). Leave False for unbounded corpora: AQE
+    promotes to broadcast at runtime when the collapsed-representative
+    table is genuinely small, and degrades to a shuffled hash join when
+    it is not — a hard hint would instead OOM the build side.
 
     Stage 0 (the big win on real corpora, which are full of exact
     duplicates): group documents by their *distinct token set* and run
@@ -295,19 +323,21 @@ def minhash_near_dup_pairs(
         F.expr("transform(tokens, t -> xxhash64(t))").alias("htok"),
         "members",
     )
-    side1 = F.broadcast(
+    side1 = _opt_broadcast(
         hashed.select(
             F.col("rep_id").alias("d1"),
             F.col("htok").alias("tok1"),
             F.col("members").alias("mem1"),
-        )
+        ),
+        broadcast_verify,
     )
-    side2 = F.broadcast(
+    side2 = _opt_broadcast(
         hashed.select(
             F.col("rep_id").alias("d2"),
             F.col("htok").alias("tok2"),
             F.col("members").alias("mem2"),
-        )
+        ),
+        broadcast_verify,
     )
     inter = F.size(F.array_intersect("tok1", "tok2")).cast("double")
     union = (
@@ -420,6 +450,16 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # An unconverged edge set is NOT a star forest: the read-off below
+        # would silently return non-canonical, mutually inconsistent reps.
+        # O(log² n) rounds is the proven bound — exhausting 20 means
+        # something is wrong with the input graph; fail loudly.
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} "
+            f"large-star/small-star rounds (last edge signature {sig}); "
+            f"raise max_iterations"
+        )
 
     # Star forest: every remaining edge points child → component-min root
     # (in the symmetric list the child is the larger endpoint). groupBy-min
@@ -476,17 +516,67 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 2, text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 2,
+    text_col: str = "text",
+    bands: int = 4,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """Pairs of docs whose SimHash fingerprints differ in ≤ max_hamming
-    bits. Pair join is a broadcast self-join here (fingerprints are one
-    int64/doc, tiny); at 100 TB, block on fingerprint prefix bands
-    (pigeonhole: ≤2 differing bits over 4 bands → ≥1 identical band)."""
-    fps = simhash_fingerprints(docs, text_col=text_col)
-    a = fps.select(F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"))
-    b = fps.select(F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"))
+    bits, via a banded equi-join (the Manku/Jain/Sarma WWW'07 shape).
+
+    Pigeonhole: split the 60-bit fingerprint into ``bands`` contiguous
+    bands (4 × 15 bits by default). A pair differing in ≤ max_hamming
+    bits has at most max_hamming bands touched, so as long as
+    ``max_hamming < bands`` at least one band is bit-identical — the
+    pair MUST collide on that band's equi-join key. Exact, not
+    probabilistic: candidate generation is (band_idx, band_bits)
+    equi-joins, the residual Hamming filter removes false candidates.
+    No all-pairs stage anywhere; bucket membership is capped like
+    ``lsh_candidate_pairs`` (a degenerate band value — e.g. a template
+    corpus sharing 15 identical bits — is the known skew hazard).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded SimHash needs max_hamming < bands for the pigeonhole "
+            f"guarantee (got max_hamming={max_hamming}, bands={bands})"
+        )
+    width = SIMHASH_BITS // bands
+    # checkpoint the fingerprints: they feed the band explode AND the
+    # final per-side hamming lookup — without it the (4-shuffle) simhash
+    # subtree would execute three times
+    fps = simhash_fingerprints(docs, text_col=text_col).localCheckpoint(eager=False)
+    band_keys = F.array(
+        *[
+            F.expr(f"shiftright(fp, {i * width}) & {(1 << width) - 1}")
+            for i in range(bands)
+        ]
+    )
+    banded = fps.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    grouped = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    # same member-set dedup as lsh_candidate_pairs: a near-identical pair
+    # collides in several bands; dedup the short member arrays before the
+    # quadratic pair expansion
+    unique_sets = grouped.select("ids").distinct()
+    members = unique_sets.select(F.posexplode("ids").alias("i", "d1"), "ids")
+    cand = (
+        members.select(
+            "d1",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1)
+            ).alias("d2"),
+        )
+        .distinct()
+    )
+    f1 = fps.select(F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"))
+    f2 = fps.select(F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"))
     return (
-        a.join(b, F.col("d1") < F.col("d2"))
+        cand.join(f1, "d1")
+        .join(f2, "d2")
         .withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
@@ -497,26 +587,121 @@ def simhash_near_dup_pairs(
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> DataFrame:
-    """Character n-gram Jaccard near-dup pairs, JVM-side: sequence +
-    substring builds the distinct n-gram set, then the same
-    intersect/union math as token Jaccard. Joins are on the doc subset
-    the caller filtered to — at scale, block first (MinHash over
-    n-grams) exactly like minhash_near_dup_pairs."""
+    """Character n-gram Jaccard near-dup pairs via EXACT prefix-filter
+    blocking (Chaudhuri et al. ICDE'06; the MapReduce set-similarity
+    join of Vernica et al. SIGMOD'10) — no all-pairs stage, and unlike
+    MinHash blocking the candidate guarantee is deterministic, so the
+    output provably equals the all-pairs answer.
+
+    Prefix-filter lemma: order every doc's gram set by one global order
+    (ascending corpus frequency, rarest first — ties by gram). Jaccard
+    ≥ τ forces |g1 ∩ g2| ≥ τ·max(|g1|,|g2|), and two sets whose ordered
+    prefixes of length |g| − ⌈τ·|g|⌉ + 1 are disjoint can share at most
+    ⌈τ·|g|⌉ − 1 elements — so every qualifying pair collides on ≥ 1
+    prefix gram. Candidates come from an equi-join on prefix grams
+    (rare grams → small buckets by construction); exact intersect/union
+    math verifies. Stages: gram frequency (groupBy), per-doc frequency
+    sort (one window), prefix explode + equi-join, verify join."""
     grams = docs.select(
         "doc_id",
         F.array_distinct(
             F.expr(f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n}))")
         ).alias("g"),
+    ).filter(F.size("g") > 0)
+    # feeds the prefix derivation AND the two verify lookups
+    grams = grams.localCheckpoint(eager=False)
+
+    exploded = grams.select("doc_id", F.size("g").alias("sz"), F.explode("g").alias("gram"))
+    freq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("doc_id").orderBy("f", "gram")
+    prefix = (
+        exploded.join(freq, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        # prefix length |g| - ceil(τ|g|) + 1; the 1e-9 guards against
+        # float error inflating ceil (which would SHORTEN the prefix and
+        # break the candidate guarantee — erring longer is merely slower)
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
+        )
+        .select("doc_id", "gram")
     )
-    a = grams.select(F.col("doc_id").alias("d1"), F.col("g").alias("g1"))
-    b = grams.select(F.col("doc_id").alias("d2"), F.col("g").alias("g2"))
+    cand = (
+        prefix.select(F.col("doc_id").alias("d1"), "gram")
+        .join(prefix.select(F.col("doc_id").alias("d2"), "gram"), "gram")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    g1 = grams.select(F.col("doc_id").alias("d1"), F.col("g").alias("g1"))
+    g2 = grams.select(F.col("doc_id").alias("d2"), F.col("g").alias("g2"))
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")
     union = (F.size("g1") + F.size("g2") - F.size(F.array_intersect("g1", "g2"))).cast("double")
     return (
-        a.join(b, F.col("d1") < F.col("d2"))
+        cand.join(g1, "d1")
+        .join(g2, "d2")
         .withColumn("jac", F.try_divide(inter, union))
         .filter(F.col("jac") >= threshold)
         .select("d1", "d2", F.round("jac", 6).alias("jac"))
+    )
+
+
+# --- edit-distance (Levenshtein) pairs --------------------------------------
+
+
+def levenshtein_pairs(
+    strs: DataFrame,
+    max_dist: int,
+    q: int = 2,
+    id_col: str = "doc_id",
+    str_col: str = "head",
+) -> DataFrame:
+    """Edit-distance self-join via positional q-gram blocking (Gravano et
+    al., VLDB'01): a single edit destroys at most q of a string's
+    n − q + 1 positional q-grams and shifts the survivors' positions by
+    at most 1, so a pair within distance d shares at least
+    (n − q + 1) − d·q positional grams with position skew ≤ d. Whenever
+    that bound is ≥ 1 — i.e. n ≥ q·(d + 1) — every qualifying pair MUST
+    collide on an equi-join over (gram) with a residual |Δpos| ≤ d
+    filter: exact blocking, no all-pairs stage, then a DP levenshtein
+    verify on the candidates.
+
+    Strings shorter than q·(d + 1) carry no guarantee and are EXCLUDED
+    (documented contract — callers wanting them must lower q or d).
+    Returns (d1, d2, dist) with d1 < d2, dist ≤ max_dist.
+    """
+    min_len = q * (max_dist + 1)
+    base = strs.select(id_col, str_col).filter(F.length(str_col) >= min_len)
+    grams = base.select(
+        F.col(id_col).alias("gid"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length({str_col}) - {q - 1}),"
+                f" i -> substring({str_col}, i, {q}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    cand = (
+        grams.select(F.col("gid").alias("d1"), F.col("pos").alias("p1"), "gram")
+        .join(
+            grams.select(F.col("gid").alias("d2"), F.col("pos").alias("p2"), "gram"),
+            "gram",
+        )
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            & (F.abs(F.col("p1") - F.col("p2")) <= max_dist)
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = base.select(F.col(id_col).alias("d1"), F.col(str_col).alias("s1"))
+    s2 = base.select(F.col(id_col).alias("d2"), F.col(str_col).alias("s2"))
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("dist", F.levenshtein("s1", "s2").cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("d1", "d2", "dist")
     )
 
 
@@ -541,11 +726,15 @@ def winnowing_fingerprints(
     Winnowing needs any fixed uniform gram hash; rolling hashes are a
     single-threaded optimization, irrelevant under columnar execution.
     """
-    grams = docs.select(
+    # docs shorter than k have no k-gram and emit nothing (the skip-short
+    # contract; also guards sequence(1, 0), which is DESCENDING [1, 0] —
+    # Spark's sequence defaults to step -1 when start > stop, so without
+    # the filter a short/empty doc would fabricate two bogus grams)
+    grams = docs.filter(F.length(text_col) >= k).select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+                f"transform(sequence(1, length({text_col}) - {k - 1}),"
                 f" i -> substring({text_col}, i, {k}))"
             )
         ).alias("pos0", "gram"),

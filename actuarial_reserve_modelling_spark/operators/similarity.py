@@ -149,10 +149,13 @@ def ann_lsh_topk(
     corpus_sigs = sig_tables[0]
     for s in sig_tables[1:]:
         corpus_sigs = corpus_sigs.unionByName(s)
-    qids = {r[0] for r in queries.select("vec_id").collect()}
-    query_sigs = corpus_sigs.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").alias("query_id"), "table", "sig"
-    )
+    # pick the query vectors' signatures out of the corpus signatures via
+    # a semi-join (no driver-side collect — a query TABLE works, not just
+    # a small query set). The broadcast hint is justified by the
+    # operator's contract: the query side is the bounded input.
+    query_sigs = corpus_sigs.join(
+        F.broadcast(queries.select("vec_id")), "vec_id", "semi"
+    ).select(F.col("vec_id").alias("query_id"), "table", "sig")
     cand = (
         corpus_sigs.join(F.broadcast(query_sigs), ["table", "sig"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -223,9 +226,13 @@ def lsh_cosine_pairs(
     )
     a = embeddings.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
     b = embeddings.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    # no broadcast hint on the embeddings table: this is the 100 TB pair
+    # path, so the build side is unbounded — AQE promotes to broadcast at
+    # runtime only when the table actually fits (the hint would force an
+    # OOM at exactly the scale this operator exists for)
     return (
-        cand.join(F.broadcast(a), "v1")
-        .join(F.broadcast(b), "v2")
+        cand.join(a, "v1")
+        .join(b, "v2")
         .select("v1", "v2", F.round(cosine("e1", "e2"), 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )

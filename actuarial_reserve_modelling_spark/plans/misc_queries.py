@@ -100,24 +100,21 @@ def w7_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id d1, b.doc_id d2,
            CAST(levenshtein(a.head, b.head) AS INT) AS dist
     FROM heads a JOIN heads b ON a.doc_id < b.doc_id
-    WHERE levenshtein(a.head, b.head) <= 15
+    WHERE levenshtein(a.head, b.head) <= 11
     """,
 )
 def l9_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching (classic DP levenshtein, JVM-side)
-    over document heads — the string-similarity tier below token-set
-    Jaccard. All-pairs on a bounded subset; at scale, block first
-    (length buckets / q-gram prefilter) exactly like MinHash."""
+    """Edit-distance fuzzy matching over 24-char document heads via
+    positional q-gram blocking (operators/dedup.py levenshtein_pairs) —
+    exact candidate guarantee (q=2 grams, d=11: every qualifying pair
+    shares ≥ 24−2+1−22 = 1 positional gram), equi-join candidates, DP
+    levenshtein verify. No all-pairs / BNLJ stage; the oracle is the
+    brute-force DuckDB self-join."""
+    from actuarial_reserve_modelling_spark.operators.dedup import levenshtein_pairs
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     heads = docs.select("doc_id", F.substring("text", 1, 24).alias("head"))
-    a = heads.select(F.col("doc_id").alias("d1"), F.col("head").alias("h1"))
-    b = heads.select(F.col("doc_id").alias("d2"), F.col("head").alias("h2"))
-    return (
-        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
-        .withColumn("dist", F.levenshtein("h1", "h2").cast("int"))
-        .filter(F.col("dist") <= 15)
-        .select("d1", "d2", "dist")
-    )
+    return levenshtein_pairs(heads, max_dist=11, q=2)
 
 
 @register(

@@ -42,18 +42,6 @@ ALLOWED: dict[str, tuple[str, str]] = {
         "BroadcastNestedLoopJoin",
         "exact all-pairs baseline on the (bounded) embeddings table; ANN is the scale path",
     ),
-    "l2b_simhash_pairs": (
-        "BroadcastNestedLoopJoin",
-        "int64-fingerprint self-join, broadcast side is one long per doc; banded join at scale",
-    ),
-    "l2c_ngram_jaccard": (
-        "BroadcastNestedLoopJoin",
-        "exact baseline on a bounded subset; MinHash blocking is the scale path",
-    ),
-    "l9_fuzzy_levenshtein": (
-        "BroadcastNestedLoopJoin",
-        "edit-distance pairing on a bounded, pre-filtered subset",
-    ),
     "a13_bloom_filter": (
         "BroadcastNestedLoopJoin",
         "one-row bloom-filter aggregate broadcast to the probe side",
