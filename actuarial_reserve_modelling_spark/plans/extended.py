@@ -237,3 +237,96 @@ def u4b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey % 200 = 11
         """
     )
+
+
+@register(
+    "s2_file_provenance",
+    "S2,S6,F1",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def s2_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — directory-as-table scan with file provenance: the reference's
+    dataset IS a directory of CSVs unioned in file order
+    (entrypoint.sh:4), and per-file identity survives into the result
+    (one output per input file, entrypoint.sh:21-22). Spark-native:
+    write customer as a partitioned multi-file CSV directory, re-read
+    the whole directory as ONE table, and recover each row's origin via
+    ``input_file_name()`` — grouping by the parsed provenance must
+    reproduce the per-segment aggregate computed directly."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="arm_s2_") + "/cust_csv"
+    cust = load_table(spark, sf_dir, "customer")
+    (
+        cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+        .repartition(2, F.col("c_mktsegment"))
+        .write.mode("overwrite")
+        .partitionBy("c_mktsegment")
+        .option("header", True)
+        .csv(out)
+    )
+    # file-level glob defeats hive partition discovery: provenance must
+    # come from input_file_name(), not a reconstructed partition column
+    back = spark.read.schema("c_custkey bigint, c_acctbal double").option(
+        "header", True
+    ).csv(out + "/c_mktsegment=*")
+    prov = F.regexp_extract(F.input_file_name(), "c_mktsegment=([^/]+)", 1)
+    return (
+        back.withColumn("c_mktsegment", prov)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+    )
+
+
+@register(
+    "s7_resume_roundtrip",
+    "S7,S6,P5",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def s7_resume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — resumable write, resume-equals-fresh under the oracle: run 1
+    writes only part of the dataset (simulated failure after one
+    partition, like a preempted Batch array job), the resume pass lists
+    the done partitions (entrypoint.sh:24's output-exists check), writes
+    ONLY the missing ones via dynamic partition overwrite, and the final
+    directory must aggregate identically to a fresh full write."""
+    import os
+    import tempfile
+
+    from actuarial_reserve_modelling_spark.sources.sinks import overwrite_partitions
+
+    out = tempfile.mkdtemp(prefix="arm_s7_") + "/orders"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    # run 1: only status 'O' lands before the simulated failure
+    overwrite_partitions(
+        orders.filter(F.col("o_orderstatus") == "O"), out, ["o_orderstatus"]
+    )
+    # resume: done-set from the output listing; write only what's missing
+    done = [
+        d.split("=", 1)[1]
+        for d in os.listdir(out)
+        if d.startswith("o_orderstatus=")
+    ]
+    remaining = orders.filter(~F.col("o_orderstatus").isin(done))
+    overwrite_partitions(remaining, out, ["o_orderstatus"])
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

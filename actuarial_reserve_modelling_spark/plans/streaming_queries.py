@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from actuarial_reserve_modelling_spark.catalog import load_table
 from actuarial_reserve_modelling_spark.plans.registry import register
 from actuarial_reserve_modelling_spark.streaming.pipeline import (
     events_stream_source,
@@ -127,3 +128,97 @@ def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic gaps-and-islands SQL with the same >= boundary rule."""
     stream, _ = events_stream_source(spark, sf_dir)
     return run_to_table(session_counts(stream), output_mode="complete")
+
+
+@register(
+    "t5_watermark_equivalence",
+    "T5",
+    oracle="""
+    WITH a AS (SELECT ts FROM events WHERE event_id % 10 < 8),
+         c AS (SELECT ts FROM events WHERE event_id % 10 = 9),
+         late_wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM a),
+         final_wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+         kept AS (
+           SELECT ts FROM events WHERE event_id % 10 < 9
+           UNION ALL
+           SELECT c.ts FROM c, late_wm
+           WHERE time_bucket(INTERVAL '10 minutes', c.ts) + INTERVAL 10 MINUTE
+                 > late_wm.w
+         )
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM kept
+    WHERE time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE
+          <= (SELECT w FROM final_wm)
+    GROUP BY 1
+    """,
+)
+def t5_watermark_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — watermark + late-data drop, DETERMINISTIC and oracle-checked.
+
+    Three staged files play in a fixed micro-batch order (file mtimes +
+    maxFilesPerTrigger=1): batch 0 = 80% of events (advances the
+    watermark to max(A) − 10 min), batch 1 = 10%, batch 2 = the last 10%
+    — whose old rows are now provably late. Spark's late-event filter
+    for batch N uses the watermark of batch N−1's start (eviction uses
+    the current one — the SPARK-24634 two-value split, verified
+    empirically), so batch 2's filter is exactly max(A) − 10 min and the
+    drop set is a pure function of the data. The oracle replays that
+    model in SQL: A∪B always kept, C kept only where the window end
+    beats the late watermark, and append mode emits only windows
+    finalized by the terminal watermark max(all) − 10 min."""
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        staged_ordered_source,
+        watermarked_tumbling,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    frames = [
+        ev.filter(F.col("event_id") % 10 < 8),
+        ev.filter(F.col("event_id") % 10 == 8),
+        ev.filter(F.col("event_id") % 10 == 9),
+    ]
+    stream = staged_ordered_source(spark, frames, f"t5_{sf_dir}")
+    return run_to_table(
+        watermarked_tumbling(stream, "10 minutes", "10 minutes"),
+        output_mode="append",
+    )
+
+
+@register(
+    "t6_stream_dedup_equivalence",
+    "T6",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def t6_stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — stateful stream dedup under the oracle: duplicate copies of
+    every 7th event are injected into the stream, split into two
+    micro-batches on the time midpoint (each duplicate shares its
+    original's ts, so both copies always land in the same batch — no
+    late-arrival ambiguity, and batch 1 exercises state carried across
+    micro-batches plus watermark GC of batch-0 keys).
+    ``dropDuplicatesWithinWatermark`` must suppress every injected copy,
+    so the drained stream aggregates exactly like the pristine events
+    table."""
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        staged_ordered_source,
+        stream_dedup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+    with_dups = ev.unionByName(ev.filter(F.col("event_id") % 7 == 0))
+    frames = [
+        with_dups.filter(F.col("ts") <= F.lit(cutoff)),
+        with_dups.filter(F.col("ts") > F.lit(cutoff)),
+    ]
+    stream = staged_ordered_source(spark, frames, f"t6_{sf_dir}")
+    deduped = run_to_table(stream_dedup(stream, late="10 minutes"), output_mode="append")
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )

@@ -53,6 +53,42 @@ def events_stream_source(
     return stream, src_dir
 
 
+def staged_ordered_source(
+    spark: SparkSession, frames: list[DataFrame], cache_key: str
+) -> DataFrame:
+    """Stage each frame as ONE parquet file in a fresh directory and open
+    it as a file stream that processes exactly one file per micro-batch,
+    in list order. FileStreamSource orders pending files oldest-first by
+    modification time (ties by path), so each staged file gets an
+    explicit mtime ``i`` minutes apart AND a zero-padded name — the
+    micro-batch sequence is then deterministic, which is what makes
+    watermark semantics (T5/T6) batch-replayable and oracle-checkable.
+    """
+    import glob
+    import os
+    import shutil
+
+    safe = "".join(c if c.isalnum() else "_" for c in cache_key)
+    src_dir = _STAGED_SOURCES.get((cache_key, len(frames)))
+    if src_dir is None:
+        src_dir = tempfile.mkdtemp(prefix=f"arm_stream_{safe}_")
+        base = 1_600_000_000  # any fixed epoch; only relative order matters
+        for i, frame in enumerate(frames):
+            tmp = f"{src_dir}/_stage_{i}"
+            frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+            (part,) = glob.glob(f"{tmp}/part-*.parquet")
+            dst = f"{src_dir}/{i:04d}.parquet"
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (base + 60 * i, base + 60 * i))
+        _STAGED_SOURCES[(cache_key, len(frames))] = src_dir
+    return (
+        spark.readStream.schema(frames[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
 def run_to_table(
     stream_df: DataFrame,
     output_mode: str = "complete",
@@ -73,6 +109,12 @@ def run_to_table(
     name = f"arm_mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="arm_stream_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # StreamExecution clones the session (and its SQLConf) when the query
+    # STARTS, so the session-global override only needs to span the
+    # .start() call, not the whole drain — concurrent batch work during
+    # the drain sees the restored value. (A concurrent query started in
+    # another thread during the .start() sliver would still catch the
+    # override; drains are single-threaded here.)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
@@ -83,9 +125,9 @@ def run_to_table(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
     return spark.table(name)
 
 
