@@ -10,11 +10,21 @@ Smells checked:
 * ``CartesianProduct`` — unbounded cross product without a broadcast
   side; at scale this is a job-killer. (None allowed.)
 * ``BroadcastNestedLoopJoin`` — acceptable only when one side is
-  provably tiny (dims, one-row scalar aggregates, bounded query sets);
-  every allowed instance is justified below.
+  provably tiny (dims, one-row scalar aggregates, bounded query sets).
 
-Exit code 1 if an unreviewed smell appears — run in CI next to the
-oracle gate.
+Every allowlist entry must ASSERT its claim, not just state it: an
+entry carries a ``probe`` that rebuilds the claimed broadcast/slow side
+and a ``max_rows`` bound — the audit executes the probe and FAILS if
+the bound is violated, and also fails if the query grows more smell
+occurrences than the entry reviewed (``max_occurrences``). Limitation
+(documented): the probe re-derives the claimed side from the same
+inputs; it proves the claim's premise on live data, not that the plan
+node is wired to that exact subtree — the occurrence count is the
+guard against new unreviewed instances sneaking into allowlisted
+queries.
+
+Exit code 1 if an unreviewed smell appears or a bound is violated —
+run in CI next to the oracle gate.
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
@@ -23,65 +33,158 @@ from __future__ import annotations
 
 import os
 import sys
+from collections.abc import Callable
+from dataclasses import dataclass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
 SMELLS = ("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin")
 
-# name -> (smell, why it is fine here)
-ALLOWED: dict[str, tuple[str, str]] = {
-    "j6_cross_join": (
+
+@dataclass(frozen=True)
+class Allow:
+    smell: str
+    why: str
+    probe: Callable[[SparkSession, str], DataFrame]  # rebuilds the claimed side
+    max_rows: int
+    max_occurrences: int = 1
+
+
+def _table(name: str):
+    def load(spark: SparkSession, sf: str) -> DataFrame:
+        from actuarial_reserve_modelling_spark.catalog import load_table
+
+        return load_table(spark, sf, name)
+
+    return load
+
+
+def _l3_queries(spark: SparkSession, sf: str) -> DataFrame:
+    return _table("embeddings")(spark, sf).filter(F.col("vec_id") < 10)
+
+
+def _l11_queries(spark: SparkSession, sf: str) -> DataFrame:
+    from actuarial_reserve_modelling_spark.operators.similarity import hash_embed
+    from actuarial_reserve_modelling_spark.operators.textstats import chunk_documents
+
+    docs = _table("documents")(spark, sf).filter(F.col("doc_id") % 7 == 0)
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"), "chunk_text"
+    )
+    return hash_embed(chunks, "chunk_text", dim=16, id_col="chunk_id").orderBy(
+        "chunk_id"
+    ).limit(5)
+
+
+def _a13_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    cust = _table("customer")(spark, sf).filter(F.col("c_mktsegment") == "BUILDING")
+    return cust.agg(
+        F.collect_set(F.pmod(F.xxhash64("c_custkey"), F.lit(65536))).alias("buckets")
+    )
+
+
+def _scalar_agg(table: str, expr_builder):
+    def probe(spark: SparkSession, sf: str) -> DataFrame:
+        return _table(table)(spark, sf).agg(expr_builder())
+
+    return probe
+
+
+def _u4b_output(spark: SparkSession, sf: str) -> DataFrame:
+    cust = _table("customer")(spark, sf).filter(F.col("c_custkey") % 200 == 11)
+    return cust  # UDTF fans out <=3 rows per input row
+
+
+ALLOWED: dict[str, Allow] = {
+    "j6_cross_join": Allow(
         "BroadcastNestedLoopJoin",
         "cross join of two broadcast-sized dims is the operator itself",
+        probe=_table("region"),
+        max_rows=1_000,
     ),
-    "l3_cosine_topk": (
+    "l3_cosine_topk": Allow(
         "BroadcastNestedLoopJoin",
-        "brute-force exact baseline: bounded query set broadcast against the corpus",
+        "brute-force exact baseline: bounded query set (vec_id<10) broadcast",
+        probe=_l3_queries,
+        max_rows=1_000,
     ),
-    "l4_cosine_pairs": (
+    "l4_cosine_pairs": Allow(
         "BroadcastNestedLoopJoin",
-        "exact all-pairs baseline on the (bounded) embeddings table; ANN is the scale path",
+        "exact all-pairs baseline on the bounded embeddings table; ANN is the scale path",
+        probe=_table("embeddings"),
+        max_rows=100_000,
     ),
-    "a13_bloom_filter": (
+    "a13_bloom_filter": Allow(
         "BroadcastNestedLoopJoin",
         "one-row bloom-filter aggregate broadcast to the probe side",
+        probe=_a13_sketch,
+        max_rows=1,
+        # reviewed: sketch broadcast + final crossJoin of the two one-row
+        # summary aggregates (n_bloom_pass x n_true)
+        max_occurrences=3,
     ),
-    "q20_excess_shipments": (
+    "q20_excess_shipments": Allow(
         "BroadcastNestedLoopJoin",
         "one-row total-quantity scalar broadcast (decorrelated Q20 threshold)",
+        probe=_scalar_agg("lineitem", lambda: F.sum("l_quantity").alias("s")),
+        max_rows=1,
     ),
-    "q22_global_sales_opportunity": (
+    "q22_global_sales_opportunity": Allow(
         "BroadcastNestedLoopJoin",
         "one-row global-average scalar broadcast (Q22 decorrelation)",
+        probe=_scalar_agg("customer", lambda: F.avg("c_acctbal").alias("a")),
+        max_rows=1,
     ),
-    "l5h_tfidf": (
+    "l5h_tfidf": Allow(
         "BroadcastNestedLoopJoin",
         "one-row corpus-size scalar broadcast into the IDF expression",
+        probe=_scalar_agg("documents", lambda: F.count(F.lit(1)).alias("n")),
+        max_rows=1,
     ),
-    "l5i_bm25": (
+    "l5i_bm25": Allow(
         "BroadcastNestedLoopJoin",
         "one-row (N, avgdl) scalar broadcast into the BM25 expression",
+        probe=_scalar_agg("documents", lambda: F.count(F.lit(1)).alias("n")),
+        max_rows=1,
+        max_occurrences=2,  # reviewed: dfreq broadcast + stats cross join
     ),
-    "u4b_python_udtf": (
+    "u4b_python_udtf": Allow(
         "BatchEvalPython",
-        "Python UDTFs are row-based by API definition; surface-coverage row, not a hot path",
+        "Python UDTFs are row-based by API definition; surface-coverage "
+        "row over a %200-filtered input, not a hot path",
+        probe=_u4b_output,
+        max_rows=10_000,
     ),
-    "l11_rag_index_search": (
+    "l11_rag_index_search": Allow(
         "BroadcastNestedLoopJoin",
-        "brute-force exact search with a 5-chunk query set broadcast; IVF/LSH are the scale path",
+        "brute-force exact search with a 5-chunk query set broadcast; "
+        "IVF/LSH are the scale path",
+        probe=_l11_queries,
+        max_rows=5,
     ),
-    "u1c_reserve_risk_measures": (
+    "u1c_reserve_risk_measures": Allow(
         "BroadcastNestedLoopJoin",
         "one-row VaR-quantile scalar broadcast into the tail filter",
+        probe=_scalar_agg("customer", lambda: F.count(F.lit(1)).alias("n")),
+        max_rows=1,
+        max_occurrences=4,  # reviewed: p95/p99 VaR + TVaR tail scalars
     ),
 }
 
-# streaming plans need a query start, not a batch explain
+# streaming plans need a query start, not a batch explain; t5/t6 RUN a
+# full stream drain inside the builder (their returned frame is the
+# drained memory table — nothing left to audit)
 SKIP = {
     "t1_stream_batch_equivalence",
     "t2_tumbling_window",
     "t3_sliding_window",
     "t4_session_window",
+    "t5_watermark_equivalence",
+    "t6_stream_dedup_equivalence",
+    "t7_stream_stream_join",
 }
 
 
@@ -99,16 +202,33 @@ def main() -> None:
             continue
         plan = q.spark_fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         for smell in SMELLS:
-            if smell not in plan:
+            occurrences = plan.count(smell)
+            if occurrences == 0:
                 continue
             allowed = ALLOWED.get(name)
-            if allowed and allowed[0] == smell:
-                print(f"ALLOW {name}: {smell} — {allowed[1]}")
+            if not allowed or allowed.smell != smell:
+                bad.append(f"{name}: {smell} (unreviewed)")
+                continue
+            if occurrences > allowed.max_occurrences:
+                bad.append(
+                    f"{name}: {smell} x{occurrences} exceeds reviewed "
+                    f"count {allowed.max_occurrences}"
+                )
+                continue
+            probe_rows = allowed.probe(spark, sf).count()
+            if probe_rows > allowed.max_rows:
+                bad.append(
+                    f"{name}: {smell} claim violated — probe side has "
+                    f"{probe_rows} rows > bound {allowed.max_rows}"
+                )
             else:
-                bad.append(f"{name}: {smell}")
+                print(
+                    f"ALLOW {name}: {smell} — {allowed.why} "
+                    f"[probe {probe_rows} <= {allowed.max_rows} rows]"
+                )
     for b in bad:
         print("SMELL", b)
-    print(f"{len(registry) - len(SKIP)} plans audited, {len(bad)} unreviewed smells")
+    print(f"{len(registry) - len(SKIP)} plans audited, {len(bad)} violations")
     sys.exit(1 if bad else 0)
 
 
