@@ -201,3 +201,137 @@ def test_lsh_cosine_pairs_recall_vs_exact(spark):
     assert approx <= exact  # exact verify: no false positives
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f}"
+
+
+def test_simhash_banded_equals_bruteforce(spark):
+    """The pigeonhole-banded pair join must reproduce the brute-force
+    all-pairs answer exactly (it is a deterministic guarantee, not a
+    probabilistic LSH): every pair within max_hamming bits shares at
+    least one identical 15-bit band."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 300)
+    for max_h in (2, 3):
+        got = {
+            (r["d1"], r["d2"], r["hamming"])
+            for r in simhash_near_dup_pairs(docs, max_hamming=max_h).collect()
+        }
+        fps = {r["doc_id"]: r["fp"] for r in simhash_fingerprints(docs).collect()}
+        ids = sorted(fps)
+        want = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                h = bin(fps[a] ^ fps[b]).count("1")
+                if h <= max_h:
+                    want.add((a, b, h))
+        assert got == want
+        assert want, f"degenerate test: no pairs at hamming<={max_h}"
+
+
+def test_simhash_banded_rejects_unsound_hamming(spark):
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_ngram_prefix_filter_equals_bruteforce(spark):
+    """Prefix-filter blocking is exact: the blocked pair set must equal
+    the all-pairs answer at every threshold — including low thresholds
+    where probabilistic (MinHash) blocking would miss pairs."""
+    from actuarial_reserve_modelling_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 120)
+    rows = docs.select("doc_id", "text").collect()
+    gram_sets = {
+        r["doc_id"]: {r["text"][i : i + 3] for i in range(len(r["text"]) - 2)}
+        for r in rows
+        if len(r["text"]) >= 3
+    }
+    for tau in (0.3, 0.6):
+        got = {(r["d1"], r["d2"]) for r in ngram_jaccard_pairs(docs, 3, tau).collect()}
+        ids = sorted(gram_sets)
+        want = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                ga, gb = gram_sets[a], gram_sets[b]
+                union = len(ga | gb)
+                if union and len(ga & gb) / union >= tau:
+                    want.add((a, b))
+        assert got == want
+        assert want, f"degenerate test: no pairs at tau={tau}"
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_pairs_equals_bruteforce(spark):
+    """Positional q-gram blocking is exact for strings meeting the
+    length precondition n >= q*(d+1); shorter strings are excluded by
+    documented contract."""
+    from actuarial_reserve_modelling_spark.operators.dedup import levenshtein_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 60)
+    heads = docs.select("doc_id", F.substring("text", 1, 24).alias("head"))
+    max_d = 11
+    got = {
+        (r["d1"], r["d2"], r["dist"])
+        for r in levenshtein_pairs(heads, max_dist=max_d, q=2).collect()
+    }
+    rows = {r["doc_id"]: r["head"] for r in heads.collect() if len(r["head"]) >= 24}
+    ids = sorted(rows)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = _lev(rows[a], rows[b])
+            if d <= max_d:
+                want.add((a, b, d))
+    assert got == want
+    assert want, "degenerate test: no pairs within distance"
+
+
+def test_levenshtein_pairs_excludes_short_strings(spark):
+    from actuarial_reserve_modelling_spark.operators.dedup import levenshtein_pairs
+
+    rows = [Row(doc_id=1, head="ab"), Row(doc_id=2, head="ab"), Row(doc_id=3, head="abcdef")]
+    df = spark.createDataFrame(rows)
+    # q=2, d=2 -> min length 6: only doc 3 qualifies, so no pairs at all
+    assert levenshtein_pairs(df, max_dist=2, q=2).count() == 0
+
+
+def test_winnowing_skips_short_and_empty_docs(spark):
+    """Docs shorter than k (including empty text) must emit NO
+    fingerprints — without the length guard Spark's sequence(1, 0)
+    descends and fabricates grams for them."""
+    rows = [
+        Row(doc_id=1, text=""),
+        Row(doc_id=2, text="abc"),
+        Row(doc_id=3, text="abcd"),
+        Row(doc_id=4, text="abcdefghij"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = winnowing_fingerprints(df, k=5, window=4)
+    assert {r["doc_id"] for r in out.collect()} == {4}
+
+
+def test_dedup_clusters_raises_on_exhaustion(spark):
+    from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
+
+    path = spark.createDataFrame(
+        [Row(d1=i, d2=i + 1) for i in range(64)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(path, max_iterations=1)
