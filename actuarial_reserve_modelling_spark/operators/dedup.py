@@ -633,8 +633,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> 
         .select("d1", "d2")
         .distinct()
     )
-    g1 = grams.select(F.col("doc_id").alias("d1"), F.col("g").alias("g1"))
-    g2 = grams.select(F.col("doc_id").alias("d2"), F.col("g").alias("g2"))
+    # verify on xxhash64-hashed gram arrays: set cardinalities are
+    # invariant under injective maps, and bigint array_intersect is
+    # several times cheaper than string intersect over millions of
+    # candidates (same accepted ~n²/2⁶⁵ collision trade as the MinHash
+    # verify, _verify_jaccard_tokens)
+    hashed = grams.select(
+        "doc_id", F.expr("transform(g, x -> xxhash64(x))").alias("g")
+    )
+    g1 = hashed.select(F.col("doc_id").alias("d1"), F.col("g").alias("g1"))
+    g2 = hashed.select(F.col("doc_id").alias("d2"), F.col("g").alias("g2"))
     inter = F.size(F.array_intersect("g1", "g2")).cast("double")
     union = (F.size("g1") + F.size("g2") - F.size(F.array_intersect("g1", "g2"))).cast("double")
     return (
@@ -656,24 +664,33 @@ def levenshtein_pairs(
     id_col: str = "doc_id",
     str_col: str = "head",
 ) -> DataFrame:
-    """Edit-distance self-join via positional q-gram blocking (Gravano et
-    al., VLDB'01): a single edit destroys at most q of a string's
-    n − q + 1 positional q-grams and shifts the survivors' positions by
-    at most 1, so a pair within distance d shares at least
-    (n − q + 1) − d·q positional grams with position skew ≤ d. Whenever
-    that bound is ≥ 1 — i.e. n ≥ q·(d + 1) — every qualifying pair MUST
-    collide on an equi-join over (gram) with a residual |Δpos| ≤ d
-    filter: exact blocking, no all-pairs stage, then a DP levenshtein
-    verify on the candidates.
+    """Edit-distance self-join via q-gram PREFIX filtering (the ED-Join
+    shape, Xiao et al. VLDB'08, on the q-gram bound of Gravano et al.
+    VLDB'01): d edits destroy at most d·q of a string's n − q + 1
+    positional q-grams, so with every string's gram occurrences sorted
+    by one global order (ascending corpus frequency, rarest first; ties
+    by gram then position), a pair within distance d must collide on a
+    gram VALUE between their prefixes of length d·q + 1 — if no prefix
+    value of s1 occurred anywhere in s2, all d·q + 1 prefix occurrences
+    were destroyed, exceeding the d·q budget; and a surviving value
+    ≺-below s2's prefix cutoff is necessarily IN s2's prefix. Exact
+    blocking on globally-rare grams: the candidate equi-join never
+    buckets on common grams (the failure mode of plain positional
+    q-gram joins on natural text), and a |Δlen| ≤ d filter prunes
+    further. DP levenshtein verifies candidates.
 
-    Strings shorter than q·(d + 1) carry no guarantee and are EXCLUDED
-    (documented contract — callers wanting them must lower q or d).
+    The pigeonhole needs d·q + 1 ≤ n − q + 1, i.e. n ≥ q·(d + 1);
+    shorter strings carry no guarantee and are EXCLUDED (documented
+    contract — callers wanting them must lower q or d).
     Returns (d1, d2, dist) with d1 < d2, dist ≤ max_dist.
     """
     min_len = q * (max_dist + 1)
+    prefix_len = max_dist * q + 1
     base = strs.select(id_col, str_col).filter(F.length(str_col) >= min_len)
+    base = base.localCheckpoint(eager=False)  # feeds prefix build + verify
     grams = base.select(
         F.col(id_col).alias("gid"),
+        F.length(str_col).alias("slen"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, length({str_col}) - {q - 1}),"
@@ -681,15 +698,25 @@ def levenshtein_pairs(
             )
         ).alias("pos", "gram"),
     )
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("gid").orderBy("f", "gram", "pos")
+    prefix = (
+        grams.join(freq, "gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        # same VALUE may occupy several prefix slots; one is enough to join
+        .select("gid", "slen", "gram")
+        .distinct()
+    )
     cand = (
-        grams.select(F.col("gid").alias("d1"), F.col("pos").alias("p1"), "gram")
+        prefix.select(F.col("gid").alias("d1"), F.col("slen").alias("n1"), "gram")
         .join(
-            grams.select(F.col("gid").alias("d2"), F.col("pos").alias("p2"), "gram"),
+            prefix.select(F.col("gid").alias("d2"), F.col("slen").alias("n2"), "gram"),
             "gram",
         )
         .filter(
             (F.col("d1") < F.col("d2"))
-            & (F.abs(F.col("p1") - F.col("p2")) <= max_dist)
+            & (F.abs(F.col("n1") - F.col("n2")) <= max_dist)
         )
         .select("d1", "d2")
         .distinct()
@@ -699,8 +726,12 @@ def levenshtein_pairs(
     return (
         cand.join(s1, "d1")
         .join(s2, "d2")
-        .withColumn("dist", F.levenshtein("s1", "s2").cast("int"))
-        .filter(F.col("dist") <= max_dist)
+        # banded DP via the threshold form: O(d·n) per pair instead of
+        # O(n²), returns -1 above the threshold (exact value otherwise)
+        .withColumn(
+            "dist", F.levenshtein("s1", "s2", threshold=max_dist).cast("int")
+        )
+        .filter(F.col("dist") >= 0)
         .select("d1", "d2", "dist")
     )
 

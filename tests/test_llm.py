@@ -303,6 +303,37 @@ def test_levenshtein_pairs_equals_bruteforce(spark):
     assert want, "degenerate test: no pairs within distance"
 
 
+def test_levenshtein_prefix_pruning_is_exact(spark):
+    """With q=5, d=2 on 80-char heads the prefix is 11 of 76 grams —
+    real pruning — and duplicated heads guarantee matching pairs; the
+    blocked answer must still equal brute force."""
+    from actuarial_reserve_modelling_spark.operators.dedup import levenshtein_pairs
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        (F.col("doc_id") < 80) & (F.length("text") >= 80)
+    )
+    heads = docs.select("doc_id", F.substring("text", 1, 80).alias("head")).unionByName(
+        docs.select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.substring("text", 1, 80).alias("head"),
+        )
+    )
+    got = {
+        (r["d1"], r["d2"], r["dist"])
+        for r in levenshtein_pairs(heads, max_dist=2, q=5).collect()
+    }
+    rows = {r["doc_id"]: r["head"] for r in heads.collect()}
+    ids = sorted(rows)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = _lev(rows[a], rows[b])
+            if d <= 2:
+                want.add((a, b, d))
+    assert got == want
+    assert want, "degenerate test: no pairs"
+
+
 def test_levenshtein_pairs_excludes_short_strings(spark):
     from actuarial_reserve_modelling_spark.operators.dedup import levenshtein_pairs
 

@@ -94,6 +94,69 @@ def main() -> None:
         "sec": round(dt, 2),
     }
 
+    # 4) the round-4 blocked pair operators. Each stage is sized to how
+    #    much blocking signal this corpus offers: the synthetic documents
+    #    share a tiny vocabulary, so FREQUENCY-based blocking (rarest
+    #    gram prefixes) saturates — candidate counts approach all-pairs
+    #    even though the blocking lemma is exact (measured: 8.6M of
+    #    12.5M possible at τ=0.9). MinHash signature blocking (stage 2)
+    #    is immune because it blocks on whole-set signatures, not
+    #    individual common elements — which is why it is the primary
+    #    near-dup path. The stages below still prove the operators are
+    #    equi-join-shaped (no BNLJ at any size) and that verify cost,
+    #    not candidate generation, is the scaling term.
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        levenshtein_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    reps4 = spark.range(4).select(F.col("id").alias("rep"))
+    perturbed = docs.crossJoin(reps4).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", "text", F.concat(F.lit("zz"), F.col("rep"))).alias("text"),
+    ).localCheckpoint(eager=True)
+    n4 = perturbed.count()
+
+    # 4a) banded SimHash on 4× near-dup replicas (dense: every replica
+    # pair of a source doc is within a few bits)
+    t0 = time.time()
+    n_sh = simhash_near_dup_pairs(perturbed, max_hamming=3).count()
+    out["simhash_banded_pairs"] = {
+        "docs": n4,
+        "pairs": n_sh,
+        "sec": round(time.time() - t0, 2),
+    }
+
+    # 4b) prefix-filter n-gram Jaccard at 1× (candidate-saturated corpus:
+    # the wall measures 8.6M hashed-array verifies, the honest cost)
+    n1 = docs.count()
+    t0 = time.time()
+    n_ng = ngram_jaccard_pairs(docs, n=3, threshold=0.9).count()
+    out["ngram_prefix_pairs"] = {
+        "docs": n1,
+        "pairs": n_ng,
+        "sec": round(time.time() - t0, 2),
+    }
+
+    # 4c) ED-Join levenshtein on 2× 80-char heads (q=5, d=3, banded
+    # O(d·n) verify)
+    reps2 = spark.range(2).select(F.col("id").alias("rep"))
+    pert2 = docs.crossJoin(reps2).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"), "text"
+    )
+    heads = pert2.filter(F.length("text") >= 80).select(
+        "doc_id", F.substring("text", 1, 80).alias("head")
+    )
+    n2 = heads.count()
+    t0 = time.time()
+    n_lv = levenshtein_pairs(heads, max_dist=3, q=5).count()
+    out["levenshtein_qgram_pairs"] = {
+        "docs": n2,
+        "pairs": n_lv,
+        "sec": round(time.time() - t0, 2),
+    }
+
     print(json.dumps({"multiplier": mult, "sf_dir": sf_dir, "results": out}))
 
 
