@@ -217,6 +217,38 @@ def l4_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l4b_lsh_cosine_pairs",
+    "L4,L3 (blocked pair path)",
+    oracle="""
+    SELECT vec_id AS v1, vec_id + 100000 AS v2, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+)
+def l4b_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB pair path as its own surface row: multi-table
+    hyperplane-LSH blocking → within-bucket candidates → exact cosine
+    verify at τ=0.9 (operators/similarity.py::lsh_cosine_pairs).
+
+    Hash-checkable despite probabilistic blocking: every 5th vector is
+    planted as an exact duplicate (id + 100000), and identical vectors
+    get identical signatures in EVERY hyperplane table — recall 1 by
+    construction, deterministically. The corpus itself has no pairs at
+    τ=0.9 (max non-identical cosine ≈ 0.51 on this testdata), so the
+    output is exactly the planted pair set with sim 1.0. General-recall
+    behavior (perturbed near-dups, τ-dependence) is covered by the
+    ≥95%-recall unit test."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        lsh_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return lsh_cosine_pairs(emb.unionByName(planted), threshold=0.9)
+
+
+@register(
     "l2d_embedding_dedup",
     "L2,L4 (embedding-cosine near-dup -> clusters)",
     oracle=f"""
