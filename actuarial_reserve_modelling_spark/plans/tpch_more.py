@@ -1,9 +1,14 @@
-"""Remaining TPC-H-shaped composite queries (Q7/Q8/Q9/Q13/Q15/Q17/Q21).
+"""Remaining TPC-H-shaped composite queries
+(Q2/Q6/Q7/Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q20/Q21) — with these plus
+composite.py/relational.py's Q1/Q3/Q4/Q5/Q10/Q12/Q14/Q18/Q19/Q22, all
+22 TPC-H query shapes are covered.
 
 The testdata star schema has no ``partsupp`` table and lineitem carries
 only ``l_shipdate`` (no commit/receipt dates), so the shapes that depend
-on those (Q2, Q11, Q16, Q20) are out of scope, and Q9/Q21 are adapted:
-Q9 profit omits the supply-cost term, Q21's "late" predicate is
+on those are adapted rather than dropped: lineitem stands in as the
+part↔supplier bridge (Q2/Q16), observed min unit price as supplycost
+(Q2), shipped value as stock value (Q11/Q20), Q9 profit omits the
+supply-cost term, and Q21's "late" predicate is
 ``l_shipdate > o_orderdate + 60 days``. What each query exercises — the
 join topology, correlated/decorrelated subqueries, conditional
 aggregation, self-join exists/not-exists — is preserved.
@@ -17,7 +22,7 @@ composite.py) — required for cross-engine hash equality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from actuarial_reserve_modelling_spark.catalog import load_table
@@ -464,4 +469,164 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qty") > 0.012 * F.col("total_qty"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.round("qty", 2).alias("qty"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    "P3,P6,A1",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,8)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change — a pure scan-filter-aggregate.
+    All three predicates (timestamp range, double range, double bound)
+    push to the parquet scan as min/max row-group filters, the
+    projection prunes to 4 columns, and the sum runs partial-before-
+    exchange — the plan is a single narrow stage ending in a 1-row
+    exchange. The simplest query in the suite and the purest pushdown
+    check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@register(
+    "q2_min_cost_supplier",
+    "J1,J2,A4,W3 (correlated min → window rewrite)",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    pc AS (
+        SELECT p_partkey, p_brand, s_name, n_name, s_acctbal, supplycost
+        FROM part
+        JOIN cost ON p_partkey = l_partkey
+        JOIN eu ON l_suppkey = s_suppkey
+        WHERE p_size = 11 AND p_type = 'ECONOMY'
+    )
+    SELECT p_partkey, p_brand, s_name, n_name,
+           round(s_acctbal, 2) AS s_acctbal,
+           round(supplycost, 4) AS supplycost
+    FROM pc
+    WHERE supplycost = (SELECT min(supplycost) FROM pc i
+                        WHERE i.p_partkey = pc.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the absent partsupp's supplycost is the
+    observed min unit price per (part, supplier) in lineitem): for each
+    filtered part, the European supplier(s) offering the minimum cost.
+    The correlated min subquery decorrelates to a window min over
+    p_partkey — one extra shuffle on the group key instead of a
+    re-scan + self-join. Dims (part slice, supplier⋈nation⋈region)
+    broadcast; lineitem shuffles once on (l_partkey, l_suppkey) for the
+    cost aggregate, and AQE coalesces the window exchange after the
+    dim filters cut cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 11) & (F.col("p_type") == "ECONOMY")
+    )
+    pc = (
+        cost.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "supplycost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pc.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.round("supplycost", 4).alias("supplycost"),
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    "J1,A4,A1 (grouped value vs scalar-subquery threshold)",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)
+                   AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(value) AS total, count(*) AS n FROM val)
+    SELECT l_partkey AS p_partkey, round(value, 2) AS value
+    FROM val CROSS JOIN tot
+    WHERE value > 1.5 * total / n
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: shipped line value by European
+    suppliers stands in for partsupp stock value, and the qualifying
+    fraction is 1.5× the mean part value rather than TPC-H's
+    0.0001/SF — scale-free, so the query returns rows at every sf):
+    parts whose value exceeds a scalar-subquery threshold. The grouped
+    sum is computed once and reused as both the join input and (via a
+    1-row cross join) the threshold — the Q15/Q20 decorrelation
+    pattern. Supplier⋈nation⋈region broadcast; one fact shuffle on
+    l_partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(_dec_sum(F.col("l_extendedprice")).alias("value"))
+    )
+    tot = val.agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > 1.5 * F.col("total") / F.col("n"))
+        .select(F.col("l_partkey").alias("p_partkey"), F.round("value", 2).alias("value"))
     )
