@@ -1,0 +1,125 @@
+"""Training-data pipeline operators: deterministic dataset splits,
+exact stratified sampling, and sequence packing for LLM pretraining.
+
+These are the corpus-preparation steps that sit between the cleaning /
+dedup stages (operators/dedup.py, operators/textstats.py) and the
+trainer: assign every document to a train/val/test split, draw
+reproducible per-stratum samples, and pack variable-length documents
+into fixed-capacity context windows. All three are deterministic
+functions of the input (content-hash driven, never RNG-driven), so
+reruns, retries, and resumed jobs produce byte-identical assignments —
+the property that makes a 100 TB pipeline idempotent.
+
+Scale notes:
+- ``hash_split`` is stateless map-side arithmetic — zero shuffles, no
+  skew sensitivity, embarrassingly parallel at any scale.
+- ``stratified_sample`` windows within each stratum — one shuffle on
+  the stratum key. Strata are language/source-grade cardinalities
+  (tens to thousands), each stratum fits a task's sort buffer; a
+  degenerate single-stratum corpus degrades to a global sort, which is
+  the unavoidable cost of an EXACT (not Bernoulli) sample.
+- ``pack_sequences`` windows within each shard (``part_col``) — the
+  GPT-style concatenate-and-chunk packing is a running sum, not a bin
+  packing search, and sharding bounds every sort. Cross-shard sequence
+  ids never collide because the shard is part of the output key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from the md5 of a column's
+    string form — 60-bit hex prefix via conv(), reproducible in any
+    engine with md5 (DuckDB: ``('0x' || substr(md5(x), 1, 15))::bigint``).
+    Content-addressed, so the assignment survives repartitioning,
+    re-ingestion, and engine swaps; never use Spark's ``rand()`` or
+    ``hash()`` (seed/JVM-dependent) for split assignment."""
+    hex15 = F.substring(F.md5(col.cast("string")), 1, 15)
+    return (F.conv(hex15, 16, 10).cast("bigint") % buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign each row to 'train' / 'val' / 'test' by hashing its id.
+
+    Adds ``bucket`` (int, 0-99) and ``split`` (string) columns. The
+    split is a pure function of the id — no shuffle, no state, stable
+    under any execution order.
+    """
+    b = _hash_bucket(F.col(id_col))
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT stratified sample: ceil(fraction × |stratum|) rows from
+    every stratum, chosen by md5-hash order (deterministic, unbiased
+    for content-independent ids, reproducible across engines).
+
+    Unlike ``df.sampleBy`` (Bernoulli — per-stratum counts vary run to
+    run and can miss small strata entirely), the count contract here is
+    exact: every stratum contributes its quota, which is what
+    balanced-corpus construction needs.
+    """
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(order, id_col)
+    cnt_w = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_quota", F.ceil(F.lit(fraction) * F.count(F.lit(1)).over(cnt_w)))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tok_col: str,
+    capacity: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style concatenate-and-chunk sequence packing: within each
+    shard (``part_col``), lay documents end to end in ``id_col`` order
+    and cut the token stream every ``capacity`` tokens.
+
+    Emits per-document placement: ``seq_id`` (which context window the
+    document STARTS in, numbered per shard), ``seq_off`` (token offset
+    inside that window), and ``straddles`` (whether the document spills
+    into the next window — the tokens a no-split packer would pad or
+    drop). A running sum over a shard-partitioned window; the shard key
+    keeps every sort bounded and makes the operation embarrassingly
+    parallel across shards.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(tok_col).over(w) - F.col(tok_col)).alias("start_tok")
+    out = df.withColumn("start_tok", start)
+    return (
+        out.withColumn("seq_id", F.floor(F.col("start_tok") / capacity))
+        .withColumn("seq_off", (F.col("start_tok") % capacity).cast("bigint"))
+        .withColumn(
+            "straddles",
+            F.floor((F.col("start_tok") + F.col(tok_col) - 1) / capacity) != F.col("seq_id"),
+        )
+        .drop("start_tok")
+    )

@@ -121,6 +121,7 @@ def load_all() -> dict[str, Query]:
         misc_queries,
         stats_queries,
         tpch_more,
+        training_data,
         window_queries2,
     )
 

@@ -1,0 +1,157 @@
+"""Training-data pipeline queries: deterministic splits, stratified
+sampling, sequence packing, vocabulary statistics.
+
+The corpus-to-trainer stages downstream of cleaning/dedup — every one
+deterministic (content-hash driven) so the oracle can hash-check exact
+assignments, and every one shaped for 100 TB (map-side or
+stratum-bounded windows; see operators/traindata.py scale notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.catalog import load_table
+from actuarial_reserve_modelling_spark.operators.traindata import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
+from actuarial_reserve_modelling_spark.plans.registry import register
+
+# whitespace token count, identical in Spark and DuckDB (l5b convention)
+_TOK_SPARK = "size(filter(split(text, ' '), w -> w != ''))"
+_TOK_DUCK = "len(list_filter(string_split(text, ' '), w -> w <> ''))"
+
+
+@register(
+    "l12_train_test_split",
+    "L5 (dataset split; map-side hash assignment)",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 100 AS INT) AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def l12_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5 of the
+    document id. Stateless and shuffle-free — the assignment is a pure
+    column expression, so it composes under any partitioning and is
+    identical on every rerun (the idempotence a resumable 100 TB
+    pipeline needs). The oracle recomputes the same md5 bucket in
+    DuckDB and hash-compares the full per-document assignment."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs).select("doc_id", "lang", "bucket", "split")
+
+
+@register(
+    "l13_stratified_sample",
+    "L5,W1 (exact per-stratum quota sampling)",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT doc_id, lang, source FROM r WHERE rn <= ceil(0.2 * n)
+    """,
+)
+def l13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20% stratified sample per language: every stratum
+    contributes ceil(0.2·|stratum|) documents chosen by md5-hash order.
+    Exact quotas (unlike Bernoulli sampleBy, which varies per run and
+    can miss small strata); one shuffle on the stratum key, sorts
+    bounded per stratum. Hash-checked against the identical DuckDB
+    window formulation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, strata_col="lang", fraction=0.2)
+
+
+@register(
+    "l14_sequence_packing",
+    "L5,W3 (concatenate-and-chunk context packing)",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST({_TOK_DUCK} AS BIGINT) AS tok_cnt
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source, tok_cnt,
+               sum(tok_cnt) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - tok_cnt
+                   AS start_tok
+        FROM t
+    )
+    SELECT doc_id, source, tok_cnt,
+           CAST(floor(start_tok / 512) AS BIGINT) AS seq_id,
+           CAST(start_tok % 512 AS BIGINT) AS seq_off,
+           floor((start_tok + tok_cnt - 1) / 512) <> floor(start_tok / 512)
+               AS straddles
+    FROM s
+    """,
+)
+def l14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing into 512-token context windows,
+    sharded by source: documents laid end to end in id order, the
+    stream cut every 512 tokens; emits each document's window id,
+    offset, and whether it straddles a window boundary. A running-sum
+    window per shard — no bin-packing search, no global sort; shards
+    parallelize freely and sequence ids are per-shard so they never
+    collide. Hash-checked against the same window algebra in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_TOK_SPARK).cast("bigint").alias("tok_cnt")
+    )
+    return pack_sequences(docs, tok_col="tok_cnt", capacity=512)
+
+
+@register(
+    "l15_vocab_topk",
+    "L5,A4,O3 (corpus vocabulary statistics)",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS word
+        FROM documents
+    ),
+    v AS (
+        SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM w GROUP BY word
+    )
+    SELECT word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM v ORDER BY tf DESC, word LIMIT 50
+    """,
+)
+def l15_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term frequency + document frequency per word,
+    top 50 by frequency (ties broken lexically — determinism for the
+    hash check). The tokenizer-training precursor: explode → two-level
+    hash aggregate (partial map-side combine collapses each partition's
+    token stream to its local vocabulary before the shuffle, so the
+    exchange carries vocabulary-sized data, not corpus-sized) →
+    TakeOrderedAndProject for the top-k (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "word")
+        .limit(50)
+    )

@@ -1,0 +1,77 @@
+"""Invariant tests for the training-data operators (traindata.py):
+split determinism/partition, exact stratified quotas, packing algebra."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.catalog import load_table
+from actuarial_reserve_modelling_spark.operators.traindata import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hash_split_partitions_and_is_deterministic(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    out = hash_split(docs)
+    n = docs.count()
+    # every row assigned exactly one split; union of splits == input
+    by = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == n
+    assert set(by) <= {"train", "val", "test"}
+    # proportions near 80/10/10 (hash uniformity; 500 docs → loose bounds)
+    assert 0.7 * n < by["train"] < 0.9 * n
+    # determinism: repartitioned rerun gives the identical assignment
+    again = hash_split(docs.repartition(13)).select("doc_id", "split")
+    assert out.select("doc_id", "split").exceptAll(again).count() == 0
+
+
+def test_stratified_sample_exact_quota_per_stratum(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    frac = 0.2
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, "lang", frac)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(sizes)  # no stratum missed
+    for lang, n in sizes.items():
+        assert got[lang] == math.ceil(frac * n)
+
+
+def test_pack_sequences_window_algebra(spark):
+    cap = 512
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("size(filter(split(text, ' '), w -> w != ''))").cast("bigint").alias("tok_cnt"),
+    )
+    packed = pack_sequences(docs, tok_col="tok_cnt", capacity=cap).cache()
+    try:
+        assert packed.count() == docs.count()
+        # offsets live inside the window
+        assert packed.filter((F.col("seq_off") < 0) | (F.col("seq_off") >= cap)).count() == 0
+        # seq_id never decreases along each shard's id order
+        lagged = packed.withColumn(
+            "prev",
+            F.lag("seq_id").over(Window.partitionBy("source").orderBy("doc_id")),
+        )
+        assert lagged.filter(F.col("prev") > F.col("seq_id")).count() == 0
+        # straddles ⇔ the document crosses a capacity boundary
+        bad = packed.filter(
+            F.col("straddles")
+            != (F.floor((F.col("seq_off") + F.col("tok_cnt") - 1) / cap) > 0)
+        )
+        assert bad.count() == 0
+    finally:
+        packed.unpersist()
