@@ -82,6 +82,19 @@ def _signatures_from_tokens(
     uniform, not any specific function, and the verify stage is exact, so
     the choice of xxhash64 is free.
     """
+    hashed = toks.select(
+        "doc_id", F.expr("transform(tokens, t -> xxhash64(t))").alias("htok")
+    )
+    return _signatures_from_hashed(hashed, num_hashes=num_hashes, seed=seed)
+
+
+def _signatures_from_hashed(
+    hashed: DataFrame, num_hashes: int = 192, seed: int = 42
+) -> DataFrame:
+    """MinHash kernel over a pre-hashed (doc_id, htok: array<bigint>)
+    frame — the innermost entry point, for callers (exact-collapse) that
+    already hold xxhash64 token arrays. Token order is irrelevant: the
+    signature is a min over the set."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
@@ -91,10 +104,6 @@ def _signatures_from_tokens(
             T.StructField("doc_id", T.LongType()),
             T.StructField("sig", T.ArrayType(T.LongType())),
         ]
-    )
-
-    hashed = toks.select(
-        "doc_id", F.expr("transform(tokens, t -> xxhash64(t))").alias("htok")
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -232,17 +241,27 @@ def _verify_jaccard_tokens(
         hashed.select(F.col("doc_id").alias("d2"), F.col("tokens").alias("tok2")),
         broadcast_tokens,
     )
-    inter = F.size(F.array_intersect("tok1", "tok2")).cast("double")
-    union = (F.size("tok1") + F.size("tok2") - F.size(F.array_intersect("tok1", "tok2"))).cast(
-        "double"
+    # length prefilter: jac ≤ min(|a|,|b|)/max(|a|,|b|) — pairs whose
+    # size ratio is under τ are dropped before paying for the intersect
+    prefilter = F.least(F.size("tok1"), F.size("tok2")) >= F.lit(threshold) * F.greatest(
+        F.size("tok1"), F.size("tok2")
     )
+    inter = F.size(F.array_intersect("tok1", "tok2"))
     return (
         candidates.join(t1, "d1")
         .join(t2, "d2")
+        .filter(prefilter)
+        .withColumn("inter", inter)
         # try_divide: two token-less docs (union=0) are NULL → dropped by
         # the threshold filter, matching the oracle where such docs never
         # enter the words set. Plain '/' hard-fails under ANSI mode.
-        .withColumn("jac", F.try_divide(inter, union))
+        .withColumn(
+            "jac",
+            F.try_divide(
+                F.col("inter").cast("double"),
+                (F.size("tok1") + F.size("tok2") - F.col("inter")).cast("double"),
+            ),
+        )
         .filter(F.col("jac") >= threshold)
         .select("d1", "d2", F.round("jac", 6).alias("jac"))
     )
@@ -291,40 +310,46 @@ def minhash_near_dup_pairs(
     toks = docs.select(
         "doc_id", F.expr(TOKENS.replace("text", text_col)).alias("tokens")
     ).filter(F.size("tokens") > 0)
+    # hash every token exactly once (JVM-side, inside codegen): the
+    # collapse key, the MinHash kernel, and the Jaccard verify all
+    # consume the 8-byte hashed tokens, so token STRINGS never survive
+    # this stage — the checkpointed group table and the verify build
+    # sides carry bigint arrays only (the per-token 64-bit hash is the
+    # same collision trade the verify stage makes)
+    htoks = toks.select(
+        "doc_id",
+        F.array_sort(F.expr("transform(tokens, t -> xxhash64(t))")).alias("htok"),
+    )
     # canonical token-set key: two independent xxhash64 digests of the
     # sorted hashed-token array (order-independent, 128-bit combined —
-    # no giant concat string to build; the per-token 64-bit hash is the
-    # same collision trade the verify stage already makes)
-    hkey = F.array_sort(F.expr("transform(tokens, t -> xxhash64(t))"))
+    # no giant concat string to build)
     groups = (
-        toks.withColumn("hkey", hkey)
-        .withColumn("k1", F.xxhash64("hkey"))
-        .withColumn("k2", F.xxhash64(F.lit(7), "hkey"))
-        .drop("hkey")
+        htoks.withColumn("k1", F.xxhash64("htok"))
+        .withColumn("k2", F.xxhash64(F.lit(7), "htok"))
         .groupBy("k1", "k2")
         .agg(
             F.min("doc_id").alias("rep_id"),
             F.array_sort(F.collect_list("doc_id")).alias("members"),
-            F.min_by("tokens", "doc_id").alias("tokens"),
+            # every member of a group has the identical token set by
+            # construction; min_by pins the choice deterministically
+            F.min_by("htok", "doc_id").alias("htok"),
         )
         # reused by signatures, verify, and both expansions — cache to
         # keep the tokenization+shuffle subtree from running 4×
         .localCheckpoint(eager=False)
     )
-    rep_toks = groups.select(F.col("rep_id").alias("doc_id"), "tokens")
-    sigs = _signatures_from_tokens(rep_toks, num_hashes=bands * rows_per_band, seed=seed)
+    sigs = _signatures_from_hashed(
+        groups.select(F.col("rep_id").alias("doc_id"), "htok"),
+        num_hashes=bands * rows_per_band,
+        seed=seed,
+    )
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
 
     # fused verify + expansion: one broadcast per pair side carrying the
     # hashed tokens AND the member list, so candidate pairs are verified
     # and expanded in a single stage (2 broadcast builds instead of 4)
-    hashed = groups.select(
-        "rep_id",
-        F.expr("transform(tokens, t -> xxhash64(t))").alias("htok"),
-        "members",
-    )
     side1 = _opt_broadcast(
-        hashed.select(
+        groups.select(
             F.col("rep_id").alias("d1"),
             F.col("htok").alias("tok1"),
             F.col("members").alias("mem1"),
@@ -332,23 +357,38 @@ def minhash_near_dup_pairs(
         broadcast_verify,
     )
     side2 = _opt_broadcast(
-        hashed.select(
+        groups.select(
             F.col("rep_id").alias("d2"),
             F.col("htok").alias("tok2"),
             F.col("members").alias("mem2"),
         ),
         broadcast_verify,
     )
-    inter = F.size(F.array_intersect("tok1", "tok2")).cast("double")
-    union = (
-        F.size("tok1") + F.size("tok2") - F.size(F.array_intersect("tok1", "tok2"))
-    ).cast("double")
+    # length prefilter: jac = |∩|/|∪| ≤ min(|a|,|b|)/max(|a|,|b|), so a
+    # pair whose size ratio is below τ can never verify — skip its
+    # intersect entirely. The 1e-6 slack covers the post-round ≥ τ
+    # comparison below (rounding can lift jac by at most 5e-7).
+    prefilter = F.least(F.size("tok1"), F.size("tok2")) >= (threshold - 1e-6) * F.greatest(
+        F.size("tok1"), F.size("tok2")
+    )
+    inter = F.size(F.array_intersect("tok1", "tok2"))
     cross = (
         cands.join(side1, "d1")
         .join(side2, "d2")
+        .filter(prefilter)
+        .withColumn("inter", inter)
         # try_divide: identical-but-empty token sets never occur here
         # (filtered up front), but keep division NULL-safe under ANSI
-        .withColumn("jac", F.round(F.try_divide(inter, union), 6))
+        .withColumn(
+            "jac",
+            F.round(
+                F.try_divide(
+                    F.col("inter").cast("double"),
+                    (F.size("tok1") + F.size("tok2") - F.col("inter")).cast("double"),
+                ),
+                6,
+            ),
+        )
         .filter(F.col("jac") >= threshold)
         .select(F.explode("mem1").alias("a"), "mem2", "jac")
         .select("a", F.explode("mem2").alias("b"), "jac")
