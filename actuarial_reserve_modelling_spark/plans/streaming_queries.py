@@ -222,3 +222,29 @@ def t6_stream_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
+
+
+@register(
+    "t8_stream_static_join",
+    "T1,J1 (stream ⋈ static dimension)",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    (batch) dimension table, then aggregated. Structured Streaming
+    re-plans the static side per micro-batch and — the dimension being
+    broadcast-sized — every micro-batch executes a broadcast hash join:
+    no state store involvement for the join itself, which is why
+    stream-static is the scalable way to do dimension enrichment (vs a
+    stateful stream-stream join). Result must equal the batch join."""
+    stream, _ = events_stream_source(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return run_to_table(agg, output_mode="complete")

@@ -414,3 +414,49 @@ def f8_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status", "prio")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "j5b_asof_tolerance",
+    "J5 (strict inequality + tolerance)",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.ts END
+               AS ts_click,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN round(c.value, 4) END AS value_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+)
+def j5b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join variant: strictly-before match (allow_exact_matches
+    False) with a 30-minute tolerance — matches older than the window
+    are nulled, pandas merge_asof semantics. Same single-shuffle
+    union+window plan as j5; the oracle is DuckDB's native ASOF JOIN
+    (strict '>') with the tolerance applied as a CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        value_cols=["ts", "value"],
+        suffix="_click",
+        allow_exact_matches=False,
+        right_tiebreak="event_id",
+        tolerance="30 MINUTE",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_click",
+        F.round("value_click", 4).alias("value_click"),
+    )

@@ -149,3 +149,37 @@ def w8_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "w12_scd2_dimension",
+    "W2,F4 (SCD2 changelog → validity intervals)",
+    oracle="""
+    WITH ch AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM events WHERE user_id < 20
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL AS is_current
+    FROM ch
+    """,
+)
+def w12_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: turn a changelog into
+    validity intervals — each change row's valid_to is the next change's
+    timestamp (lead over the entity key; event_id tiebreaks equal
+    timestamps deterministically), open intervals flagged current. One
+    shuffle on the entity key; the standard warehouse pattern for
+    dimension history at any scale (entities partition independently)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
