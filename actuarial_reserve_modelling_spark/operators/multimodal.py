@@ -153,3 +153,50 @@ def resize_media(
     return spread_for_kernel(media.select("doc_id", payload_col)).mapInPandas(
         kernel, schema=schema
     )
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.DoubleType()),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame_bytes: int = 64) -> DataFrame:
+    """Audio analogue of frame_sample: split each payload into
+    fixed-size frames and compute per-frame RMS energy — the shape of
+    every windowed audio featurizer (VAD, loudness normalization,
+    silence trimming). DETERMINISTIC FAKE decode: the byte stream IS
+    the sample stream (uint8 PCM stand-in); a real build decodes the
+    container first (decode_media) and keeps the same 1-row-per-frame
+    aggregate contract. Arrow kernel, vectorized per batch: one
+    reduceat over the concatenated frame boundaries, no per-sample
+    Python."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ns, en = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                if len(buf) == 0:
+                    continue
+                n_frames = int(np.ceil(len(buf) / frame_bytes))
+                bounds = np.arange(n_frames) * frame_bytes
+                sums = np.add.reduceat(buf * buf, bounds)
+                counts = np.diff(np.append(bounds, len(buf)))
+                rms = np.sqrt(sums / counts)
+                ids.extend([int(doc_id)] * n_frames)
+                fidx.extend(range(n_frames))
+                ns.extend(int(c) for c in counts)
+                en.extend(round(float(r), 6) for r in rms)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fidx, "n_samples": ns, "energy": en}
+            )
+
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    return spread_for_kernel(media.select("doc_id", "payload")).mapInPandas(
+        kernel, schema=ENERGY_SCHEMA
+    )

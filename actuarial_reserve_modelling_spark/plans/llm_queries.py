@@ -582,3 +582,43 @@ def l6_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media)
     meta = media.select("doc_id", F.col("meta.mime").alias("mime"))
     return feats.join(meta, "doc_id").select("doc_id", "byte_len", "feat0", "mime")
+
+
+@register(
+    "l6d_audio_frame_energy",
+    "L6 (audio frame-energy plumbing)",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE doc_id % 29 = 3
+    ),
+    fr AS (
+        SELECT doc_id, text, n,
+               unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS frame_idx
+        FROM d
+    ),
+    s AS (
+        SELECT doc_id, frame_idx,
+               list_transform(
+                   range(frame_idx * 64 + 1, least((frame_idx + 1) * 64, n) + 1),
+                   i -> ascii(substr(text, CAST(i AS INT), 1))
+               ) AS b
+        FROM fr
+    )
+    SELECT doc_id, frame_idx, CAST(len(b) AS BIGINT) AS n_samples,
+           round(sqrt(list_sum(list_transform(b, x -> x * x))
+                      / CAST(len(b) AS DOUBLE)), 6) AS energy
+    FROM s
+    """,
+)
+def l6d_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-featurizer plumbing: payload → fixed-size frames → per-
+    frame RMS energy (deterministic uint8-PCM fake; a real build swaps
+    in the codec, keeps the 1-row-per-frame aggregate contract). The
+    oracle recomputes the exact per-frame energies from the source text
+    (ASCII corpus ⇒ byte value == ascii(char)) — content-pinning the
+    Arrow kernel's arithmetic, not just its row counts."""
+    from actuarial_reserve_modelling_spark.operators.multimodal import audio_frame_energy
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 3)
+    return audio_frame_energy(attach_binary_payload(docs), frame_bytes=64)
