@@ -132,6 +132,12 @@ ALLOWED: dict[str, Allow] = {
         probe=_scalar_agg("lineitem", lambda: F.sum("l_quantity").alias("s")),
         max_rows=1,
     ),
+    "q11_important_stock": Allow(
+        "BroadcastNestedLoopJoin",
+        "one-row (total, n) scalar broadcast (decorrelated Q11 threshold)",
+        probe=_scalar_agg("lineitem", lambda: F.sum("l_extendedprice").alias("s")),
+        max_rows=1,
+    ),
     "q22_global_sales_opportunity": Allow(
         "BroadcastNestedLoopJoin",
         "one-row global-average scalar broadcast (Q22 decorrelation)",
