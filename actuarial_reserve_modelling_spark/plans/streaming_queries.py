@@ -248,3 +248,32 @@ def t8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
     return run_to_table(agg, output_mode="complete")
+
+
+@register(
+    "t9_stateful_counters",
+    "T4 extension, U3 (applyInPandasWithState custom stateful operator)",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def t9_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the oracle: per-user
+    running (count, sum) maintained in the state store via
+    applyInPandasWithState — the escape hatch for stateful logic the
+    built-in windows can't express. Update mode emits one row per user
+    per touched micro-batch; the final update per user (max n_events —
+    counts strictly increase) must equal the batch aggregate."""
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        stateful_user_counters,
+    )
+
+    stream, _ = events_stream_source(spark, sf_dir)
+    updates = run_to_table(stateful_user_counters(stream), output_mode="update")
+    final = F.max_by(F.struct("n_events", "total_value"), "n_events").alias("s")
+    return updates.groupBy("user_id").agg(final).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.total_value").alias("total_value"),
+    )

@@ -209,7 +209,10 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 6)))
+        # state carries the UNROUNDED total (rounding only at emit):
+        # re-rounding per micro-batch would compound up to 5e-7 of error
+        # per trigger and drift from the batch answer's single rounding
+        state.update((n, total))
         import pandas as pd  # local import: runs on executors
 
         yield pd.DataFrame(
