@@ -151,3 +151,73 @@ def content_fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.substring(F.md5(normalized), 1, 16).alias("fingerprint")
     )
+
+
+def word_shingles(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """Word n-gram shingles per document, hashed to 64-bit (xxhash64 of
+    the space-joined gram) — the unit of benchmark decontamination and
+    repetition scoring. JVM-side: tokenize → sliding slice → hash, all
+    inside codegen; only (doc_id, shingle bigint) rows leave the stage.
+    Docs with fewer than ``n`` words emit nothing."""
+    toks = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> xxhash64(concat_ws(' ', slice(_toks, i, {n}))))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+    )
+
+
+def decontaminate(
+    train: DataFrame, benchmark: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least one word n-gram with any benchmark document, with the count
+    of distinct contaminated shingles per doc.
+
+    The scale shape: the benchmark shingle set is bounded (eval suites
+    are tiny next to a 100 TB corpus), so it broadcasts and the training
+    side streams through a broadcast semi-ish join — no shuffle of the
+    corpus. Returns (doc_id, n_contaminated) for flagged docs only.
+    """
+    bench_shingles = (
+        word_shingles(benchmark, n=n, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        word_shingles(train, n=n, text_col=text_col)
+        .join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_contaminated"))
+    )
+
+
+def repetition_scores(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Within-document repetition: fraction of word n-gram occurrences
+    that are repeats of an earlier n-gram (Gopher-style quality rule —
+    high repetition flags boilerplate/spam). Pure per-row expression:
+    rep = 1 − distinct/total over the doc's own shingles; no shuffle at
+    all, and so corpus-size-independent."""
+    toks = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+    grams = F.expr(
+        f"transform(sequence(1, size(_toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+    )
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select("doc_id", grams.alias("_grams"))
+        .select(
+            "doc_id",
+            F.size("_grams").cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct("_grams")).cast("bigint").alias("n_distinct"),
+            F.round(
+                1 - F.size(F.array_distinct("_grams")) / F.size("_grams").cast("double"),
+                6,
+            ).alias("repetition"),
+        )
+    )

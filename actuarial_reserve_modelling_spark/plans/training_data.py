@@ -155,3 +155,78 @@ def l15_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), "word")
         .limit(50)
     )
+
+
+@register(
+    "l16_decontamination",
+    "L5,J3 (benchmark n-gram decontamination)",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(ws) - 1),
+                   i -> array_to_string(list_slice(ws, i, i + 2), ' ')
+               )) AS shingle
+        FROM tok WHERE len(ws) >= 3
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 5
+    )
+    SELECT s.doc_id, count(DISTINCT s.shingle) AS n_contaminated
+    FROM sh s JOIN bench USING (shingle)
+    WHERE s.doc_id % 101 <> 5
+    GROUP BY s.doc_id
+    """,
+)
+def l16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram with the held-out benchmark slice (doc_id % 101 = 5), with
+    the distinct contaminated-shingle count. The benchmark shingle set
+    is bounded → broadcast; the corpus side never shuffles documents,
+    only (doc_id, shingle-hash) rows that survive the broadcast join.
+    Shingles are xxhash64'd JVM-side in Spark; the oracle joins the raw
+    gram strings — identical sets because the hash is injective on this
+    corpus (and the count compares distinct elements, not hashes)."""
+    from actuarial_reserve_modelling_spark.operators.textstats import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 5)
+    train = docs.filter(F.col("doc_id") % 101 != 5)
+    return decontaminate(train, bench, n=3)
+
+
+@register(
+    "l5j_repetition",
+    "L5 (within-doc n-gram repetition quality rule)",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents WHERE doc_id % 17 = 2
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(ws) - 1),
+                              i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+                   AS grams
+        FROM tok WHERE len(ws) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           round(1 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+               AS repetition
+    FROM g
+    """,
+)
+def l5j_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rule: fraction of word 3-gram
+    occurrences that repeat an earlier gram in the same document. Pure
+    per-row array expression — zero shuffles, corpus-size-independent."""
+    from actuarial_reserve_modelling_spark.operators.textstats import repetition_scores
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 2)
+    return repetition_scores(docs, n=3)
