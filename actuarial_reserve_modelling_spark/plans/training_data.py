@@ -27,7 +27,7 @@ _TOK_DUCK = "len(list_filter(string_split(text, ' '), w -> w <> ''))"
 
 @register(
     "l12_train_test_split",
-    "L5 (dataset split; map-side hash assignment)",
+    "D1 (dataset split; map-side hash assignment)",
     oracle="""
     WITH b AS (
         SELECT doc_id, lang,
@@ -55,7 +55,7 @@ def l12_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l13_stratified_sample",
-    "L5,W1 (exact per-stratum quota sampling)",
+    "D2,W1 (exact per-stratum quota sampling)",
     oracle="""
     WITH r AS (
         SELECT doc_id, lang, source,
@@ -81,7 +81,7 @@ def l13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l14_sequence_packing",
-    "L5,W3 (concatenate-and-chunk context packing)",
+    "D3,W3 (concatenate-and-chunk context packing)",
     oracle=f"""
     WITH t AS (
         SELECT doc_id, source,
@@ -119,7 +119,7 @@ def l14_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l15_vocab_topk",
-    "L5,A4,O3 (corpus vocabulary statistics)",
+    "D4,A4,O3 (corpus vocabulary statistics)",
     oracle=f"""
     WITH w AS (
         SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
@@ -159,7 +159,7 @@ def l15_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l16_decontamination",
-    "L5,J3 (benchmark n-gram decontamination)",
+    "D5,J3 (benchmark n-gram decontamination)",
     oracle="""
     WITH tok AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -201,7 +201,7 @@ def l16_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l5j_repetition",
-    "L5 (within-doc n-gram repetition quality rule)",
+    "D6,L5 (within-doc n-gram repetition quality rule)",
     oracle="""
     WITH tok AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
