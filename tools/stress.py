@@ -157,6 +157,81 @@ def main() -> None:
         "sec": round(time.time() - t0, 2),
     }
 
+    # 5) training-data prep ops on mult× documents (unique ids per
+    #    replica): split assignment is map-side (should scale ~linearly
+    #    with input), stratified sampling and packing are one bounded
+    #    window shuffle each, decontamination is a broadcast join whose
+    #    probe side is the corpus shingle stream.
+    from actuarial_reserve_modelling_spark.operators.textstats import decontaminate
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        hash_split,
+        pack_sequences,
+        stratified_sample,
+    )
+
+    repsm = spark.range(mult).select(F.col("id").alias("rep"))
+    big_corpus = (
+        docs.crossJoin(repsm)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+        )
+        .localCheckpoint(eager=True)
+    )
+    nm = big_corpus.count()
+
+    t0 = time.time()
+    n_train = hash_split(big_corpus.select("doc_id")).filter(
+        F.col("split") == "train"
+    ).count()
+    out["hash_split"] = {
+        "docs": nm,
+        "train": n_train,
+        "sec": round(time.time() - t0, 2),
+        "docs_per_sec": round(nm / (time.time() - t0)),
+    }
+
+    t0 = time.time()
+    n_sample = stratified_sample(
+        big_corpus.select("doc_id", "lang"), "lang", 0.2
+    ).count()
+    out["stratified_sample"] = {
+        "docs": nm,
+        "sampled": n_sample,
+        "sec": round(time.time() - t0, 2),
+    }
+
+    t0 = time.time()
+    packed = pack_sequences(
+        big_corpus.select(
+            "doc_id",
+            "source",
+            F.expr("size(filter(split(text, ' '), w -> w != ''))")
+            .cast("bigint")
+            .alias("tok_cnt"),
+        ),
+        tok_col="tok_cnt",
+        capacity=512,
+    )
+    n_seqs = packed.agg(F.count_distinct("source", "seq_id")).collect()[0][0]
+    out["pack_sequences"] = {
+        "docs": nm,
+        "sequences": n_seqs,
+        "sec": round(time.time() - t0, 2),
+    }
+
+    bench_slice = docs.filter(F.col("doc_id") % 101 == 5)
+    t0 = time.time()
+    n_cont = decontaminate(big_corpus, bench_slice, n=3).count()
+    out["decontaminate"] = {
+        "docs": nm,
+        "contaminated": n_cont,
+        "sec": round(time.time() - t0, 2),
+        "docs_per_sec": round(nm / (time.time() - t0)),
+    }
+
     print(json.dumps({"multiplier": mult, "sf_dir": sf_dir, "results": out}))
 
 
