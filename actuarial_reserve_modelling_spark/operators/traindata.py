@@ -119,7 +119,11 @@ def pack_sequences(
         .withColumn("seq_off", (F.col("start_tok") % capacity).cast("bigint"))
         .withColumn(
             "straddles",
-            F.floor((F.col("start_tok") + F.col(tok_col) - 1) / capacity) != F.col("seq_id"),
+            # greatest(tok, 1): a zero-token document occupies no space
+            # and can never straddle (without the clamp, start−1 at a
+            # window boundary would point into the previous window)
+            F.floor((F.col("start_tok") + F.greatest(F.col(tok_col), F.lit(1)) - 1) / capacity)
+            != F.col("seq_id"),
         )
         .drop("start_tok")
     )

@@ -98,8 +98,8 @@ def l13_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, tok_cnt,
            CAST(floor(start_tok / 512) AS BIGINT) AS seq_id,
            CAST(start_tok % 512 AS BIGINT) AS seq_off,
-           floor((start_tok + tok_cnt - 1) / 512) <> floor(start_tok / 512)
-               AS straddles
+           floor((start_tok + greatest(tok_cnt, 1) - 1) / 512)
+               <> floor(start_tok / 512) AS straddles
     FROM s
     """,
 )

@@ -70,8 +70,20 @@ def test_pack_sequences_window_algebra(spark):
         # straddles ⇔ the document crosses a capacity boundary
         bad = packed.filter(
             F.col("straddles")
-            != (F.floor((F.col("seq_off") + F.col("tok_cnt") - 1) / cap) > 0)
+            != (F.floor((F.col("seq_off") + F.greatest(F.col("tok_cnt"), F.lit(1)) - 1) / cap) > 0)
         )
         assert bad.count() == 0
     finally:
         packed.unpersist()
+
+
+def test_pack_sequences_zero_token_doc_never_straddles(spark):
+    rows = [(1, "a", 512), (2, "a", 0), (3, "a", 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "tok_cnt"])
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_off"], r["straddles"])
+        for r in pack_sequences(df, tok_col="tok_cnt", capacity=512).collect()
+    }
+    assert got[1] == (0, 0, False)  # fills window 0 exactly
+    assert got[2] == (1, 0, False)  # zero-width doc at a boundary: no straddle
+    assert got[3] == (1, 0, False)
