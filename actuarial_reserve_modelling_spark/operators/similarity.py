@@ -399,3 +399,182 @@ def hash_embed(
         f" / {float(1 << 53)} * 2.0 - 1.0 as float))"
     )
     return df.select(F.col(id_col), F.expr(comp).alias("embedding"))
+
+
+# --- PQ (product quantization) ANN ------------------------------------------
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> np.ndarray:
+    """Train PQ codebooks: split the d dims into ``m_subspaces``
+    contiguous subspaces and run the deterministic k-means quantizer
+    (ivf_train_centroids — same data-derived init, tie-break, and
+    decimal-exact mean rules) on each subspace's sub-vectors.
+
+    Returns (m, n_codes, d/m) float64. Codebooks total
+    m · n_codes · d/m = n_codes · d doubles — driver-resident and
+    broadcast, like IVF centroids; training is m small k-means over
+    column slices (JVM-side ``slice``, no Python until the kernel).
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    ds = dim // m_subspaces
+    books = []
+    for j in range(m_subspaces):
+        sub = embeddings.select(
+            F.col(id_col), F.slice(vec_col, j * ds + 1, ds).alias(vec_col)
+        )
+        books.append(
+            ivf_train_centroids(
+                sub, n_centroids=n_codes, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+            )
+        )
+    return np.stack(books)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte-ish code indices (nearest
+    codebook entry per subspace, L2, ties → lowest index). THE
+    compression step that makes 100 TB similarity search feasible: a
+    64-dim float vector (256 B) becomes m=8 small ints; the ADC scan
+    then reads codes only, never raw vectors. One Arrow pass,
+    (batch × ds) @ (ds × n_codes) per subspace."""
+    m, n_codes, ds = codebooks.shape
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    books_sq = (books * books).sum(axis=2)  # (m, n_codes)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], "codes": []})
+                continue
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n = len(vecs)
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                sub = vecs[:, j * ds : (j + 1) * ds]
+                d2 = books_sq[j][None, :] - 2.0 * (sub @ books[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)  # first minimum = lowest idx
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    return spread_for_kernel(embeddings.select(id_col, vec_col)).mapInPandas(
+        kernel, schema=schema
+    )
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank: int = 4,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC; Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI'11):
+    codebooks → corpus encoded to m-byte codes → per query an
+    (m × n_codes) inner-product lookup table scores every code word in
+    O(m) — no raw corpus vectors touched — → exact cosine re-rank of
+    the top ``rerank · k`` ADC candidates only.
+
+    The 100 TB shape: the scan side is the CODES table (32× smaller
+    than the raw vectors; in production persisted once and reused every
+    query batch), queries broadcast with their LUTs computed in-kernel,
+    and the only full-width vector reads are the rerank·k candidates
+    per query. Deterministic end to end (quantizer rules + stable
+    argsort + id tie-breaks).
+    """
+    codebooks = pq_train_codebooks(
+        embeddings,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    codes = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    m, _, ds = codebooks.shape
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def adc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []})
+                continue
+            qv = np.array([np.asarray(v, dtype=np.float64) for v in pdf["qvec"]])
+            cds = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            # LUT per row: IP contribution of each subspace's code word
+            # against THIS row's query subvector
+            adc = np.zeros(len(pdf))
+            for j in range(m):
+                lut = qv[:, j * ds : (j + 1) * ds] @ books[j].T  # (n, n_codes)
+                adc += lut[np.arange(len(pdf)), cds[:, j]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "adc": adc,
+                }
+            )
+
+    paired = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = paired.mapInPandas(adc_kernel, schema=out_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
+    cand = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    exact = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cosine("qvec", "cvec"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

@@ -342,6 +342,22 @@ def l3c_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=6)
 
 
+@register("l3d_ann_pq_topk", "L3", oracle=None)
+def l3d_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization + ADC (Jegou et al.
+    TPAMI'11): 8 subspaces x 16 codes (32x vector compression), the
+    scan reads codes only, exact cosine re-rank of the top-8k ADC
+    candidates. The memory-bound 100 TB scale path next to LSH (l3b)
+    and IVF (l3c). Approximate => rows-only check + recall test
+    (measured 0.74 on uniform vectors — PQ's worst case; clustered
+    real embeddings recall far higher at the same code budget)."""
+    from actuarial_reserve_modelling_spark.operators.similarity import ann_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_pq_topk(emb, queries, k=5, m_subspaces=8, n_codes=16, rerank=8)
+
+
 @register(
     "l5_text_stats",
     "L5",

@@ -111,6 +111,12 @@ ALLOWED: dict[str, Allow] = {
         probe=_l3_queries,
         max_rows=1_000,
     ),
+    "l3d_ann_pq_topk": Allow(
+        "BroadcastNestedLoopJoin",
+        "ADC scan: bounded query set (vec_id<10) broadcast against the m-byte codes table — the PQ design scans codes, never raw vectors",
+        probe=_l3_queries,
+        max_rows=1_000,
+    ),
     "l4_cosine_pairs": Allow(
         "BroadcastNestedLoopJoin",
         "exact all-pairs baseline on the bounded embeddings table; ANN is the scale path",
