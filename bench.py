@@ -74,12 +74,21 @@ def main() -> None:
         load_table(spark, sf_dir, "documents").limit(64), threshold=0.95
     ).write.mode("overwrite").format("noop").save()
 
+    # two passes per query: pass 1 (cold — includes per-plan codegen and
+    # cache warm-up) is the HEADLINE number, directly comparable to the
+    # BASELINE.md band which was measured the same way; pass 2 (steady)
+    # is reported alongside so plan-compile overhead vs execution cost
+    # is visible — at sf0.1 several headliners are compile-dominated,
+    # and the steady number is the one that extrapolates to a long-lived
+    # cluster session.
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name, fn in _bench_queries(spark, sf_dir).items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        for target in (timings, steady):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            target[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -89,6 +98,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "steady_queries": steady,
+                "steady_total": round(sum(steady.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
