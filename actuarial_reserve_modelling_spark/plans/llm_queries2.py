@@ -412,3 +412,41 @@ def l5i_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("doc_id", F.round("bm25", 6).alias("bm25"), "rnk")
     )
+
+
+@register(
+    "ts2_ewma",
+    "W3 analogue (banded weighted aggregation), J4",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, ts, value, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events WHERE user_id < 10
+    )
+    SELECT c.user_id, c.ts, round(c.value, 4) AS value,
+           round(sum(pow(0.9, c.rn - h.rn) * h.value)
+                 / sum(pow(0.9, c.rn - h.rn)), 6) AS ewma
+    FROM b c JOIN b h
+      ON c.user_id = h.user_id AND h.rn <= c.rn AND h.rn > c.rn - 20
+    GROUP BY c.user_id, c.ts, c.value, c.rn
+    """,
+)
+def ts2_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (α=0.1, 20-lag horizon) per user over the event
+    stream — the monitoring/feature-store smoothing primitive. The
+    infinite-history recurrence is sequential and numerically explosive
+    in window form; the horizon truncation turns it into a banded
+    row-number self-join (exact to within (1-α)^20 < 13% weight mass
+    here, and normalized so early rows are unbiased), shuffling only on
+    the key. Oracle: the identical formulation in DuckDB."""
+    from actuarial_reserve_modelling_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    out = ewma(
+        ev, ts_col="ts", value_col="value", keys=["user_id"],
+        alpha=0.1, horizon=20, tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "ts", F.round("value", 4).alias("value"), "ewma"
+    )
