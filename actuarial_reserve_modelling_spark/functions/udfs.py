@@ -61,3 +61,18 @@ def group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
 def register_udfs(spark: SparkSession) -> None:
     """Register the SQL-callable UDF surface (spark.udf.register)."""
     spark.udf.register("expected_reserve", expected_reserve_udf)
+
+
+@pandas_udf(T.DoubleType())
+def trimmed_mean_udf(v: pd.Series) -> float:
+    """U2 grouped-aggregate form: 10%-trimmed mean as a GROUPED_AGG
+    pandas_udf (Series → scalar) — the vectorized custom-aggregate
+    escape hatch (robust statistics, sketches, model-eval metrics that
+    SQL aggregates can't express). Usable in groupBy().agg() and over
+    unbounded windows; Spark runs it per group on Arrow batches with
+    partial aggregation disabled (a custom agg can't split), so groups
+    shuffle whole — size strata accordingly."""
+    a = np.sort(v.to_numpy(dtype="float64"))
+    k = int(len(a) * 0.1)
+    core = a[k : len(a) - k] if len(a) > 2 * k else a
+    return round(float(core.mean()), 6)

@@ -184,3 +184,43 @@ def u2c_segment_reserves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("expected_reserve"),
     )
+
+
+@register(
+    "u2d_grouped_agg_udf",
+    "U2 (GROUPED_AGG pandas_udf)",
+    oracle="""
+    WITH r AS (
+        SELECT c_mktsegment, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal) AS rn,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           round(avg(c_acctbal), 6) AS trimmed_mean,
+           CAST(max(n) AS BIGINT) AS n_customers
+    FROM r
+    WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+    GROUP BY c_mktsegment
+    """,
+)
+def u2d_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (Series → scalar): 10%-trimmed mean of
+    account balance per market segment — completes the pandas-UDF
+    taxonomy next to scalar (u2), grouped-map (u3), UDTF (u4b), and
+    mapInPandas (u1). The oracle reproduces the trim with window
+    row-number arithmetic (value-sorted; the retained multiset is
+    tie-permutation-invariant, so the mean matches exactly)."""
+    from actuarial_reserve_modelling_spark.functions.udfs import trimmed_mean_udf
+
+    cust = load_table(spark, sf_dir, "customer")
+    # a GROUPED_AGG UDF can't share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — compute the plain count in its
+    # own aggregate and join on the group key
+    tm = cust.groupBy("c_mktsegment").agg(
+        trimmed_mean_udf("c_acctbal").alias("trimmed_mean")
+    )
+    n = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+    return tm.join(n, "c_mktsegment")
