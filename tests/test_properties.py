@@ -201,3 +201,55 @@ def test_dedup_clusters_equals_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {v: find(v) for v in parent}
     assert got == expected
+
+
+@_slow
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=60),
+    cap=st.integers(min_value=8, max_value=600),
+)
+def test_pack_sequences_matches_python_reference(spark, toks, cap):
+    """pack_sequences equals the sequential concatenate-and-chunk
+    reference for arbitrary token counts and capacities."""
+    from actuarial_reserve_modelling_spark.operators.traindata import pack_sequences
+
+    rows = [(i, "s", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "tok_cnt"])
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_off"], r["straddles"])
+        for r in pack_sequences(df, tok_col="tok_cnt", capacity=cap).collect()
+    }
+    start = 0
+    for i, t in enumerate(toks):
+        seq_id, seq_off = start // cap, start % cap
+        straddles = (start + max(t, 1) - 1) // cap != seq_id
+        assert got[i] == (seq_id, seq_off, straddles), (i, t, got[i])
+        start += t
+
+
+@_slow
+@given(
+    langs=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40),
+    frac=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_stratified_sample_quota_property(spark, langs, frac):
+    """Every stratum contributes exactly ceil(frac·n) rows, regardless
+    of strata sizes and fraction."""
+    import math
+
+    from pyspark.sql import functions as SF
+
+    from actuarial_reserve_modelling_spark.operators.traindata import stratified_sample
+
+    rows = [(i, lang) for i, lang in enumerate(langs)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    sizes = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(SF.count("*").alias("n")).collect()}
+    got = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(df, "lang", frac)
+        .groupBy("lang")
+        .agg(SF.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in sizes.items():
+        assert got.get(lang, 0) == math.ceil(frac * n), (lang, n, frac)
