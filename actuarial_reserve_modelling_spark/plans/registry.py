@@ -92,6 +92,16 @@ _ROUND4_FRONT = [
     "o6_tablesample",
 ]
 
+# Round-5 rotation TODO: once CORRECTNESS_r04 lands, front-load the
+# round-4 additions (never driver-sampled): q2_min_cost_supplier,
+# q6_forecast_revenue, q11_important_stock, l12_train_test_split,
+# l13_stratified_sample, l14_sequence_packing, l15_vocab_topk,
+# l16_decontamination, l5j_repetition, t8_stream_static_join,
+# t9_stateful_counters, w12_scd2_dimension, j5b_asof_tolerance,
+# l6d_audio_frame_energy, ts2_ewma, u2d_grouped_agg_udf, plus
+# o6_tablesample (fell just outside the r4 window) and any r4 window
+# entries the driver did not reach.
+
 
 def register(name: str, survey_rows: str, oracle: str | None = None):
     """Decorator: add a query builder to the registry."""
