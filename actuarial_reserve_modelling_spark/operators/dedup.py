@@ -241,30 +241,58 @@ def _verify_jaccard_tokens(
         hashed.select(F.col("doc_id").alias("d2"), F.col("tokens").alias("tok2")),
         broadcast_tokens,
     )
-    # length prefilter: jac ≤ min(|a|,|b|)/max(|a|,|b|) — pairs whose
-    # size ratio is under τ are dropped before paying for the intersect
-    prefilter = F.least(F.size("tok1"), F.size("tok2")) >= F.lit(threshold) * F.greatest(
-        F.size("tok1"), F.size("tok2")
+    joined = candidates.join(t1, "d1").join(t2, "d2")
+    return _jaccard_score_filter(joined, threshold, round_before_filter=False).select(
+        "d1", "d2", "jac"
     )
-    inter = F.size(F.array_intersect("tok1", "tok2"))
-    return (
-        candidates.join(t1, "d1")
-        .join(t2, "d2")
-        .filter(prefilter)
-        .withColumn("inter", inter)
+
+
+def _jaccard_score_filter(
+    joined: DataFrame, threshold: float, round_before_filter: bool
+) -> DataFrame:
+    """Shared exact-Jaccard verify over a frame carrying ``tok1``/``tok2``
+    hashed-token arrays: length prefilter → single array_intersect →
+    threshold filter; adds a ``jac`` column (rounded to 6 dp).
+
+    ``round_before_filter`` pins WHICH value the threshold compares:
+    True rounds first (callers whose oracle filters the rounded value —
+    the fused minhash path), and the length prefilter then carries a
+    1e-6 slack because rounding can lift jac by up to 5e-7; False
+    filters the raw value (verify_jaccard's contract) and the prefilter
+    is slack-free. Keeping both modes in ONE helper is the point — the
+    prefilter slack and the filter operand must change together or the
+    prefilter silently drops qualifying pairs.
+    """
+    slack = 1e-6 if round_before_filter else 0.0
+    # length prefilter: jac = |∩|/|∪| ≤ min(|a|,|b|)/max(|a|,|b|) — a
+    # pair whose size ratio is under τ can never verify; skip its
+    # intersect entirely
+    prefilter = F.least(F.size("tok1"), F.size("tok2")) >= (
+        F.lit(threshold) - F.lit(slack)
+    ) * F.greatest(F.size("tok1"), F.size("tok2"))
+    out = (
+        joined.filter(prefilter)
+        .withColumn("_inter", F.size(F.array_intersect("tok1", "tok2")))
         # try_divide: two token-less docs (union=0) are NULL → dropped by
         # the threshold filter, matching the oracle where such docs never
         # enter the words set. Plain '/' hard-fails under ANSI mode.
         .withColumn(
-            "jac",
+            "_raw_jac",
             F.try_divide(
-                F.col("inter").cast("double"),
-                (F.size("tok1") + F.size("tok2") - F.col("inter")).cast("double"),
+                F.col("_inter").cast("double"),
+                (F.size("tok1") + F.size("tok2") - F.col("_inter")).cast("double"),
             ),
         )
-        .filter(F.col("jac") >= threshold)
-        .select("d1", "d2", F.round("jac", 6).alias("jac"))
     )
+    if round_before_filter:
+        out = out.withColumn("jac", F.round("_raw_jac", 6)).filter(
+            F.col("jac") >= threshold
+        )
+    else:
+        out = out.filter(F.col("_raw_jac") >= threshold).withColumn(
+            "jac", F.round("_raw_jac", 6)
+        )
+    return out.drop("_inter", "_raw_jac")
 
 
 def minhash_near_dup_pairs(
@@ -364,33 +392,13 @@ def minhash_near_dup_pairs(
         ),
         broadcast_verify,
     )
-    # length prefilter: jac = |∩|/|∪| ≤ min(|a|,|b|)/max(|a|,|b|), so a
-    # pair whose size ratio is below τ can never verify — skip its
-    # intersect entirely. The 1e-6 slack covers the post-round ≥ τ
-    # comparison below (rounding can lift jac by at most 5e-7).
-    prefilter = F.least(F.size("tok1"), F.size("tok2")) >= (threshold - 1e-6) * F.greatest(
-        F.size("tok1"), F.size("tok2")
+    # round_before_filter: the DuckDB oracle filters round(jac, 6) ≥ τ,
+    # so the verify must compare the rounded value too
+    verified = _jaccard_score_filter(
+        cands.join(side1, "d1").join(side2, "d2"), threshold, round_before_filter=True
     )
-    inter = F.size(F.array_intersect("tok1", "tok2"))
     cross = (
-        cands.join(side1, "d1")
-        .join(side2, "d2")
-        .filter(prefilter)
-        .withColumn("inter", inter)
-        # try_divide: identical-but-empty token sets never occur here
-        # (filtered up front), but keep division NULL-safe under ANSI
-        .withColumn(
-            "jac",
-            F.round(
-                F.try_divide(
-                    F.col("inter").cast("double"),
-                    (F.size("tok1") + F.size("tok2") - F.col("inter")).cast("double"),
-                ),
-                6,
-            ),
-        )
-        .filter(F.col("jac") >= threshold)
-        .select(F.explode("mem1").alias("a"), "mem2", "jac")
+        verified.select(F.explode("mem1").alias("a"), "mem2", "jac")
         .select("a", F.explode("mem2").alias("b"), "jac")
         .select(
             F.least("a", "b").alias("d1"), F.greatest("a", "b").alias("d2"), "jac"

@@ -257,18 +257,20 @@ def s2_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole directory as ONE table, and recover each row's origin via
     ``input_file_name()`` — grouping by the parsed provenance must
     reproduce the per-segment aggregate computed directly."""
-    import tempfile
+    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
 
-    out = tempfile.mkdtemp(prefix="arm_s2_") + "/cust_csv"
-    cust = load_table(spark, sf_dir, "customer")
-    (
-        cust.select("c_custkey", "c_acctbal", "c_mktsegment")
-        .repartition(2, F.col("c_mktsegment"))
-        .write.mode("overwrite")
-        .partitionBy("c_mktsegment")
-        .option("header", True)
-        .csv(out)
-    )
+    root, fresh = staging_dir("s2", sf_dir)
+    out = root + "/cust_csv"
+    if fresh:
+        cust = load_table(spark, sf_dir, "customer")
+        (
+            cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+            .repartition(2, F.col("c_mktsegment"))
+            .write.mode("overwrite")
+            .partitionBy("c_mktsegment")
+            .option("header", True)
+            .csv(out)
+        )
     # file-level glob defeats hive partition discovery: provenance must
     # come from input_file_name(), not a reconstructed partition column
     back = spark.read.schema("c_custkey bigint, c_acctbal double").option(
@@ -302,26 +304,31 @@ def s7_resume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY the missing ones via dynamic partition overwrite, and the final
     directory must aggregate identically to a fresh full write."""
     import os
-    import tempfile
 
-    from actuarial_reserve_modelling_spark.sources.sinks import overwrite_partitions
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        overwrite_partitions,
+        staging_dir,
+    )
 
-    out = tempfile.mkdtemp(prefix="arm_s7_") + "/orders"
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    )
-    # run 1: only status 'O' lands before the simulated failure
-    overwrite_partitions(
-        orders.filter(F.col("o_orderstatus") == "O"), out, ["o_orderstatus"]
-    )
-    # resume: done-set from the output listing; write only what's missing
-    done = [
-        d.split("=", 1)[1]
-        for d in os.listdir(out)
-        if d.startswith("o_orderstatus=")
-    ]
-    remaining = orders.filter(~F.col("o_orderstatus").isin(done))
-    overwrite_partitions(remaining, out, ["o_orderstatus"])
+    root, fresh = staging_dir("s7", sf_dir)
+    out = root + "/orders"
+    if fresh:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+        # run 1: only status 'O' lands before the simulated failure
+        overwrite_partitions(
+            orders.filter(F.col("o_orderstatus") == "O"), out, ["o_orderstatus"]
+        )
+        # resume: done-set from the output listing; write only what's
+        # missing
+        done = [
+            d.split("=", 1)[1]
+            for d in os.listdir(out)
+            if d.startswith("o_orderstatus=")
+        ]
+        remaining = orders.filter(~F.col("o_orderstatus").isin(done))
+        overwrite_partitions(remaining, out, ["o_orderstatus"])
     return (
         spark.read.parquet(out)
         .groupBy("o_orderstatus")

@@ -94,8 +94,12 @@ def w7_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "L2,F1",
     oracle="""
     WITH heads AS (
+        -- length(text) >= 24 mirrors levenshtein_pairs' documented
+        -- skip-short contract (strings shorter than q*(d+1) can't be
+        -- q-gram-blocked); without it a corpus with any short doc
+        -- would diverge from the Spark side
         SELECT doc_id, substr(text, 1, 24) AS head
-        FROM documents WHERE doc_id < 40
+        FROM documents WHERE doc_id < 40 AND length(text) >= 24
     )
     SELECT a.doc_id d1, b.doc_id d2,
            CAST(levenshtein(a.head, b.head) AS INT) AS dist
@@ -239,19 +243,21 @@ def s9_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the point (Spark writes shortest-round-trip doubles, so the re-read
     double is bit-identical). Explicit read schema: schema inference on
     JSON is a full extra pass at 100 TB and is never what you want."""
-    import tempfile
-
     from pyspark.sql import types as T
 
-    out = tempfile.mkdtemp(prefix="arm_s9_") + "/orders_json"
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 200 == 1)
-        .select(
-            "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
+
+    root, fresh = staging_dir("s9", sf_dir)
+    out = root + "/orders_json"
+    if fresh:
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 200 == 1)
+            .select(
+                "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+            )
         )
-    )
-    orders.write.mode("overwrite").json(out)
+        orders.write.mode("overwrite").json(out)
     schema = T.StructType(
         [
             T.StructField("o_orderkey", T.LongType()),
@@ -282,16 +288,18 @@ def s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches) is a non-starter at 100 TB. mergeSchema's footer-merge cost
     is per-file at plan time; pin the merged schema explicitly once it
     stabilizes."""
-    import tempfile
+    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
 
-    out = tempfile.mkdtemp(prefix="arm_s10_") + "/cust"
-    cust = load_table(spark, sf_dir, "customer")
-    cust.filter(F.col("c_custkey") % 4 == 0).select("c_custkey", "c_acctbal").write.parquet(
-        out + "/batch=1"
-    )
-    cust.filter(F.col("c_custkey") % 4 == 1).select(
-        "c_custkey", "c_acctbal", "c_mktsegment"
-    ).write.parquet(out + "/batch=2")
+    root, fresh = staging_dir("s10", sf_dir)
+    out = root + "/cust"
+    if fresh:
+        cust = load_table(spark, sf_dir, "customer")
+        cust.filter(F.col("c_custkey") % 4 == 0).select(
+            "c_custkey", "c_acctbal"
+        ).write.parquet(out + "/batch=1")
+        cust.filter(F.col("c_custkey") % 4 == 1).select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ).write.parquet(out + "/batch=2")
     merged = spark.read.option("mergeSchema", "true").parquet(out)
     return merged.groupBy("batch").agg(
         F.count(F.lit(1)).alias("n"),
@@ -339,11 +347,13 @@ def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet answer. ORC is the other columnar format Spark speaks
     natively (predicate pushdown, column pruning, zlib/zstd) — parity
     for shops whose lake is ORC/Hive."""
-    import tempfile
+    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
 
-    out = tempfile.mkdtemp(prefix="arm_s11_") + "/cust_orc"
-    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
-    cust.write.mode("overwrite").orc(out)
+    root, fresh = staging_dir("s11", sf_dir)
+    out = root + "/cust_orc"
+    if fresh:
+        cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+        cust.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")

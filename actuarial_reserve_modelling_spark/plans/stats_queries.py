@@ -262,13 +262,16 @@ def s6_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the direct answer. Puts the writer path inside the
     correctness gate; the re-read scan lists only the two matching
     partition directories (PartitionFilters)."""
-    import tempfile
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_dir,
+        write_partitioned_parquet,
+    )
 
-    from actuarial_reserve_modelling_spark.sources.sinks import write_partitioned_parquet
-
-    out = tempfile.mkdtemp(prefix="arm_s6_") + "/cust"
-    cust = load_table(spark, sf_dir, "customer")
-    write_partitioned_parquet(cust, out, ["c_mktsegment"])
+    root, fresh = staging_dir("s6", sf_dir)
+    out = root + "/cust"
+    if fresh:
+        cust = load_table(spark, sf_dir, "customer")
+        write_partitioned_parquet(cust, out, ["c_mktsegment"])
     back = spark.read.parquet(out).filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
@@ -351,11 +354,13 @@ def s5b_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundtrip must be lossless, including timestamp columns). ORC is the
     other columnar format a lake migration encounters; the plan is the
     same scan→agg shape with ORC's own predicate pushdown."""
-    import tempfile
+    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
 
-    out = tempfile.mkdtemp(prefix="arm_s5b_") + "/orders_orc"
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 1)
-    orders.write.mode("overwrite").orc(out)
+    root, fresh = staging_dir("s5b", sf_dir)
+    out = root + "/orders_orc"
+    if fresh:
+        orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 1)
+        orders.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -377,10 +382,12 @@ def s5c_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the source text. Pins escaping losslessness
     (quotes, newlines, unicode) through the JSON writer/reader pair, not
     just row counts."""
-    import tempfile
+    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
 
-    out = tempfile.mkdtemp(prefix="arm_s5c_") + "/docs_jsonl"
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 3)
-    docs.select("doc_id", "text").write.mode("overwrite").json(out)
+    root, fresh = staging_dir("s5c", sf_dir)
+    out = root + "/docs_jsonl"
+    if fresh:
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 3)
+        docs.select("doc_id", "text").write.mode("overwrite").json(out)
     back = spark.read.schema("doc_id long, text string").json(out)
     return back.select("doc_id", F.md5("text").alias("text_md5"))

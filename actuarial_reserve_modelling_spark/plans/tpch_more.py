@@ -438,7 +438,8 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY l_suppkey
     ),
-    total AS (SELECT sum(qty) AS total_qty FROM shipped)
+    total AS (SELECT CAST(sum(CAST(qty AS DECIMAL(30,8))) AS DOUBLE) AS total_qty
+              FROM shipped)
     SELECT s_suppkey, s_name, round(qty, 2) AS qty
     FROM supplier
     JOIN shipped ON s_suppkey = l_suppkey
@@ -462,7 +463,9 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(_dec_sum(F.col("l_quantity")).alias("qty"))
     )
-    total = shipped.agg(F.sum("qty").alias("total_qty"))
+    # decimal-exact re-sum: keeps the strict 1.2%-of-total membership
+    # filter order-independent across engines (same fix as q11's tot)
+    total = shipped.agg(_dec_sum(F.col("qty")).alias("total_qty"))
     supp = load_table(spark, sf_dir, "supplier")
     return (
         shipped.crossJoin(F.broadcast(total))
@@ -594,7 +597,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r_name = 'EUROPE'
         GROUP BY l_partkey
     ),
-    tot AS (SELECT sum(value) AS total, count(*) AS n FROM val)
+    tot AS (SELECT CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total,
+                   count(*) AS n
+            FROM val)
     SELECT l_partkey AS p_partkey, round(value, 2) AS value
     FROM val CROSS JOIN tot
     WHERE value > 1.5 * total / n
@@ -624,7 +629,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(_dec_sum(F.col("l_extendedprice")).alias("value"))
     )
-    tot = val.agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    # decimal-exact total: value is a decimal-summed double (≤ 8 frac
+    # digits, well under 2^53), so re-quantizing is lossless and makes
+    # the strict threshold compare order-independent across engines
+    tot = val.agg(
+        _dec_sum(F.col("value")).alias("total"), F.count(F.lit(1)).alias("n")
+    )
     return (
         val.crossJoin(F.broadcast(tot))
         .filter(F.col("value") > 1.5 * F.col("total") / F.col("n"))

@@ -98,8 +98,11 @@ def ship_package(spark: SparkSession) -> None:
         tempfile.gettempdir(), f"arm_spark_pkg_{os.getpid()}.zip"
     )
     if not os.path.exists(zpath):
+        import atexit
+
         with zipfile.ZipFile(zpath, "w") as z:
             for p in sorted(pkg_dir.rglob("*.py")):
                 z.write(p, p.relative_to(pkg_dir.parent))
+        atexit.register(lambda: os.path.exists(zpath) and os.remove(zpath))
     sc.addPyFile(zpath)
     spark._arm_pkg_shipped = True

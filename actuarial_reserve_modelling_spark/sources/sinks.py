@@ -68,3 +68,31 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+_STAGING: dict[tuple[str, str], str] = {}
+
+
+def staging_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
+    """Per-process staging directory for write-roundtrip registry
+    queries (s2/s5b/s5c/s6/s7/s9/s10/s11).
+
+    Returns ``(path, fresh)``. The directory is created once per
+    ``(tag, sf_dir)`` and removed at interpreter exit; ``fresh=False``
+    tells the caller a prior build in this process already produced the
+    sink output, so it can skip re-writing and just read it back. Tools
+    that BUILD every registry query without executing it (plan_audit,
+    explain_dump) would otherwise rewrite these datasets on every sweep
+    and leak one temp directory per build.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (tag, sf_dir)
+    if key in _STAGING:
+        return _STAGING[key], False
+    d = tempfile.mkdtemp(prefix=f"arm_{tag}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    _STAGING[key] = d
+    return d, True

@@ -15,6 +15,7 @@ the batch/SQL answer over the same files).
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -42,7 +43,10 @@ def events_stream_source(
     key = (sf_dir, n_files)
     src_dir = _STAGED_SOURCES.get(key)
     if src_dir is None:
+        import atexit
+
         src_dir = tempfile.mkdtemp(prefix="arm_stream_src_")
+        atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
         batch.repartition(n_files).write.mode("overwrite").parquet(src_dir)
         _STAGED_SOURCES[key] = src_dir
     stream = (
@@ -66,12 +70,13 @@ def staged_ordered_source(
     """
     import glob
     import os
-    import shutil
-
     safe = "".join(c if c.isalnum() else "_" for c in cache_key)
     src_dir = _STAGED_SOURCES.get((cache_key, len(frames)))
     if src_dir is None:
+        import atexit
+
         src_dir = tempfile.mkdtemp(prefix=f"arm_stream_{safe}_")
+        atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
         base = 1_600_000_000  # any fixed epoch; only relative order matters
         for i, frame in enumerate(frames):
             tmp = f"{src_dir}/_stage_{i}"
@@ -106,8 +111,11 @@ def run_to_table(
     few partitions; a production deployment sizes this to key cardinality
     and leaves it — it's frozen into the checkpoint."""
     spark = stream_df.sparkSession
+    import atexit
+
     name = f"arm_mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="arm_stream_ckpt_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     # StreamExecution clones the session (and its SQLConf) when the query
     # STARTS, so the session-global override only needs to span the

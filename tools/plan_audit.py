@@ -180,11 +180,25 @@ ALLOWED: dict[str, Allow] = {
     "u1c_reserve_risk_measures": Allow(
         "BroadcastNestedLoopJoin",
         "one-row VaR-quantile scalar broadcast into the tail filter",
-        probe=_scalar_agg("customer", lambda: F.count(F.lit(1)).alias("n")),
+        # mirrors the claimed side's SHAPE (a global percentile scalar);
+        # the row bound on any global aggregate is structural (see note
+        # on Allow), so max_occurrences is the operative guard here
+        probe=_scalar_agg(
+            "customer", lambda: F.expr("percentile(c_acctbal, 0.95)").alias("p95")
+        ),
         max_rows=1,
         max_occurrences=4,  # reviewed: p95/p99 VaR + TVaR tail scalars
     ),
 }
+
+# Honesty note on the probes: for entries whose claimed build side IS a
+# global aggregate (q11/q20/q22/l5h/l5i/u1c), the 1-row bound holds by
+# construction — the probe documents the claim rather than guarding it,
+# and the real tripwire is max_occurrences (a new unreviewed BNLJ in the
+# same plan fails the audit). For the data-dependent entries (j6 dims,
+# l3/l3d/l11 query sets, l4's full embeddings table, u4b's filtered
+# input) the row bound is a genuine data assertion that fails if the
+# allowlisted side grows past what was reviewed.
 
 # streaming plans need a query start, not a batch explain; t5/t6 RUN a
 # full stream drain inside the builder (their returned frame is the
