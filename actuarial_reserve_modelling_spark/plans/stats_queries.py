@@ -391,3 +391,36 @@ def s5c_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text").write.mode("overwrite").json(out)
     back = spark.read.schema("doc_id long, text string").json(out)
     return back.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+@register(
+    "s12_zorder_key",
+    "S6,F3 (Z-order multi-dimensional clustering key)",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(list_sum(list_transform(range(0, 16), i ->
+               (((l_partkey & 65535) >> i) & 1) * (1::BIGINT << (2 * i)) +
+               (((l_suppkey & 65535) >> i) & 1) * (1::BIGINT << (2 * i + 1))
+           )) AS BIGINT) AS zkey
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def s12_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
+    the multi-dimensional layout technique behind OPTIMIZE ZORDER BY:
+    sort/range-partition on this key and every written file gets a
+    bounded min/max span on BOTH dimensions, so a predicate on either
+    prunes row groups (operators/layout.py; the locality effect itself
+    is asserted in tests/test_layout.py). Pure codegen bit
+    arithmetic, hash-checked against the same interleave in DuckDB."""
+    from actuarial_reserve_modelling_spark.operators.layout import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(
+            F.col("l_partkey").bitwiseAND(F.lit(65535)),
+            F.col("l_suppkey").bitwiseAND(F.lit(65535)),
+        ).alias("zkey"),
+    )
