@@ -260,3 +260,47 @@ def test_rebalance_hint_in_plan(spark):
     df = li.hint("rebalance").select("l_orderkey", "l_quantity")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "RebalancePartitions" in plan, plan[:500]
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Catalyst injects a runtime bloom filter on the FACT side of a
+    shuffled join whose other side is selective — semi-join reduction
+    without any manual bloom plumbing (the a13 operator's automatic
+    twin). At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling only rows that can match; the test pins
+    that our session config keeps the feature live. Thresholds are
+    lowered because the local testdata is far below the production
+    defaults (10 MB creation side / 10 GB scan side)."""
+    from actuarial_reserve_modelling_spark.catalog import load_table
+
+    from .conftest import SF_CORRECTNESS
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        li = load_table(spark, SF_CORRECTNESS, "lineitem")
+        orders = load_table(spark, SF_CORRECTNESS, "orders").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            saved["spark.sql.autoBroadcastJoinThreshold"],
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
