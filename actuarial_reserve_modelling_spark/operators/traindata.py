@@ -127,3 +127,73 @@ def pack_sequences(
         )
         .drop("start_tok")
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame, k: int = 5, text_col: str = "text", min_freq: int = 1
+) -> list[tuple[str, str, int]]:
+    """Learn the first ``k`` byte-pair-encoding merge rules over the
+    corpus (Sennrich et al., ACL'16) — the tokenizer-training step
+    proper, downstream of the vocabulary stats.
+
+    Distributed formulation: the corpus collapses once to the
+    word-frequency table (vocabulary-sized, not corpus-sized — the only
+    pass over the documents), each word carried as an array of symbols
+    (initially characters). Per merge round: adjacent-pair counts via
+    explode + groupBy weighted by word frequency (partial aggregation
+    collapses to pair-vocabulary size before the shuffle), the argmax
+    pair — ties broken lexicographically for determinism — collects to
+    the driver (ONE row per round, the k-means-centroid pattern), and
+    the merge applies JVM-side as a left-to-right aggregate() over each
+    symbol array. State between rounds is the re-checkpointed word
+    table, so lineage stays flat. Driver round-trips are O(k), each
+    carrying one row.
+
+    Returns the merge rules as ``[(left, right, merged_freq), ...]`` in
+    training order. Iterative + argmax ⇒ not SQL-expressible: checked
+    by a pytest against a sequential pure-Python BPE reference.
+    """
+    words = (
+        docs.select(F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x != '')")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.expr("split(w, '')").alias("sym"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(k):
+        pairs = (
+            words.filter(F.size("sym") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1),"
+                        " i -> struct(element_at(sym, i) as a, element_at(sym, i + 1) as b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] < min_freq:
+            break
+        a, b, n = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["n"])
+        merges.append((a, b, n))
+        sa, sb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        merged = (
+            # left-to-right merge: fold the symbol array, joining a
+            # trailing `a` with a current `b` (standard BPE application
+            # order — 'aaa' under (a,a) becomes ['aa','a'])
+            F.expr(
+                "aggregate(sym, cast(array() as array<string>), (acc, s) -> "
+                f"case when size(acc) > 0 and element_at(acc, -1) = '{sa}' and s = '{sb}' "
+                f"then concat(slice(acc, 1, size(acc) - 1), array('{sa}' || '{sb}')) "
+                "else concat(acc, array(s)) end)"
+            )
+        )
+        words = words.select(merged.alias("sym"), "freq").localCheckpoint(eager=True)
+    return merges

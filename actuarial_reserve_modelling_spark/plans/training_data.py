@@ -230,3 +230,20 @@ def l5j_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 2)
     return repetition_scores(docs, n=3)
+
+
+@register("l17_bpe_merges", "D4 (BPE tokenizer training; iterative)", oracle=None)
+def l17_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merge rules learned over the document corpus
+    (operators/traindata.py::bpe_train_merges) — iterative
+    argmax-and-rewrite over the word-frequency table, the k-means-loop
+    pattern (one driver row per round). Deterministic (lexicographic
+    tie-breaks) but not SQL-expressible → rows-only here; the pytest
+    checks the merge sequence against a sequential pure-Python BPE
+    reference."""
+    from actuarial_reserve_modelling_spark.operators.traindata import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, k=8)
+    rows = [(i, a, b, n) for i, (a, b, n) in enumerate(merges)]
+    return spark.createDataFrame(rows, "step int, left string, right string, n bigint")

@@ -87,3 +87,45 @@ def test_pack_sequences_zero_token_doc_never_straddles(spark):
     assert got[1] == (0, 0, False)  # fills window 0 exactly
     assert got[2] == (1, 0, False)  # zero-width doc at a boundary: no straddle
     assert got[3] == (1, 0, False)
+
+
+def test_bpe_merges_match_sequential_reference(spark):
+    from collections import Counter
+
+    from actuarial_reserve_modelling_spark.operators.traindata import bpe_train_merges
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 80)
+    got = bpe_train_merges(docs, k=6)
+
+    # sequential reference BPE over the same word-frequency table
+    freqs = Counter()
+    for r in docs.collect():
+        for w in r["text"].split(" "):
+            if w:
+                freqs[w] += 1
+    vocab = {tuple(w): n for w, n in freqs.items()}
+    expected = []
+    for _ in range(6):
+        pairs = Counter()
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        # max count, ties lexicographic — the operator's contract
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((a, b, n))
+        new_vocab = {}
+        for sym, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+    assert got == expected, (got, expected)
