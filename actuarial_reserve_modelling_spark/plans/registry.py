@@ -99,7 +99,8 @@ _ROUND4_FRONT = [
 # l16_decontamination, l5j_repetition, t8_stream_static_join,
 # t9_stateful_counters, w12_scd2_dimension, j5b_asof_tolerance,
 # l6d_audio_frame_energy, ts2_ewma, u2d_grouped_agg_udf, l3d_ann_pq_topk
-# (rows-only), s12_zorder_key, plus o6_tablesample (fell just outside
+# (rows-only), s12_zorder_key, l17_bpe_merges (rows-only), plus
+# o6_tablesample (fell just outside
 # the r4 window) and any r4 window entries the driver did not reach.
 
 

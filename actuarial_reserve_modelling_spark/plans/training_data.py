@@ -232,7 +232,7 @@ def l5j_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(docs, n=3)
 
 
-@register("l17_bpe_merges", "D4 (BPE tokenizer training; iterative)", oracle=None)
+@register("l17_bpe_merges", "D7 (BPE tokenizer training; iterative)", oracle=None)
 def l17_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merge rules learned over the document corpus
     (operators/traindata.py::bpe_train_merges) — iterative
