@@ -42,10 +42,14 @@ def zorder_key(c1: Column, c2: Column, bits: int = 16) -> Column:
 def zorder_layout(
     df: DataFrame, c1: str, c2: str, n_partitions: int, bits: int = 16
 ) -> DataFrame:
-    """Cluster a frame for two-dimensional pruning: attach the Morton
-    key of (c1, c2) and range-partition + sort by it. Writing the
-    result gives every file a bounded min/max span on BOTH columns —
-    the property a min/max-pruning scan needs. One range-exchange (with
-    its sampling pass), exactly the cost of a single-column sort."""
-    keyed = df.withColumn("zkey", zorder_key(F.col(c1), F.col(c2), bits=bits))
-    return keyed.repartitionByRange(n_partitions, "zkey").sortWithinPartitions("zkey")
+    """Cluster a frame for two-dimensional pruning: range-partition +
+    sort by the Morton key of (c1, c2). Writing the result gives every
+    file a bounded min/max span on BOTH columns — the property a
+    min/max-pruning scan needs. One range-exchange (with its sampling
+    pass), exactly the cost of a single-column sort. The synthetic key
+    is internal and dropped: the returned frame has the caller's
+    schema, just reordered (projection preserves partition order), so
+    the written files don't carry a derivable extra column."""
+    key = "__arm_zorder_key"
+    keyed = df.withColumn(key, zorder_key(F.col(c1), F.col(c2), bits=bits))
+    return keyed.repartitionByRange(n_partitions, key).sortWithinPartitions(key).drop(key)

@@ -183,17 +183,22 @@ def bpe_train_merges(
             break
         a, b, n = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["n"])
         merges.append((a, b, n))
-        sa, sb = a.replace("'", "\\'"), b.replace("'", "\\'")
-        merged = (
-            # left-to-right merge: fold the symbol array, joining a
-            # trailing `a` with a current `b` (standard BPE application
-            # order — 'aaa' under (a,a) becomes ['aa','a'])
-            F.expr(
-                "aggregate(sym, cast(array() as array<string>), (acc, s) -> "
-                f"case when size(acc) > 0 and element_at(acc, -1) = '{sa}' and s = '{sb}' "
-                f"then concat(slice(acc, 1, size(acc) - 1), array('{sa}' || '{sb}')) "
-                "else concat(acc, array(s)) end)"
-            )
+        # left-to-right merge: fold the symbol array, joining a trailing
+        # `a` with a current `b` (standard BPE application order — 'aaa'
+        # under (a,a) becomes ['aa','a']). Column-API lambda, NOT an
+        # interpolated SQL string: symbols are corpus data and may
+        # contain quotes/backslashes/escape sequences.
+        merged = F.aggregate(
+            "sym",
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
         )
         words = words.select(merged.alias("sym"), "freq").localCheckpoint(eager=True)
     return merges

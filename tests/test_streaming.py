@@ -330,10 +330,14 @@ def test_foreachbatch_idempotent_epoch_sink(spark, tmp_path):
     expected = load_table(spark, SF_SMOKE, "events").count()
     assert spark.read.parquet(out).count() == expected
 
-    # crash-replay simulation: re-deliver epoch 0's data to the sink —
-    # dynamic overwrite rewrites ONLY partition epoch=0; total unchanged
-    import glob
-
-    first_file = sorted(glob.glob(f"{src_dir}/*.parquet") + glob.glob(f"{src_dir}/part-*"))[0]
-    write_batch(spark.read.parquet(first_file), 0)
+    # crash-replay simulation: re-deliver exactly the rows epoch 0
+    # actually processed (read back from its own sink partition — file
+    # order in src_dir is mtime-dependent, so guessing the file would
+    # race) and rewrite; dynamic overwrite must REPLACE partition
+    # epoch=0, leaving both its count and the total unchanged
+    epoch0 = spark.read.parquet(out + "/epoch=0")
+    n0 = epoch0.count()
+    assert n0 > 0
+    write_batch(epoch0, 0)
+    assert spark.read.parquet(out + "/epoch=0").count() == n0
     assert spark.read.parquet(out).count() == expected

@@ -129,3 +129,17 @@ def test_bpe_merges_match_sequential_reference(spark):
             new_vocab[key] = new_vocab.get(key, 0) + cnt
         vocab = new_vocab
     assert got == expected, (got, expected)
+
+
+def test_bpe_merges_survive_quote_and_backslash_symbols(spark):
+    """Symbols are corpus data — quotes, backslashes, and escape-like
+    sequences must not break the merge rewrite (regression: the rewrite
+    was once an interpolated SQL string)."""
+    from actuarial_reserve_modelling_spark.operators.traindata import bpe_train_merges
+
+    rows = [(0, r"c:\tmp c:\tmp it's it's \\n \\n"), (1, r"c:\tmp it's")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_train_merges(docs, k=3)
+    assert len(merges) == 3
+    # top merge must come from the backslash-heavy word and apply cleanly
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b, _ in merges)
