@@ -71,8 +71,11 @@ def trimmed_mean_udf(v: pd.Series) -> float:
     SQL aggregates can't express). Usable in groupBy().agg() and over
     unbounded windows; Spark runs it per group on Arrow batches with
     partial aggregation disabled (a custom agg can't split), so groups
-    shuffle whole — size strata accordingly."""
+    shuffle whole — size strata accordingly. Returns the raw mean:
+    rounding is done in the Spark plan with F.round so the half-away-
+    from-zero convention matches the DuckDB oracle (Python's round()
+    is banker's rounding and would diverge on exact .5e-7 ties)."""
     a = np.sort(v.to_numpy(dtype="float64"))
     k = int(len(a) * 0.1)
     core = a[k : len(a) - k] if len(a) > 2 * k else a
-    return round(float(core.mean()), 6)
+    return float(core.mean())

@@ -257,7 +257,10 @@ def s2_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole directory as ONE table, and recover each row's origin via
     ``input_file_name()`` — grouping by the parsed provenance must
     reproduce the per-segment aggregate computed directly."""
-    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
 
     root, fresh = staging_dir("s2", sf_dir)
     out = root + "/cust_csv"
@@ -271,6 +274,7 @@ def s2_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("header", True)
             .csv(out)
         )
+        staging_commit(root)
     # file-level glob defeats hive partition discovery: provenance must
     # come from input_file_name(), not a reconstructed partition column
     back = spark.read.schema("c_custkey bigint, c_acctbal double").option(
@@ -307,6 +311,7 @@ def s7_resume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from actuarial_reserve_modelling_spark.sources.sinks import (
         overwrite_partitions,
+        staging_commit,
         staging_dir,
     )
 
@@ -329,6 +334,7 @@ def s7_resume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         remaining = orders.filter(~F.col("o_orderstatus").isin(done))
         overwrite_partitions(remaining, out, ["o_orderstatus"])
+        staging_commit(root)
     return (
         spark.read.parquet(out)
         .groupBy("o_orderstatus")

@@ -220,7 +220,7 @@ def u2d_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (INVALID_PANDAS_UDF_PLACEMENT) — compute the plain count in its
     # own aggregate and join on the group key
     tm = cust.groupBy("c_mktsegment").agg(
-        trimmed_mean_udf("c_acctbal").alias("trimmed_mean")
+        F.round(trimmed_mean_udf("c_acctbal"), 6).alias("trimmed_mean")
     )
     n = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
     return tm.join(n, "c_mktsegment")

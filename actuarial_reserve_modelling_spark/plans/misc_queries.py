@@ -245,7 +245,10 @@ def s9_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON is a full extra pass at 100 TB and is never what you want."""
     from pyspark.sql import types as T
 
-    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
 
     root, fresh = staging_dir("s9", sf_dir)
     out = root + "/orders_json"
@@ -258,6 +261,7 @@ def s9_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         orders.write.mode("overwrite").json(out)
+        staging_commit(root)
     schema = T.StructType(
         [
             T.StructField("o_orderkey", T.LongType()),
@@ -288,7 +292,10 @@ def s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches) is a non-starter at 100 TB. mergeSchema's footer-merge cost
     is per-file at plan time; pin the merged schema explicitly once it
     stabilizes."""
-    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
 
     root, fresh = staging_dir("s10", sf_dir)
     out = root + "/cust"
@@ -300,6 +307,7 @@ def s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter(F.col("c_custkey") % 4 == 1).select(
             "c_custkey", "c_acctbal", "c_mktsegment"
         ).write.parquet(out + "/batch=2")
+        staging_commit(root)
     merged = spark.read.option("mergeSchema", "true").parquet(out)
     return merged.groupBy("batch").agg(
         F.count(F.lit(1)).alias("n"),
@@ -347,13 +355,17 @@ def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet answer. ORC is the other columnar format Spark speaks
     natively (predicate pushdown, column pruning, zlib/zstd) — parity
     for shops whose lake is ORC/Hive."""
-    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
 
     root, fresh = staging_dir("s11", sf_dir)
     out = root + "/cust_orc"
     if fresh:
         cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
         cust.write.mode("overwrite").orc(out)
+        staging_commit(root)
     back = spark.read.orc(out)
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")

@@ -79,17 +79,21 @@ def a10b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A4,F5 (collection aggregates)",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|') AS segments,
            CAST(len(list_distinct(list(c_mktsegment))) AS INT) AS n_segments
     FROM customer GROUP BY c_nationkey
     """,
 )
 def a11_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set with array_sort for deterministic output (SURVEY
-    §5.2-1: never emit unsorted collect_set in checked queries)."""
+    §5.2-1: never emit unsorted collect_set in checked queries). The
+    sorted set is emitted as a '|'-joined string so the driver's
+    pandas-based canonicalizer can hash it (a raw list column is
+    unhashable there — CORRECTNESS_r04 a11 err); the array-typed form
+    stays covered by the local oracle gate via f5b/f5c."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias("segments"),
         F.size(F.collect_set("c_mktsegment")).alias("n_segments"),
     )
 
@@ -263,6 +267,7 @@ def s6_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness gate; the re-read scan lists only the two matching
     partition directories (PartitionFilters)."""
     from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
         staging_dir,
         write_partitioned_parquet,
     )
@@ -272,6 +277,7 @@ def s6_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if fresh:
         cust = load_table(spark, sf_dir, "customer")
         write_partitioned_parquet(cust, out, ["c_mktsegment"])
+        staging_commit(root)
     back = spark.read.parquet(out).filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
@@ -354,13 +360,17 @@ def s5b_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundtrip must be lossless, including timestamp columns). ORC is the
     other columnar format a lake migration encounters; the plan is the
     same scan→agg shape with ORC's own predicate pushdown."""
-    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
 
     root, fresh = staging_dir("s5b", sf_dir)
     out = root + "/orders_orc"
     if fresh:
         orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 1)
         orders.write.mode("overwrite").orc(out)
+        staging_commit(root)
     back = spark.read.orc(out)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
@@ -382,13 +392,17 @@ def s5c_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the source text. Pins escaping losslessness
     (quotes, newlines, unicode) through the JSON writer/reader pair, not
     just row counts."""
-    from actuarial_reserve_modelling_spark.sources.sinks import staging_dir
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
 
     root, fresh = staging_dir("s5c", sf_dir)
     out = root + "/docs_jsonl"
     if fresh:
         docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 23 == 3)
         docs.select("doc_id", "text").write.mode("overwrite").json(out)
+        staging_commit(root)
     back = spark.read.schema("doc_id long, text string").json(out)
     return back.select("doc_id", F.md5("text").alias("text_md5"))
 

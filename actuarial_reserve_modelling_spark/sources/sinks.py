@@ -84,15 +84,37 @@ def staging_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
     that BUILD every registry query without executing it (plan_audit,
     explain_dump) would otherwise rewrite these datasets on every sweep
     and leak one temp directory per build.
+
+    A build only counts as done once the caller calls
+    ``staging_commit(path)`` after its writes succeed: ``fresh`` is
+    derived from a done-marker file, not mere registration, so a build
+    that raised mid-write is retried on the next call instead of being
+    silently read back as partial output.
     """
     import atexit
+    import os
     import shutil
     import tempfile
 
     key = (tag, sf_dir)
     if key in _STAGING:
-        return _STAGING[key], False
+        d = _STAGING[key]
+        # no marker → a prior build started but never committed
+        # (raised mid-write); hand the same dir back as fresh so the
+        # caller rebuilds with mode=overwrite.
+        return d, not os.path.exists(os.path.join(d, _DONE_MARKER))
     d = tempfile.mkdtemp(prefix=f"arm_{tag}_")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     _STAGING[key] = d
     return d, True
+
+
+_DONE_MARKER = "_ARM_STAGING_DONE"
+
+
+def staging_commit(path: str) -> None:
+    """Mark a ``staging_dir`` build complete (see staging_dir docs)."""
+    import os
+
+    with open(os.path.join(path, _DONE_MARKER), "w") as fh:
+        fh.write("done")
