@@ -263,23 +263,28 @@ def reserve_risk_measures(
     totals = t.groupBy("trial").agg(
         F.sum(F.col("r").cast("decimal(30,8)")).cast("double").alias("total")
     )
-    rows = []
-    for q in quantiles:
-        var_q = totals.agg(
-            F.expr(f"percentile(total, {q})").alias("v")
+    # Single-pass quantiles: ONE percentile(total, array(...)) scan
+    # computes every VaR level, posexplode turns the array into
+    # (level_index, var) rows, and ONE more totals scan (broadcast
+    # crossJoin against the len(quantiles)-row level table) computes
+    # every tail mean — 2 scans total regardless of how many levels
+    # are requested, vs 2 scans PER level in the per-quantile-loop
+    # form this replaces.
+    qs = [float(q) for q in quantiles]
+    q_list = ", ".join(repr(q) for q in qs)
+    var_levels = totals.agg(
+        F.expr(f"percentile(total, array({q_list}))").alias("vs")
+    ).select(F.posexplode("vs").alias("i", "v"))
+    q_arr = F.array(*[F.lit(q) for q in qs])
+    return (
+        totals.crossJoin(F.broadcast(var_levels))
+        .filter(F.col("total") >= F.col("v"))
+        .groupBy("i", "v")
+        .agg(F.avg("total").alias("tvar"))
+        .select(
+            F.element_at(q_arr, F.col("i") + 1).alias("q"),
+            F.round("v", 2).alias("var_value"),
+            F.round("tvar", 2).alias("tvar_value"),
         )
-        tail = (
-            totals.crossJoin(F.broadcast(var_q))
-            .filter(F.col("total") >= F.col("v"))
-            .agg(
-                F.first(F.col("v")).alias("var_value"),
-                F.avg("total").alias("tvar_value"),
-            )
-            .select(F.lit(q).alias("q"), F.round("var_value", 2).alias("var_value"),
-                    F.round("tvar_value", 2).alias("tvar_value"))
-        )
-        rows.append(tail)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        .orderBy("q")
+    )

@@ -129,8 +129,32 @@ def pack_sequences(
     )
 
 
+# Adjacent symbol pairs of a word as an array of (a, b) structs; empty
+# for sub-2-symbol words (the guard matters: sequence(1, 0) DESCENDS in
+# Spark SQL and element_at(sym, 0) throws under ANSI mode).
+_PAIRS_EXPR = (
+    "case when size(sym) >= 2 then transform(sequence(1, size(sym) - 1),"
+    " i -> struct(element_at(sym, i) as a, element_at(sym, i + 1) as b))"
+    " else cast(array() as array<struct<a:string,b:string>>) end"
+)
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts (a, b, n) for a
+    (sym, freq) word table."""
+    return (
+        words.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"), "freq")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
 def bpe_train_merges(
-    docs: DataFrame, k: int = 5, text_col: str = "text", min_freq: int = 1
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    min_freq: int = 1,
+    checkpoint_every: int = 8,
 ) -> list[tuple[str, str, int]]:
     """Learn the first ``k`` byte-pair-encoding merge rules over the
     corpus (Sennrich et al., ACL'16) — the tokenizer-training step
@@ -139,15 +163,28 @@ def bpe_train_merges(
     Distributed formulation: the corpus collapses once to the
     word-frequency table (vocabulary-sized, not corpus-sized — the only
     pass over the documents), each word carried as an array of symbols
-    (initially characters). Per merge round: adjacent-pair counts via
-    explode + groupBy weighted by word frequency (partial aggregation
-    collapses to pair-vocabulary size before the shuffle), the argmax
-    pair — ties broken lexicographically for determinism — collects to
-    the driver (ONE row per round, the k-means-centroid pattern), and
-    the merge applies JVM-side as a left-to-right aggregate() over each
-    symbol array. State between rounds is the re-checkpointed word
-    table, so lineage stays flat. Driver round-trips are O(k), each
-    carrying one row.
+    (initially characters). Pair counts are maintained INCREMENTALLY
+    (the production-scale requirement): one full explode+groupBy builds
+    the initial (a, b, n) table, and each merge round then
+
+    1. takes the argmax pair from the maintained counts (ties broken
+       lexicographically for determinism; ONE driver row per round),
+    2. filters the word table to only the words CONTAINING that pair —
+       the rest of the vocabulary is untouched and is neither
+       re-exploded nor rewritten,
+    3. applies the merge to the affected words JVM-side (left-to-right
+       aggregate() fold over the symbol array) and updates the pair
+       table by the delta: minus the affected words' old pairs, plus
+       their post-merge pairs.
+
+    Per-round work is therefore proportional to the words containing
+    the merged pair (which shrinks fast as training proceeds), not to
+    the whole vocabulary — at a production merge count (~30k) this is
+    the difference between 30k full-vocabulary rewrites and 30k small
+    delta jobs. The affected/merged slices are eagerly checkpointed
+    (they are the small per-round state); the FULL word table is
+    checkpointed only every ``checkpoint_every`` rounds to truncate the
+    union lineage, not every round.
 
     Returns the merge rules as ``[(left, right, merged_freq), ...]`` in
     training order. Iterative + argmax ⇒ not SQL-expressible: checked
@@ -160,29 +197,25 @@ def bpe_train_merges(
         .select(F.expr("split(w, '')").alias("sym"), "freq")
         .localCheckpoint(eager=True)
     )
+    pc = _pair_counts(words).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(k):
-        pairs = (
-            words.filter(F.size("sym") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(sym) - 1),"
-                        " i -> struct(element_at(sym, i) as a, element_at(sym, i + 1) as b))"
-                    )
-                ).alias("p"),
-                "freq",
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("n"))
+    for r in range(k):
+        top = (
+            pc.filter(F.col("n") >= min_freq)
             .orderBy(F.desc("n"), "a", "b")
             .limit(1)
             .collect()
         )
-        if not pairs or pairs[0]["n"] < min_freq:
+        if not top:
             break
-        a, b, n = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["n"])
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((a, b, n))
+        pair_lit = F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        has_pair = F.array_contains(F.expr(_PAIRS_EXPR), pair_lit)
+        # the per-round state is ONLY the affected slice — eager
+        # checkpoints here are small and prevent recompute blowup of
+        # the multi-use subtrees (old counts + rewrite both read it)
+        affected = words.filter(has_pair).localCheckpoint(eager=True)
         # left-to-right merge: fold the symbol array, joining a trailing
         # `a` with a current `b` (standard BPE application order — 'aaa'
         # under (a,a) becomes ['aa','a']). Column-API lambda, NOT an
@@ -200,5 +233,22 @@ def bpe_train_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        words = words.select(merged.alias("sym"), "freq").localCheckpoint(eager=True)
+        merged_words = affected.select(merged.alias("sym"), "freq").localCheckpoint(
+            eager=True
+        )
+        # delta maintenance: -old pairs of affected words, +new pairs
+        # of their merged forms; everything else in pc is untouched
+        delta_old = _pair_counts(affected).select("a", "b", (-F.col("n")).alias("n"))
+        delta_new = _pair_counts(merged_words)
+        pc = (
+            pc.unionByName(delta_old)
+            .unionByName(delta_new)
+            .groupBy("a", "b")
+            .agg(F.sum("n").alias("n"))
+            .filter(F.col("n") > 0)
+            .localCheckpoint(eager=True)
+        )
+        words = words.filter(~has_pair).unionByName(merged_words)
+        if (r + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
     return merges

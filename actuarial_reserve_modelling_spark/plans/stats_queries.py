@@ -415,19 +415,30 @@ def s5c_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_sum(list_transform(range(0, 16), i ->
                (((l_partkey & 65535) >> i) & 1) * (1::BIGINT << (2 * i)) +
                (((l_suppkey & 65535) >> i) & 1) * (1::BIGINT << (2 * i + 1))
-           )) AS BIGINT) AS zkey
+           )) AS BIGINT) AS zkey,
+           CAST(list_sum(list_transform(range(0, 16), i ->
+               (((l_partkey & 65535) >> i) & 1) * (1::BIGINT << (3 * i)) +
+               (((l_suppkey & 65535) >> i) & 1) * (1::BIGINT << (3 * i + 1)) +
+               (((l_linenumber & 65535) >> i) & 1) * (1::BIGINT << (3 * i + 2))
+           )) AS BIGINT) AS zkey3
     FROM lineitem WHERE l_orderkey % 50 = 0
     """,
 )
 def s12_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) —
-    the multi-dimensional layout technique behind OPTIMIZE ZORDER BY:
-    sort/range-partition on this key and every written file gets a
-    bounded min/max span on BOTH dimensions, so a predicate on either
-    prunes row groups (operators/layout.py; the locality effect itself
-    is asserted in tests/test_layout.py). Pure codegen bit
-    arithmetic, hash-checked against the same interleave in DuckDB."""
-    from actuarial_reserve_modelling_spark.operators.layout import zorder_key
+    """Z-order (Morton) clustering keys — 2-col over (l_partkey,
+    l_suppkey) and the n-column generalization over (l_partkey,
+    l_suppkey, l_linenumber) — the multi-dimensional layout technique
+    behind OPTIMIZE ZORDER BY: sort/range-partition on this key and
+    every written file gets a bounded min/max span on EVERY interleaved
+    dimension, so a predicate on any of them prunes row groups
+    (operators/layout.py; the locality effect itself is asserted in
+    tests/test_layout.py, including the 3-col + minmax-normalization
+    workflow). Pure codegen bit arithmetic, hash-checked against the
+    same interleaves in DuckDB."""
+    from actuarial_reserve_modelling_spark.operators.layout import (
+        zorder_key,
+        zorder_key_n,
+    )
 
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
     return li.select(
@@ -437,4 +448,12 @@ def s12_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").bitwiseAND(F.lit(65535)),
             F.col("l_suppkey").bitwiseAND(F.lit(65535)),
         ).alias("zkey"),
+        zorder_key_n(
+            [
+                F.col("l_partkey").bitwiseAND(F.lit(65535)),
+                F.col("l_suppkey").bitwiseAND(F.lit(65535)),
+                F.col("l_linenumber").bitwiseAND(F.lit(65535)),
+            ],
+            bits=16,
+        ).alias("zkey3"),
     )

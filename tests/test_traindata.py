@@ -96,6 +96,9 @@ def test_bpe_merges_match_sequential_reference(spark):
 
     docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 80)
     got = bpe_train_merges(docs, k=6)
+    # checkpoint cadence is an execution detail — crossing the periodic
+    # full-table checkpoint boundary must not change the learned rules
+    assert bpe_train_merges(docs, k=6, checkpoint_every=2) == got
 
     # sequential reference BPE over the same word-frequency table
     freqs = Counter()

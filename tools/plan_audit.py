@@ -179,15 +179,16 @@ ALLOWED: dict[str, Allow] = {
     ),
     "u1c_reserve_risk_measures": Allow(
         "BroadcastNestedLoopJoin",
-        "one-row VaR-quantile scalar broadcast into the tail filter",
-        # mirrors the claimed side's SHAPE (a global percentile scalar);
-        # the row bound on any global aggregate is structural (see note
-        # on Allow), so max_occurrences is the operative guard here
+        "single posexploded VaR-level table (len(quantiles) rows) "
+        "broadcast into the one-pass tail filter",
+        # the broadcast side is percentile(total, array(...)) posexploded
+        # to one row per requested level — bounded by len(quantiles),
+        # not by data
         probe=_scalar_agg(
             "customer", lambda: F.expr("percentile(c_acctbal, 0.95)").alias("p95")
         ),
-        max_rows=1,
-        max_occurrences=4,  # reviewed: p95/p99 VaR + TVaR tail scalars
+        max_rows=2,  # one row per registered quantile level (0.95, 0.99)
+        max_occurrences=1,  # single crossJoin in the one-pass form
     ),
 }
 

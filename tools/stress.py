@@ -232,6 +232,77 @@ def main() -> None:
         "docs_per_sec": round(nm / (time.time() - t0)),
     }
 
+    # 6) BPE merge training at a production-ish merge count on the
+    #    mult× corpus. The incremental pair-count maintenance means a
+    #    round's cost tracks the words CONTAINING the merged pair, not
+    #    the whole vocabulary — so per-merge cost must FALL as training
+    #    proceeds (sub-linear total): compare sec/merge at k=8 vs k=64.
+    from actuarial_reserve_modelling_spark.operators.traindata import bpe_train_merges
+
+    t0 = time.time()
+    m8 = bpe_train_merges(big_corpus, k=8)
+    dt8 = time.time() - t0
+    t0 = time.time()
+    m64 = bpe_train_merges(big_corpus, k=64)
+    dt64 = time.time() - t0
+    out["bpe_train_merges"] = {
+        "docs": nm,
+        "merges_8": len(m8),
+        "merges_64": len(m64),
+        "sec_8": round(dt8, 2),
+        "sec_64": round(dt64, 2),
+        "sec_per_merge_8": round(dt8 / max(len(m8), 1), 3),
+        "sec_per_merge_64": round(dt64 / max(len(m64), 1), 3),
+    }
+
+    # 7) the ANN trio on mult× embeddings: recall@k vs the exact
+    #    brute-force baseline and wall per path. Replicated vectors get
+    #    a deterministic per-replica perturbation so neighbors aren't
+    #    degenerate exact copies.
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        ann_pq_topk,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    repse = spark.range(mult).select(F.col("id").alias("rep"))
+    big_emb = (
+        emb.crossJoin(repse)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.col("rep") % 7).cast("double") * (i % 5).cast("double") / 500.0,
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ne = big_emb.count()
+    k_ann = 5
+    queries = big_emb.filter(F.col("vec_id") % 9_999_971 == 3).localCheckpoint(eager=True)
+    nq = queries.count()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(big_emb, queries, k=k_ann).collect()
+    }
+
+    for name, fn in (
+        ("ann_lsh", lambda: ann_lsh_topk(big_emb, queries, k=k_ann)),
+        ("ann_ivf", lambda: ann_ivf_topk(big_emb, queries, k=k_ann, n_centroids=32, nprobe=8)),
+        ("ann_pq", lambda: ann_pq_topk(big_emb, queries, k=k_ann, rerank=8)),
+    ):
+        t0 = time.time()
+        got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
+        dt = time.time() - t0
+        out[name] = {
+            "vectors": ne,
+            "queries": nq,
+            "recall_at_k": round(len(exact & got) / max(len(exact), 1), 3),
+            "sec": round(dt, 2),
+        }
+
     print(json.dumps({"multiplier": mult, "sf_dir": sf_dir, "results": out}))
 
 
