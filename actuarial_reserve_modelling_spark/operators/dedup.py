@@ -838,3 +838,105 @@ def winnowing_fingerprints(
         .select("doc_id", F.col("wmin").alias("fp_hash"))
         .distinct()
     )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    bands: int = 24,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the persistable near-dup index for INCREMENTAL ingest:
+    (doc_id, htok, sig) — the sorted hashed-token array (verify input)
+    plus the MinHash signature (blocking input).
+
+    The 100 TB flow this enables: the corpus index is built ONCE (or
+    maintained batch over batch) and persisted partitioned; each new
+    ingest batch is deduplicated AGAINST it via
+    ``minhash_dedup_against_index`` without ever re-scanning, re-hashing,
+    or self-joining the existing corpus — per-batch cost is
+    O(batch + matched buckets), not O(corpus). Token-less documents are
+    excluded (their Jaccard with anything is NULL, never ≥ τ)."""
+    htoks = (
+        docs.select(
+            "doc_id", F.expr(TOKENS.replace("text", text_col)).alias("tokens")
+        )
+        .filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            F.array_sort(F.expr("transform(tokens, t -> xxhash64(t))")).alias("htok"),
+        )
+    )
+    sigs = _signatures_from_hashed(
+        htoks, num_hashes=bands * rows_per_band, seed=seed
+    )
+    return htoks.join(sigs, "doc_id")
+
+
+def _banded_buckets(index: DataFrame, id_alias: str, bands: int, rows_per_band: int) -> DataFrame:
+    band_cols = [
+        F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(f"b{i}")
+        for i in range(bands)
+    ]
+    return index.select(
+        F.col("doc_id").alias(id_alias),
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+
+
+def minhash_dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 24,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    text_col: str = "text",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Incremental near-dup check: (new_id, index_id, jac ≥ τ) pairs
+    between an ingest batch and an existing ``build_dedup_index``
+    output — the production shape where yesterday's corpus is never
+    re-processed.
+
+    Asymmetric LSH equi-join: both sides band their signatures, the
+    join matches on (band, bucket) — so no new×new or index×index
+    candidates are ever generated — and candidates verify with the
+    exact-Jaccard filter over the stored hashed tokens. The index's
+    degenerate buckets (> ``max_bucket_size`` members) are dropped
+    before the join, the same skew guard as ``lsh_candidate_pairs``
+    (other bands recover recall; at 100 TB you lower the cap and log
+    the drops). ``bands``/``rows_per_band``/``seed`` must match the
+    values the index was built with.
+    """
+    new_index = build_dedup_index(
+        new_docs, bands=bands, rows_per_band=rows_per_band, seed=seed, text_col=text_col
+    ).localCheckpoint(eager=False)
+    idx_banded = _banded_buckets(index, "index_id", bands, rows_per_band)
+    # skew guard on the corpus side, where the mass is
+    bucket_sizes = idx_banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    idx_banded = (
+        idx_banded.join(bucket_sizes, ["band", "bucket"])
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+    )
+    new_banded = _banded_buckets(new_index, "new_id", bands, rows_per_band)
+    cand = (
+        new_banded.join(idx_banded, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    joined = cand.join(
+        new_index.select(F.col("doc_id").alias("new_id"), F.col("htok").alias("tok1")),
+        "new_id",
+    ).join(
+        index.select(F.col("doc_id").alias("index_id"), F.col("htok").alias("tok2")),
+        "index_id",
+    )
+    return _jaccard_score_filter(joined, threshold, round_before_filter=True).select(
+        "new_id", "index_id", "jac"
+    )

@@ -221,3 +221,40 @@ def repetition_scores(docs: DataFrame, n: int = 3, text_col: str = "text") -> Da
             ).alias("repetition"),
         )
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b — no
+# lookarounds, no backreferences.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+PHONE_RE = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII-shaped spans — emails, IPv4 addresses, phone-like
+    digit runs — replacing each with a typed placeholder token
+    (``<EMAIL>``/``<IP>``/``<PHONE>``), the standard pre-training
+    compliance scrub.
+
+    Purely map-side (three chained ``regexp_replace`` in whole-stage
+    codegen — no shuffle, no Python), so it runs at scan throughput on
+    any corpus size. Order matters and is part of the contract: emails
+    first (their local part may contain digits), then IPv4 (dotted
+    quads would otherwise partially match the phone pattern), then
+    phone runs. Adds ``scrubbed`` plus per-category match counts; the
+    caller drops or keeps the original column per retention policy."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ips"),
+    )

@@ -638,3 +638,130 @@ def l6d_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 3)
     return audio_frame_energy(attach_binary_payload(docs), frame_bytes=64)
+
+
+@register(
+    "l18_incremental_exact_dedup",
+    "L1,D8 (incremental ingest, exact tier)",
+    oracle="""
+    SELECT n.doc_id,
+           substr(md5(regexp_replace(trim(lower(n.text)), '\\s+', ' ', 'g')), 1, 16)
+               AS fingerprint
+    FROM documents n
+    WHERE n.doc_id % 3 = 0
+      AND md5(regexp_replace(trim(lower(n.text)), '\\s+', ' ', 'g')) NOT IN (
+        SELECT md5(regexp_replace(trim(lower(e.text)), '\\s+', ' ', 'g'))
+        FROM documents e WHERE e.doc_id % 3 <> 0
+      )
+    """,
+)
+def l18_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact tier: new-batch documents (doc_id%3=0)
+    whose normalized-content fingerprint does NOT already exist in the
+    ingested corpus (doc_id%3≠0) — a fingerprint anti-join, the shape
+    that admits only NEW content without re-scanning the corpus text
+    (in production the corpus side is the persisted fingerprint column,
+    16 bytes/doc). Left-anti hash join on the digest; the corpus side
+    carries fingerprints only, never documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_fp = content_fingerprints(docs.filter(F.col("doc_id") % 3 == 0))
+    seen_fp = content_fingerprints(docs.filter(F.col("doc_id") % 3 != 0)).select(
+        "fingerprint"
+    )
+    return new_fp.join(seen_fp, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@register(
+    "l19_incremental_minhash_dedup",
+    "L2,D8 (incremental ingest, near-dup tier)",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    c AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
+    i AS (
+        SELECT a.doc_id new_id, b.doc_id index_id, count(*) k
+        FROM words a JOIN words b USING (w)
+        WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0 GROUP BY 1, 2
+    )
+    SELECT new_id, index_id,
+           round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) AS jac
+    FROM i JOIN c c1 ON new_id = c1.doc_id JOIN c c2 ON index_id = c2.doc_id
+    WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
+    """,
+)
+def l19_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup tier: the new batch (doc_id%3=0)
+    checked AGAINST the persisted corpus index (doc_id%3≠0) via the
+    asymmetric LSH equi-join (operators/dedup.py::
+    minhash_dedup_against_index) — no new×new or index×index candidates
+    are ever generated, and the corpus is never re-signed. The oracle
+    is the exact new×corpus all-pairs answer; b=16 r=16 banding gives
+    miss probability (1-0.95^16)^16 ~ 1e-18 at tau=0.95, so the
+    verified LSH output equals it (validated at sf0.001/0.01)."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        build_dedup_index,
+        minhash_dedup_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = build_dedup_index(
+        docs.filter(F.col("doc_id") % 3 != 0), bands=16, rows_per_band=16
+    )
+    return minhash_dedup_against_index(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        index,
+        threshold=0.95,
+        bands=16,
+        rows_per_band=16,
+    )
+
+
+@register(
+    "l20_pii_scrub",
+    "L5,D8 (compliance scrub; map-side)",
+    oracle="""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or 10.0.'
+                    || (doc_id % 200) || '.1' AS t
+        FROM documents WHERE doc_id % 7 = 2
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+               '\\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')) AS scrub_md5,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t,
+               '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ips
+    FROM injected
+    """,
+)
+def l20_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/textstats.py::scrub_pii): emails, IPv4s,
+    and phone-like digit runs replaced by typed placeholders — three
+    chained regexp_replace in whole-stage codegen, zero shuffle, scan
+    throughput at any corpus size. The synthetic corpus carries no PII,
+    so both sides inject a deterministic email+IP per sampled doc and
+    the scrub result is md5-checked; patterns are written to the
+    Java-regex / RE2 common dialect so Spark and DuckDB agree."""
+    from actuarial_reserve_modelling_spark.operators.textstats import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 2)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return scrub_pii(injected).select(
+        "doc_id", F.md5("scrubbed").alias("scrub_md5"), "n_emails", "n_ips"
+    )

@@ -65,6 +65,12 @@ _ROUND5_FRONT = [
     # 3) fixed this round: list column → joined string so the driver
     # canonicalizer can hash it (r4 err row).
     "a11_collect_set",
+    # 3b) new in round 5: incremental-ingest dedup tiers, PII scrub,
+    # BPE apply side (l21 rows-only — trainer is iterative).
+    "l18_incremental_exact_dedup",
+    "l19_incremental_minhash_dedup",
+    "l20_pii_scrub",
+    "l21_bpe_encode",
     # 4) rows-only by design — still worth a driver rows-check slot.
     "l3d_ann_pq_topk",
     "l17_bpe_merges",

@@ -247,3 +247,32 @@ def l17_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train_merges(docs, k=8)
     rows = [(i, a, b, n) for i, (a, b, n) in enumerate(merges)]
     return spark.createDataFrame(rows, "step int, left string, right string, n bigint")
+
+
+@register(
+    "l21_bpe_encode",
+    "D7,D8 (tokenizer application; map-side)",
+    oracle=None,
+)
+def l21_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 BPE merges, then TOKENIZE the corpus with them
+    (operators/traindata.py::bpe_encode) — the apply side of the
+    tokenizer story: a pure map-side Arrow kernel carrying the merge
+    table as a closure (no shuffle, no join; linear in corpus bytes —
+    the 100 TB tokenization shape). Rows-only here (the merge rules
+    come from the iterative trainer); the pytest checks the encoded
+    streams against a sequential BPE reference, and determinism pins
+    content: per-doc token count + md5 of the joined token stream."""
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, k=8)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws("", "tokens")).alias("tokens_md5"),
+    )

@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+# count of round-1 headline queries at the front of the bench dict —
+# the set BASELINE.md's cold-total band was measured over
+HEADLINE_N = 10
+
 
 def _bench_queries(spark, sf_dir):
     from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
@@ -34,6 +38,10 @@ def _bench_queries(spark, sf_dir):
         portfolio = synthetic_portfolio(load_table(spark, sf_dir, "customer"))
         return simulate_reserves(portfolio, n_trials=10_000, seed=42)
 
+    # the first HEADLINE_N queries are the round-1 headline set whose
+    # cold-total is what BASELINE.md's band measures; later additions
+    # are benched and reported identically but excluded from `value`
+    # so the round-over-round baseline comparison stays apples-to-apples
     picks = {
         "m0_reserve_10k": m0_reserve,
         "a4_q1": registry["a4_groupby_q1"].spark_fn,
@@ -45,6 +53,13 @@ def _bench_queries(spark, sf_dir):
         "w4_topk_per_group": registry["w4_topk_per_group"].spark_fn,
         "l3_cosine_topk": registry["l3_cosine_topk"].spark_fn,
         "l2_minhash_dedup": registry["l2_minhash_lsh_dedup"].spark_fn,
+        # round-5 additions: the rewritten banded-SimHash pair path and
+        # the training-data D-row family, so regressions there are
+        # visible round over round (VERDICT r4 task 5)
+        "l2b_simhash_pairs": registry["l2b_simhash_pairs"].spark_fn,
+        "l13_stratified_sample": registry["l13_stratified_sample"].spark_fn,
+        "l14_sequence_packing": registry["l14_sequence_packing"].spark_fn,
+        "l16_decontamination": registry["l16_decontamination"].spark_fn,
     }
     return picks
 
@@ -91,15 +106,20 @@ def main() -> None:
             target[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    headline = list(timings)[:HEADLINE_N]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                # `value` sums ONLY the round-1 headline set measured by
+                # BASELINE.md's band; the round-5 additions appear in
+                # `queries`/`steady_queries` but not in the band total
+                "value": round(sum(timings[q] for q in headline), 3),
                 "unit": "sec",
+                "value_scope": headline,
                 "queries": timings,
                 "steady_queries": steady,
-                "steady_total": round(sum(steady.values()), 3),
+                "steady_total": round(sum(steady[q] for q in headline), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -393,3 +393,54 @@ def test_dedup_clusters_raises_on_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(path, max_iterations=1)
+
+
+def test_scrub_pii_redacts_each_category(spark):
+    from actuarial_reserve_modelling_spark.operators.textstats import scrub_pii
+
+    rows = [
+        (0, "mail me at jo.doe+x@sub.example.org thanks"),
+        (1, "server at 192.168.0.1 and 10.0.200.1 up"),
+        (2, "call +1 555-010-9999 now"),
+        (3, "clean text with no pii at all"),
+        (4, "both a@b.co and 8.8.8.8"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert got[0]["scrubbed"] == "mail me at <EMAIL> thanks"
+    assert got[0]["n_emails"] == 1
+    assert got[1]["scrubbed"] == "server at <IP> and <IP> up"
+    assert got[1]["n_ips"] == 2
+    assert got[2]["scrubbed"] == "call <PHONE> now"
+    assert got[3]["scrubbed"] == rows[3][1]
+    assert got[4]["scrubbed"] == "both <EMAIL> and <IP>"
+
+
+def test_incremental_minhash_matches_batch_pairs(spark):
+    """Asymmetric index dedup must agree with the full self-join path
+    restricted to new x index pairs (same banding, same seed)."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        build_dedup_index,
+        minhash_dedup_against_index,
+        minhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    index = build_dedup_index(old, bands=16, rows_per_band=16)
+    inc = {
+        (r["new_id"], r["index_id"], r["jac"])
+        for r in minhash_dedup_against_index(
+            new, index, threshold=0.95, bands=16, rows_per_band=16
+        ).collect()
+    }
+    full = minhash_near_dup_pairs(
+        docs, threshold=0.95, bands=16, rows_per_band=16
+    ).collect()
+    want = set()
+    for r in full:
+        for a, b in ((r["d1"], r["d2"]), (r["d2"], r["d1"])):
+            if a % 3 == 0 and b % 3 != 0:
+                want.add((a, b, r["jac"]))
+    assert inc == want

@@ -146,3 +146,45 @@ def test_bpe_merges_survive_quote_and_backslash_symbols(spark):
     assert len(merges) == 3
     # top merge must come from the backslash-heavy word and apply cleanly
     assert all(isinstance(a, str) and isinstance(b, str) for a, b, _ in merges)
+
+
+def test_bpe_encode_matches_sequential_application(spark):
+    """bpe_encode must reproduce a sequential left-to-right application
+    of the trained merges, word by word."""
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 60)
+    merges = bpe_train_merges(docs, k=5)
+    got = {r["doc_id"]: list(r["tokens"]) for r in bpe_encode(docs, merges).collect()}
+
+    def encode_word(word):
+        sym = list(word)
+        for a, b, _ in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    for r in docs.collect():
+        expected = [t for w in r["text"].split(" ") if w for t in encode_word(w)]
+        assert got[r["doc_id"]] == expected, r["doc_id"]
+
+
+def test_bpe_encode_empty_and_single_char_docs(spark):
+    from actuarial_reserve_modelling_spark.operators.traindata import bpe_encode
+
+    docs = spark.createDataFrame([(0, ""), (1, "a"), (2, "  ")], ["doc_id", "text"])
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tokens"]) for r in
+           bpe_encode(docs, [("a", "b", 1)]).collect()}
+    assert got[0] == ([], 0)
+    assert got[1] == (["a"], 1)
+    assert got[2] == ([], 0)
