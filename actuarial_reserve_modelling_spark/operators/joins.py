@@ -120,11 +120,14 @@ def asof_join(
     )
     unioned = right_asof.unionByName(left_asof)
     fill_cols = [F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried]
-    # carry the matched right row's own time so tolerance can bound it
-    unioned = unioned.withColumn(
-        "_r_on", F.when(F.col("_side") == right_tag, F.col(on))
-    )
-    fill_cols.append(F.last("_r_on", ignorenulls=True).over(w).alias("_f_on"))
+    if tolerance is not None:
+        # carry the matched right row's own time so tolerance can bound
+        # it — only materialized when a tolerance is requested, so the
+        # plain as-of path pays no extra window aggregate
+        unioned = unioned.withColumn(
+            "_r_on", F.when(F.col("_side") == right_tag, F.col(on))
+        )
+        fill_cols.append(F.last("_r_on", ignorenulls=True).over(w).alias("_f_on"))
     filled = unioned.select("*", *fill_cols)
     is_left = F.col("_side") == left_tag
     if tolerance is not None:

@@ -257,4 +257,12 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         scrubbed.alias("scrubbed"),
         F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ips"),
+        # phone runs counted on the email/IP-scrubbed text, mirroring
+        # the replacement order (an IPv4 would otherwise double-count)
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+            ),
+            F.lit(PHONE_RE),
+        ).alias("n_phones"),
     )

@@ -202,6 +202,14 @@ def bpe_train_merges(
         .localCheckpoint(eager=True)
     )
     pc = _pair_counts(words).localCheckpoint(eager=True)
+    # partition-count discipline: each round's union would otherwise
+    # ADD the merged slice's partitions to the word table's — and since
+    # the slice inherits the table's partitioning, the count doubles
+    # per round (32 → 524k tasks by round 14). Coalescing the slice
+    # makes growth additive, and the periodic checkpoint repartitions
+    # back to the baseline, so task counts stay bounded at any k.
+    n_part = words.rdd.getNumPartitions()
+    slice_parts = max(1, n_part // 4)
     merges: list[tuple[str, str, int]] = []
     for r in range(k):
         top = (
@@ -237,8 +245,10 @@ def bpe_train_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        merged_words = affected.select(merged.alias("sym"), "freq").localCheckpoint(
-            eager=True
+        merged_words = (
+            affected.select(merged.alias("sym"), "freq")
+            .coalesce(slice_parts)
+            .localCheckpoint(eager=True)
         )
         # delta maintenance: -old pairs of affected words, +new pairs
         # of their merged forms; everything else in pc is untouched
@@ -254,7 +264,7 @@ def bpe_train_merges(
         )
         words = words.filter(~has_pair).unionByName(merged_words)
         if (r + 1) % checkpoint_every == 0:
-            words = words.localCheckpoint(eager=True)
+            words = words.repartition(n_part).localCheckpoint(eager=True)
     return merges
 
 

@@ -412,6 +412,8 @@ def test_scrub_pii_redacts_each_category(spark):
     assert got[1]["scrubbed"] == "server at <IP> and <IP> up"
     assert got[1]["n_ips"] == 2
     assert got[2]["scrubbed"] == "call <PHONE> now"
+    assert got[2]["n_phones"] == 1
+    assert got[1]["n_phones"] == 0  # IPs must not double-count as phones
     assert got[3]["scrubbed"] == rows[3][1]
     assert got[4]["scrubbed"] == "both <EMAIL> and <IP>"
 

@@ -281,7 +281,14 @@ def main() -> None:
     )
     ne = big_emb.count()
     k_ann = 5
-    queries = big_emb.filter(F.col("vec_id") % 9_999_971 == 3).localCheckpoint(eager=True)
+    # ~40 queries: every 211th source vector, first four replicas — so
+    # the query set spans distinct source vectors AND perturbation
+    # variants (a bare modulus on the replicated id collapses to one
+    # row: source ids < 2000 keep any large modulus the identity)
+    queries = big_emb.filter(
+        ((F.col("vec_id") % 10_000_000) % 211 == 3)
+        & (F.col("vec_id") < 4 * 10_000_000)
+    ).localCheckpoint(eager=True)
     nq = queries.count()
     exact = {
         (r["query_id"], r["neighbor_id"])
