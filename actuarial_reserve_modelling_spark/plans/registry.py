@@ -71,6 +71,7 @@ _ROUND5_FRONT = [
     "l19_incremental_minhash_dedup",
     "l20_pii_scrub",
     "l21_bpe_encode",
+    "t10_incremental_ingest_dedup",
     # 4) rows-only by design — still worth a driver rows-check slot.
     "l3d_ann_pq_topk",
     "l17_bpe_merges",

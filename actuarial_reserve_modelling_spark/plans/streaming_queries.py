@@ -277,3 +277,37 @@ def t9_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_events").alias("n_events"),
         F.col("s.total_value").alias("total_value"),
     )
+
+
+@register(
+    "t10_incremental_ingest_dedup",
+    "T1,S7,L1,D8 (continuous-ingest dedup; cross-batch fingerprint index)",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch,
+               substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
+                   AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, fingerprint, batch FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY fingerprint ORDER BY batch, doc_id
+        ) AS rn FROM fp
+    ) WHERE rn = 1
+    """,
+)
+def t10_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming form of the D8 incremental-ingest exact tier
+    (streaming/pipeline.py::incremental_ingest_dedup): documents arrive
+    as three ordered batches (doc_id % 3), each micro-batch anti-joins
+    its fingerprints against the persisted index of everything admitted
+    so far and appends its survivors' fingerprints back — first batch
+    wins, then lowest doc_id. The oracle is the batch-equivalent
+    argmin: one row per fingerprint ordered by (batch, doc_id)."""
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_ingest_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    return incremental_ingest_dedup(spark, batches, cache_key=f"ingest3_{sf_dir}")

@@ -276,3 +276,102 @@ def stream_dedup(events: DataFrame, late: str = "10 minutes") -> DataFrame:
     arriving within the watermark horizon are suppressed; state for
     older keys is garbage-collected."""
     return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def incremental_ingest_dedup(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    cache_key: str,
+    seed: DataFrame | None = None,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Continuous-ingest exact dedup: stream document batches (one
+    micro-batch each, in order) and admit only documents whose
+    normalized-content fingerprint has not been seen before — by any
+    earlier batch, by the optional ``seed`` corpus, or by a
+    lower-doc_id row of the same batch (first-wins).
+
+    This is the streaming form of the D8 incremental-ingest tier
+    (``l18``): a ``foreachBatch`` loop that anti-joins each batch
+    against a PERSISTED fingerprint index and appends the survivors'
+    fingerprints back to it, so the index grows batch over batch and
+    yesterday's corpus is never re-scanned. Both the survivor sink and
+    the index are written to epoch-keyed subdirectories with
+    ``mode("overwrite")``, so a retried micro-batch rewrites exactly
+    its own epoch — the S7 exactly-once file-sink pattern. At 100 TB
+    the index is fingerprints only (16 bytes/doc, ~petabyte-corpus
+    index fits in a few TB) and the anti-join shuffles digests, never
+    documents.
+
+    Returns the accepted rows ``(doc_id, fingerprint, batch)``.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from actuarial_reserve_modelling_spark.operators.textstats import (
+        content_fingerprints,
+    )
+
+    work = tempfile.mkdtemp(prefix="arm_ingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    idx_dir = os.path.join(work, "index")
+    out_dir = os.path.join(work, "accepted")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(idx_dir)
+    os.makedirs(out_dir)
+    if seed is not None:
+        content_fingerprints(seed).select("fingerprint").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(idx_dir, "seed"))
+
+    def _has_index() -> bool:
+        for _, _, files in os.walk(idx_dir):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _step(batch_df: DataFrame, bid: int) -> None:
+        fp = content_fingerprints(batch_df)
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        first = (
+            fp.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if _has_index():
+            idx = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(idx_dir)
+                .select("fingerprint")
+            )
+            surv = first.join(idx, "fingerprint", "left_anti")
+        else:
+            surv = first
+        surv = surv.select("doc_id", "fingerprint", F.lit(bid).cast("int").alias("batch"))
+        # epoch-keyed overwrite on BOTH sinks: a retried epoch replaces
+        # its own output instead of appending duplicates
+        surv.write.mode("overwrite").parquet(os.path.join(out_dir, f"e{bid}"))
+        surv.select("fingerprint").write.mode("overwrite").parquet(
+            os.path.join(idx_dir, f"e{bid}")
+        )
+
+    stream = staged_ordered_source(
+        spark, [b.select("doc_id", "text") for b in batches], cache_key
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_step)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)

@@ -341,3 +341,34 @@ def test_foreachbatch_idempotent_epoch_sink(spark, tmp_path):
     write_batch(epoch0, 0)
     assert spark.read.parquet(out + "/epoch=0").count() == n0
     assert spark.read.parquet(out).count() == expected
+
+
+def test_incremental_ingest_dedup_with_seed(spark):
+    """Seeded continuous-ingest dedup: fingerprints already in the seed
+    corpus are rejected in every batch; within/cross-batch duplicates
+    keep the earliest (batch, doc_id) row."""
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_ingest_dedup,
+    )
+
+    seed = spark.createDataFrame(
+        [(100, "already ingested text")], ["doc_id", "text"]
+    )
+    batches = [
+        spark.createDataFrame(
+            [(0, "fresh alpha"), (1, "already  INGESTED   text"), (2, "fresh alpha")],
+            ["doc_id", "text"],
+        ),
+        spark.createDataFrame(
+            [(3, "fresh alpha"), (4, "fresh beta")], ["doc_id", "text"]
+        ),
+    ]
+    got = {
+        (r["doc_id"], r["batch"])
+        for r in incremental_ingest_dedup(
+            spark, batches, cache_key="test_seeded_ingest", seed=seed
+        ).collect()
+    }
+    # doc 1 matches the seed after normalization; doc 2 loses to doc 0
+    # in-batch; doc 3 loses to batch-0's doc 0 cross-batch.
+    assert got == {(0, 0), (4, 1)}
