@@ -149,6 +149,7 @@ def lsh_candidate_pairs(
     bands: int = 24,
     rows_per_band: int = 8,
     max_bucket_size: int = 10_000,
+    size_ratio: float | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate (d1, d2) pairs sharing at
     least one band bucket.
@@ -166,15 +167,31 @@ def lsh_candidate_pairs(
     value collecting a huge near-identical cluster contributes O(n²)
     pairs; other bands recover recall for genuinely-similar pairs, and
     at 100 TB you lower the cap and log the drops.
+
+    ``size_ratio``: when set, ``signatures`` must carry a ``sz`` column
+    (token-set cardinality) and pairs whose size ratio
+    min(sz)/max(sz) < size_ratio are pruned DURING bucket expansion —
+    before they ever reach the pair-distinct shuffle. Jaccard ≤
+    min/max, so with ``size_ratio = τ`` (minus the caller's rounding
+    slack) the prune is exact. On a dense-similarity corpus this drops
+    the majority of the expansion volume (measured 2.9 M → 0.96 M
+    distinct candidates at sf0.1, τ=0.95).
     """
     band_cols = [
         F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(f"b{i}")
         for i in range(bands)
     ]
-    banded = signatures.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+    member = (
+        F.struct(F.col("doc_id"), F.col("sz"))
+        if size_ratio is not None
+        else F.col("doc_id")
+    )
+    banded = signatures.select(
+        member.alias("m"), F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
     grouped = (
         banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.array_sort(F.collect_list("m")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
     # A tight cluster collides in MANY bands, producing the same member
@@ -183,14 +200,21 @@ def lsh_candidate_pairs(
     # ≤ bands × n_buckets short arrays, while the one it saves would be
     # over bands × Σ C(|bucket|, 2) expanded pairs.
     unique_sets = grouped.select("ids").distinct()
-    members = unique_sets.select(F.posexplode("ids").alias("i", "d1"), "ids")
-    return (
-        members.select(
-            "d1",
-            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1)).alias("d2"),
-        )
-        .distinct()
+    members = unique_sets.select(F.posexplode("ids").alias("i", "m1"), "ids")
+    pairs = members.select(
+        "m1",
+        F.explode(
+            F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1)
+        ).alias("m2"),
     )
+    if size_ratio is not None:
+        pairs = pairs.filter(
+            F.least("m1.sz", "m2.sz")
+            >= F.lit(size_ratio) * F.greatest("m1.sz", "m2.sz")
+        ).select(F.col("m1.doc_id").alias("m1"), F.col("m2.doc_id").alias("m2"))
+    return pairs.select(
+        F.col("m1").alias("d1"), F.col("m2").alias("d2")
+    ).distinct()
 
 
 def verify_jaccard(
@@ -371,7 +395,20 @@ def minhash_near_dup_pairs(
         num_hashes=bands * rows_per_band,
         seed=seed,
     )
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    # attach the token-set size (one AQE-broadcast join over the
+    # collapsed reps) so bucket expansion can size-prune pairs before
+    # the candidate-distinct shuffle; the 1e-6 slack matches the
+    # round-before-filter verify below
+    sigs_sz = sigs.join(
+        groups.select(F.col("rep_id").alias("doc_id"), F.size("htok").alias("sz")),
+        "doc_id",
+    )
+    cands = lsh_candidate_pairs(
+        sigs_sz,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        size_ratio=threshold - 1e-6,
+    )
 
     # fused verify + expansion: one broadcast per pair side carrying the
     # hashed tokens AND the member list, so candidate pairs are verified
@@ -881,6 +918,7 @@ def _banded_buckets(index: DataFrame, id_alias: str, bands: int, rows_per_band: 
     ]
     return index.select(
         F.col("doc_id").alias(id_alias),
+        F.size("htok").alias(f"_sz_{id_alias}"),
         F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
     )
 
@@ -927,6 +965,13 @@ def minhash_dedup_against_index(
     cand = (
         new_banded.join(idx_banded, ["band", "bucket"])
         .filter(F.col("new_id") != F.col("index_id"))
+        # size prune before the distinct shuffle: jaccard ≤ min/max of
+        # the token-set sizes, so ratio-incompatible pairs can't verify
+        # (1e-6 slack matches the round-before-filter verify)
+        .filter(
+            F.least("_sz_new_id", "_sz_index_id")
+            >= F.lit(threshold - 1e-6) * F.greatest("_sz_new_id", "_sz_index_id")
+        )
         .select("new_id", "index_id")
         .distinct()
     )
