@@ -637,34 +637,43 @@ def simhash_near_dup_pairs(
             for i in range(bands)
         ]
     )
-    banded = fps.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    # members carry their full fingerprint (one bigint) through the
+    # bucket groupBy, so the residual Hamming verify runs DURING pair
+    # expansion — before the pair-distinct shuffle — and no fp-lookup
+    # joins are needed afterwards at all: the only shuffles in the whole
+    # operator are the bucket groupBy, the member-set distinct, and the
+    # final (already-verified) pair distinct.
+    banded = fps.select(
+        F.struct("doc_id", "fp").alias("m"),
+        F.posexplode(band_keys).alias("band", "key"),
+    )
     grouped = (
         banded.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.array_sort(F.collect_list("m")).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
     # same member-set dedup as lsh_candidate_pairs: a near-identical pair
     # collides in several bands; dedup the short member arrays before the
     # quadratic pair expansion
     unique_sets = grouped.select("ids").distinct()
-    members = unique_sets.select(F.posexplode("ids").alias("i", "d1"), "ids")
-    cand = (
+    members = unique_sets.select(F.posexplode("ids").alias("i", "m1"), "ids")
+    return (
         members.select(
-            "d1",
+            "m1",
             F.explode(
                 F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1)
-            ).alias("d2"),
+            ).alias("m2"),
+        )
+        .withColumn(
+            "hamming", F.bit_count(F.col("m1.fp").bitwiseXOR(F.col("m2.fp")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("m1.doc_id").alias("d1"),
+            F.col("m2.doc_id").alias("d2"),
+            "hamming",
         )
         .distinct()
-    )
-    f1 = fps.select(F.col("doc_id").alias("d1"), F.col("fp").alias("fp1"))
-    f2 = fps.select(F.col("doc_id").alias("d2"), F.col("fp").alias("fp2"))
-    return (
-        cand.join(f1, "d1")
-        .join(f2, "d2")
-        .withColumn("hamming", F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("d1", "d2", "hamming")
     )
 
 
