@@ -339,3 +339,109 @@ def bpe_encode(
     return spread_for_kernel(
         docs.select("doc_id", F.col(text_col).alias("text"))
     ).mapInPandas(kernel, schema=out_schema)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 64,
+    salt: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets
+    a ``shard`` in [0, n_shards) and a ``pos`` within its shard, both
+    pure functions of (id, salt) — the data-ordering step before
+    writing training shards, where a biased order (e.g. all of one
+    source first) measurably hurts optimization.
+
+    Content-addressed md5 ordering (same convention as ``hash_split``):
+    no ``rand()``, so the permutation is identical on every rerun and
+    engine-portable. Cost at 100 TB: one hash-partition shuffle on
+    ``shard`` plus a per-shard sort (the window) — there is no global
+    sort, and shards are written independently. Change ``salt`` per
+    epoch for a fresh permutation.
+    """
+    keynum = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return (
+        df.withColumn("_k", keynum)
+        .withColumn("shard", (F.col("_k") % n_shards).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_k")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    salt: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement of ``k`` rows
+    (Efraimidis & Spirakis, IPL'06 A-ES): each row draws
+    ``key = u^(1/w)`` with u ∈ (0,1) and the k largest keys win —
+    inclusion probability proportional to weight, exactly one pass, no
+    coordination. The curation use: sample a corpus proportional to a
+    quality score instead of uniformly.
+
+    u is derived from the md5 of (id, salt) — the same content-addressed
+    convention as ``hash_split`` — so the "random" draw is reproducible
+    across reruns, partitionings, and engines; the ranking key is
+    rounded to 9 dp (ties broken by id) so the selected set is stable
+    against last-ulp pow() differences between engines. Top-k by key is
+    a ``TakeOrderedAndProject`` at scale — no global sort. Rows with
+    weight ≤ 0 never win (key 0).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    key = F.when(
+        F.col(weight_col) > 0, F.round(F.pow(u, 1.0 / F.col(weight_col)), 9)
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), id_col)
+        .limit(k)
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    quality_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy corpus selection under a token budget: take rows in
+    descending ``quality_col`` order (ties by id) while the running
+    token total stays within ``budget`` — the standard curation step
+    when the training run affords N tokens and the corpus holds more.
+
+    A row is kept iff the cumulative token count UP TO AND INCLUDING it
+    is ≤ budget (first-fit prefix, not knapsack — the deterministic,
+    one-pass contract). Adds ``cum_tokens``. Single global-ordering
+    window: at 100 TB, range-partition by quality first so the sort is
+    per-range; the prefix property is preserved because ranges are
+    ordered.
+    """
+    w = (
+        Window.orderBy(F.desc(quality_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -72,6 +72,9 @@ _ROUND5_FRONT = [
     "l20_pii_scrub",
     "l21_bpe_encode",
     "t10_incremental_ingest_dedup",
+    "l22_shuffle_shards",
+    "l23_weighted_sample",
+    "l24_token_budget_select",
     # 4) rows-only by design — still worth a driver rows-check slot.
     "l3d_ann_pq_topk",
     "l17_bpe_merges",

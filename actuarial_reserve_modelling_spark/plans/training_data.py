@@ -276,3 +276,103 @@ def l21_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.md5(F.concat_ws("", "tokens")).alias("tokens_md5"),
     )
+
+
+@register(
+    "l22_shuffle_shards",
+    "D9,O2 (deterministic shard shuffle; per-shard window)",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+                    AS BIGINT) AS keynum
+        FROM documents
+    )
+    SELECT doc_id, CAST(keynum % 64 AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY keynum % 64 ORDER BY keynum, doc_id
+           ) - 1 AS BIGINT) AS pos
+    FROM k
+    """,
+)
+def l22_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 64 training shards
+    (operators/traindata.py::shuffle_shards): shard and in-shard
+    position are pure functions of (doc_id, salt) via the md5
+    convention, so the permutation replays identically on rerun and in
+    any engine. One hash-partition shuffle + per-shard sort; no global
+    sort anywhere — shards write independently at 100 TB."""
+    from actuarial_reserve_modelling_spark.operators.traindata import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, n_shards=64, salt=42).select("doc_id", "shard", "pos")
+
+
+@register(
+    "l23_weighted_sample",
+    "D9,O3 (Efraimidis-Spirakis weighted sampling without replacement)",
+    oracle="""
+    SELECT doc_id, n_chars,
+           round(pow(
+               (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+                     AS BIGINT) AS DOUBLE) + 1) / 1152921504606846976.0,
+               1.0 / n_chars), 9) AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def l23_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sample (operators/traindata.py::
+    weighted_sample, Efraimidis & Spirakis IPL'06): each doc draws
+    key = u^(1/weight) from a content-addressed u and the top-k keys
+    win — inclusion odds proportional to weight (n_chars here), no
+    replacement, one pass. Top-k is TakeOrderedAndProject at scale (no
+    global sort); the md5-derived u makes the draw reproducible across
+    engines, which is what the oracle checks."""
+    from actuarial_reserve_modelling_spark.operators.traindata import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, weight_col="n_chars", k=100, salt=42)
+
+
+@register(
+    "l24_token_budget_select",
+    "D9,W3 (greedy corpus selection under a token budget)",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_toks
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_toks, cum_tokens FROM (
+        SELECT *, CAST(sum(n_toks) OVER (
+            ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING
+        ) AS BIGINT) AS cum_tokens FROM t
+    ) WHERE cum_tokens <= 15000
+    """,
+)
+def l24_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy selection under a 15k-token budget (operators/traindata.py
+    ::token_budget_select): take documents best-quality-first (n_chars
+    as the proxy, ties by id) while the running token total fits — the
+    curation step when the training run affords N tokens. Integer
+    arithmetic end to end, so the selected set is exactly reproducible;
+    at 100 TB, range-partition by the quality key first and the prefix
+    property carries across ordered ranges."""
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        token_budget_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    return token_budget_select(
+        t, quality_col="n_chars", tokens_col="n_toks", budget=15_000
+    )

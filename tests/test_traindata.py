@@ -188,3 +188,64 @@ def test_bpe_encode_empty_and_single_char_docs(spark):
     assert got[0] == ([], 0)
     assert got[1] == (["a"], 1)
     assert got[2] == ([], 0)
+
+
+def test_shuffle_shards_is_permutation_and_deterministic(spark):
+    from actuarial_reserve_modelling_spark.operators.traindata import shuffle_shards
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    a = shuffle_shards(docs, n_shards=16, salt=7)
+    b = shuffle_shards(docs.repartition(13), n_shards=16, salt=7)
+    rows_a = {(r["doc_id"], r["shard"], r["pos"]) for r in a.collect()}
+    rows_b = {(r["doc_id"], r["shard"], r["pos"]) for r in b.collect()}
+    assert rows_a == rows_b  # partitioning-invariant
+    n = docs.count()
+    assert len(rows_a) == n
+    # positions within each shard are exactly 0..len-1
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for _, s, p in rows_a:
+        by_shard[s].append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s
+    # a different salt produces a different permutation
+    c = {(r["doc_id"], r["shard"]) for r in
+         shuffle_shards(docs, n_shards=16, salt=8).collect()}
+    assert c != {(d, s) for d, s, _ in rows_a}
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """With weights spanning orders of magnitude, the heavy rows must
+    dominate the selection (E-S inclusion odds ~ weight)."""
+    from actuarial_reserve_modelling_spark.operators.traindata import weighted_sample
+
+    rows = [(i, 1000 if i < 50 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample(df, weight_col="w", k=50, salt=3).collect()
+    assert len(got) == 50
+    heavy = sum(1 for r in got if r["w"] == 1000)
+    assert heavy >= 40  # 50 heavy rows at 1000x weight vs 950 light ones
+    # deterministic under repartitioning
+    again = weighted_sample(df.repartition(7), weight_col="w", k=50, salt=3).collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+
+
+def test_token_budget_select_prefix_property(spark):
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        token_budget_select,
+    )
+
+    rows = [(i, 100 - i, 10 + (i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "q", "toks"])
+    got = token_budget_select(df, "q", "toks", budget=200).collect()
+    # kept rows are exactly the best-quality prefix whose cumsum fits
+    kept = sorted(got, key=lambda r: -r["q"])
+    assert kept[-1]["cum_tokens"] <= 200
+    total = 0
+    expect_ids = []
+    for i, (d, q, t) in enumerate(sorted(rows, key=lambda r: -r[1])):
+        if total + t > 200:
+            break
+        total += t
+        expect_ids.append(d)
+    assert {r["doc_id"] for r in got} == set(expect_ids)
