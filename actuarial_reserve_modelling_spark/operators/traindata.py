@@ -432,16 +432,38 @@ def token_budget_select(
 
     A row is kept iff the cumulative token count UP TO AND INCLUDING it
     is ≤ budget (first-fit prefix, not knapsack — the deterministic,
-    one-pass contract). Adds ``cum_tokens``. Single global-ordering
-    window: at 100 TB, range-partition by quality first so the sort is
-    per-range; the prefix property is preserved because ranges are
-    ordered.
+    one-pass contract). Adds ``cum_tokens``.
+
+    Scalable prefix sum — NO global-ordering window (which would funnel
+    the corpus through one task): (1) aggregate token totals per
+    DISTINCT quality value, (2) prefix-sum those totals on the tiny
+    value-level table (its window sorts score values, not documents),
+    (3) join each row its value's offset back and add a per-value
+    window cumsum ordered by id — every document-level sort is bounded
+    by one quality value's population. Exact for any data; the
+    value-level table is small whenever quality is a score/level/length
+    (continuous unique-per-row quality degrades it to corpus size —
+    quantize the score first in that case).
     """
-    w = (
-        Window.orderBy(F.desc(quality_col), id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per_q = df.groupBy(quality_col).agg(F.sum(tokens_col).alias("_qtot"))
+    # strictly-better values only: this row's own value contributes via
+    # the per-value window below
+    wq = Window.orderBy(F.desc(quality_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_q.select(
+        quality_col, F.coalesce(F.sum("_qtot").over(wq), F.lit(0)).alias("_qoff")
+    )
+    wv = Window.partitionBy(quality_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     return (
-        df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        df.join(offsets, quality_col)
+        .withColumn(
+            "cum_tokens",
+            (F.col("_qoff") + F.sum(tokens_col).over(wv)).cast("bigint"),
+        )
         .filter(F.col("cum_tokens") <= budget)
+        .drop("_qoff")
+        .select(*df.columns, "cum_tokens")
     )

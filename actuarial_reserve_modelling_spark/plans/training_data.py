@@ -358,9 +358,10 @@ def l24_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ::token_budget_select): take documents best-quality-first (n_chars
     as the proxy, ties by id) while the running token total fits — the
     curation step when the training run affords N tokens. Integer
-    arithmetic end to end, so the selected set is exactly reproducible;
-    at 100 TB, range-partition by the quality key first and the prefix
-    property carries across ordered ranges."""
+    arithmetic end to end, so the selected set is exactly reproducible.
+    No global-ordering window: the prefix sum decomposes into per-value
+    totals + a tiny value-level offset window + bounded per-value
+    windows, so no single task ever sorts the corpus."""
     from actuarial_reserve_modelling_spark.operators.traindata import (
         token_budget_select,
     )
