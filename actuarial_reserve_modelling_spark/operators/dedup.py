@@ -718,12 +718,21 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> 
             F.col("rn")
             <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
         )
-        .select("doc_id", "gram")
+        .select("doc_id", "sz", "gram")
     )
     cand = (
-        prefix.select(F.col("doc_id").alias("d1"), "gram")
-        .join(prefix.select(F.col("doc_id").alias("d2"), "gram"), "gram")
+        prefix.select(F.col("doc_id").alias("d1"), F.col("sz").alias("s1"), "gram")
+        .join(
+            prefix.select(F.col("doc_id").alias("d2"), F.col("sz").alias("s2"), "gram"),
+            "gram",
+        )
         .filter(F.col("d1") < F.col("d2"))
+        # size prune before the distinct shuffle: jac ≤ min(|g1|,|g2|)/
+        # max(|g1|,|g2|), so ratio-incompatible pairs can't verify (the
+        # final filter compares the RAW jac, so no rounding slack needed)
+        .filter(
+            F.least("s1", "s2") >= F.lit(threshold) * F.greatest("s1", "s2")
+        )
         .select("d1", "d2")
         .distinct()
     )
@@ -737,12 +746,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> 
     )
     g1 = hashed.select(F.col("doc_id").alias("d1"), F.col("g").alias("g1"))
     g2 = hashed.select(F.col("doc_id").alias("d2"), F.col("g").alias("g2"))
-    inter = F.size(F.array_intersect("g1", "g2")).cast("double")
-    union = (F.size("g1") + F.size("g2") - F.size(F.array_intersect("g1", "g2"))).cast("double")
     return (
         cand.join(g1, "d1")
         .join(g2, "d2")
-        .withColumn("jac", F.try_divide(inter, union))
+        .withColumn("_i", F.size(F.array_intersect("g1", "g2")).cast("double"))
+        .withColumn(
+            "jac",
+            F.try_divide(
+                F.col("_i"), F.size("g1") + F.size("g2") - F.col("_i")
+            ),
+        )
         .filter(F.col("jac") >= threshold)
         .select("d1", "d2", F.round("jac", 6).alias("jac"))
     )
