@@ -72,6 +72,7 @@ _ROUND5_FRONT = [
     "l20_pii_scrub",
     "l21_bpe_encode",
     "t10_incremental_ingest_dedup",
+    "t11_neardup_ingest_gate",
     "l22_shuffle_shards",
     "l23_weighted_sample",
     "l24_token_budget_select",

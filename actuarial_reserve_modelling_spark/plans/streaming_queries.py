@@ -311,3 +311,30 @@ def t10_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
     return incremental_ingest_dedup(spark, batches, cache_key=f"ingest3_{sf_dir}")
+
+
+@register(
+    "t11_neardup_ingest_gate",
+    "T1,S7,L1,L2,L4,D8 (full continuous-ingest near-dup gate)",
+    oracle=None,
+)
+def t11_neardup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ingest gate (streaming/pipeline.py::
+    incremental_neardup_ingest): per arriving batch — exact-fingerprint
+    tier, within-batch MinHash-LSH clustering keeping cluster
+    representatives, asymmetric LSH check against the persisted
+    signature index, then index append of admitted content only.
+    Iterative connected components inside + sequential batch dependence
+    make it non-SQL-expressible (rows-only here); the pytest verifies
+    it against an independent pure-Python reference of the same
+    contract, and every constituent operator (l1, l2, l2e, l19, t10)
+    is oracle-checked in isolation."""
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_neardup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    return incremental_neardup_ingest(
+        spark, batches, cache_key=f"neardup3_{sf_dir}", threshold=0.95
+    )

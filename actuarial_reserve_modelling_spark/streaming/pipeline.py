@@ -375,3 +375,152 @@ def incremental_ingest_dedup(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+def incremental_neardup_ingest(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    cache_key: str,
+    threshold: float = 0.95,
+    bands: int = 16,
+    rows_per_band: int = 16,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """The FULL continuous-ingest gate — the production loop a training
+    corpus actually runs: per arriving batch,
+
+    1. **exact tier** — within-batch first-wins on the normalized
+       content fingerprint, then anti-join against the persisted
+       fingerprint index;
+    2. **within-batch near-dup tier** — MinHash-LSH pairs over the
+       batch's exact survivors, connected components
+       (``dedup_clusters``), keep each cluster's minimum doc_id (the
+       cluster-representative contract: deterministic and parallel,
+       unlike the order-dependent greedy sequential gate);
+    3. **cross-batch near-dup tier** — survivors checked AGAINST the
+       persisted signature index via the asymmetric LSH equi-join
+       (``minhash_dedup_against_index``); any hit rejects;
+    4. admitted docs append their fingerprints AND their (htok, sig)
+       index rows, so later batches dedup against them without ever
+       re-scanning earlier data.
+
+    Epoch-keyed overwrite sinks make retried micro-batches idempotent
+    (the S7 pattern). Rejected docs contribute NOTHING to the index —
+    only admitted content gates the future, which is what keeps the
+    index linear in the KEPT corpus, not the ingested stream.
+
+    Iterative CC inside + sequential batch dependence ⇒ not
+    SQL-expressible: verified by a pytest against an independent pure-
+    Python reference implementing the same contract.
+
+    Returns admitted rows ``(doc_id, batch)``.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_clusters,
+        minhash_dedup_against_index,
+        minhash_near_dup_pairs,
+    )
+    from actuarial_reserve_modelling_spark.operators.textstats import (
+        content_fingerprints,
+    )
+
+    work = tempfile.mkdtemp(prefix="arm_neardup_ingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    fp_dir = os.path.join(work, "fp_index")
+    sig_dir = os.path.join(work, "sig_index")
+    out_dir = os.path.join(work, "admitted")
+    ckpt = os.path.join(work, "ckpt")
+    for d in (fp_dir, sig_dir, out_dir):
+        os.makedirs(d)
+
+    def _has_files(d: str) -> bool:
+        for _, _, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _step(batch_df: DataFrame, bid: int) -> None:
+        # 1) exact tier
+        fp = content_fingerprints(batch_df)
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        first = (
+            fp.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "fingerprint")
+        )
+        if _has_files(fp_dir):
+            seen = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(fp_dir)
+                .select("fingerprint")
+            )
+            first = first.join(seen, "fingerprint", "left_anti")
+        docs_e = batch_df.join(first.select("doc_id"), "doc_id").localCheckpoint(
+            eager=True
+        )
+        # 2) within-batch near-dup clustering → cluster representatives
+        pairs = minhash_near_dup_pairs(
+            docs_e, threshold=threshold, bands=bands, rows_per_band=rows_per_band
+        ).select("d1", "d2")
+        if pairs.limit(1).count() > 0:
+            non_reps = (
+                dedup_clusters(pairs)
+                .filter(F.col("doc_id") != F.col("rep_id"))
+                .select("doc_id")
+            )
+            docs_e = docs_e.join(non_reps, "doc_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+        # 3) cross-batch near-dup vs persisted signature index
+        if _has_files(sig_dir):
+            idx = spark.read.option("recursiveFileLookup", "true").parquet(sig_dir)
+            hits = (
+                minhash_dedup_against_index(
+                    docs_e,
+                    idx,
+                    threshold=threshold,
+                    bands=bands,
+                    rows_per_band=rows_per_band,
+                )
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            admitted = docs_e.join(hits, "doc_id", "left_anti")
+        else:
+            admitted = docs_e
+        admitted = admitted.localCheckpoint(eager=True)
+        # 4) epoch-keyed index + sink appends (overwrite = retry-safe)
+        content_fingerprints(admitted).select("fingerprint").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(fp_dir, f"e{bid}"))
+        build_dedup_index(
+            admitted, bands=bands, rows_per_band=rows_per_band
+        ).write.mode("overwrite").parquet(os.path.join(sig_dir, f"e{bid}"))
+        admitted.select(
+            "doc_id", F.lit(bid).cast("int").alias("batch")
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, f"e{bid}"))
+
+    stream = staged_ordered_source(
+        spark, [b.select("doc_id", "text") for b in batches], cache_key
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_step)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)

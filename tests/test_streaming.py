@@ -372,3 +372,98 @@ def test_incremental_ingest_dedup_with_seed(spark):
     # doc 1 matches the seed after normalization; doc 2 loses to doc 0
     # in-batch; doc 3 loses to batch-0's doc 0 cross-batch.
     assert got == {(0, 0), (4, 1)}
+
+
+def test_incremental_neardup_ingest_matches_reference(spark):
+    """The full ingest gate (exact tier + within-batch clustering +
+    against-index near-dup) must match an independent pure-Python
+    reference implementing the same contract over the same batches."""
+    import hashlib
+    import math
+    import re
+
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_neardup_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    got = {
+        (r["doc_id"], r["batch"])
+        for r in incremental_neardup_ingest(
+            spark, batches, cache_key="test_neardup_gate", threshold=0.95
+        ).collect()
+    }
+
+    # ---- independent reference ----
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    by_batch = [[], [], []]
+    for d, t in rows:
+        by_batch[d % 3].append((d, t))
+
+    def fingerprint(t):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        return hashlib.md5(norm.encode()).hexdigest()[:16]
+
+    def toks(t):
+        return {w for w in t.split(" ") if w}
+
+    def jac6(a, b):
+        u = len(a | b)
+        if u == 0:
+            return None
+        j = len(a & b) / u
+        return math.floor(j * 1e6 + 0.5) / 1e6  # half-up like F.round
+
+    seen_fps, admitted_sets, expect = set(), [], set()
+    for bid in range(3):
+        batch = sorted(by_batch[bid])
+        # exact tier: within-batch first-wins, then index anti-join
+        first, batch_fps = [], set()
+        for d, t in batch:
+            fp = fingerprint(t)
+            if fp in batch_fps or fp in seen_fps:
+                continue
+            batch_fps.add(fp)
+            first.append((d, t))
+        # within-batch near-dup clustering (union-find, keep min)
+        parent = {d: d for d, _ in first}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        tsets = {d: toks(t) for d, t in first}
+        ids = [d for d, _ in first]
+        for i in range(len(ids)):
+            for k in range(i + 1, len(ids)):
+                a, b = ids[i], ids[k]
+                j = jac6(tsets[a], tsets[b]) if tsets[a] and tsets[b] else None
+                if j is not None and j >= 0.95:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        reps = [(d, t) for d, t in first if find(d) == d]
+        # cross-batch near-dup vs admitted corpus (prior batches only)
+        admitted_now = []
+        for d, t in reps:
+            ts = toks(d and t or t)
+            hit = any(
+                ts and s and (jac6(ts, s) or 0) >= 0.95 for s in admitted_sets
+            )
+            if not hit:
+                admitted_now.append((d, t))
+        for d, t in admitted_now:
+            seen_fps.add(fingerprint(t))
+            s = toks(t)
+            if s:
+                admitted_sets.append(s)
+            expect.add((d, bid))
+
+    assert got == expect
