@@ -428,16 +428,23 @@ def pq_train_codebooks(
     if dim % m_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     ds = dim // m_subspaces
-    books = []
-    for j in range(m_subspaces):
+
+    def _train(j: int) -> np.ndarray:
         sub = embeddings.select(
             F.col(id_col), F.slice(vec_col, j * ds + 1, ds).alias(vec_col)
         )
-        books.append(
-            ivf_train_centroids(
-                sub, n_centroids=n_codes, n_iters=n_iters, id_col=id_col, vec_col=vec_col
-            )
+        return ivf_train_centroids(
+            sub, n_centroids=n_codes, n_iters=n_iters, id_col=id_col, vec_col=vec_col
         )
+
+    # the m per-subspace k-means are independent deterministic job
+    # chains — submit them concurrently (Spark's scheduler interleaves
+    # jobs fine); results are identical to the sequential loop, wall
+    # time is the slowest chain instead of the sum
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m_subspaces) as ex:
+        books = list(ex.map(_train, range(m_subspaces)))
     return np.stack(books)
 
 
@@ -505,10 +512,12 @@ def ann_pq_topk(
 
     The 100 TB shape: the scan side is the CODES table (32× smaller
     than the raw vectors; in production persisted once and reused every
-    query batch), queries broadcast with their LUTs computed in-kernel,
-    and the only full-width vector reads are the rerank·k candidates
-    per query. Deterministic end to end (quantizer rules + stable
-    argsort + id tie-breaks).
+    query batch), the bounded query batch rides into the kernel as a
+    driver-held closure (LUTs computed once per task, scoring is a
+    numpy gather over the whole partition, only per-batch top rerank·k
+    rows leave the kernel), and the only full-width vector reads are
+    the rerank·k candidates per query. Deterministic end to end
+    (quantizer rules + stable argsort + id tie-breaks).
     """
     codebooks = pq_train_codebooks(
         embeddings,
@@ -534,32 +543,71 @@ def ann_pq_topk(
         ]
     )
 
+    # Queries are driver-collected (the bounded-query-batch contract,
+    # same as cosine_topk): the kernel then scans the CODES table only —
+    # no query×codes join row explosion, no per-row query vectors over
+    # Arrow. Each task computes the m LUTs ONCE for the whole query
+    # batch and scores its partition's codes by pure numpy gather,
+    # emitting only its per-batch top rerank·k rows per query — exact,
+    # because any global top-R row ranks ≤ R within its own batch too.
+    q_rows = q.collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = (
+        np.array([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows])
+        if q_rows
+        else np.zeros((0, m * ds))
+    )
+    nq = len(q_rows)
+    top_r = rerank * k
+
     def adc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "adc": pd.Series([], dtype="float64"),
+            }
+        )
+        if nq == 0:
+            yield empty
+            return
+        luts = [q_mat[:, j * ds : (j + 1) * ds] @ books[j].T for j in range(m)]
         for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({"query_id": [], "neighbor_id": [], "adc": []})
+            n = len(pdf)
+            if n == 0:
+                yield empty
                 continue
-            qv = np.array([np.asarray(v, dtype=np.float64) for v in pdf["qvec"]])
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             cds = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
-            # LUT per row: IP contribution of each subspace's code word
-            # against THIS row's query subvector
-            adc = np.zeros(len(pdf))
+            # pre-sort columns by neighbor_id so the stable argsort below
+            # breaks adc ties by ascending id — the same total order the
+            # downstream window uses
+            ordn = np.argsort(nid, kind="stable")
+            nid = nid[ordn]
+            cds = cds[ordn]
+            adc = np.zeros((nq, n))
             for j in range(m):
-                lut = qv[:, j * ds : (j + 1) * ds] @ books[j].T  # (n, n_codes)
-                adc += lut[np.arange(len(pdf)), cds[:, j]]
+                adc += luts[j][:, cds[:, j]]
+            adc[q_ids[:, None] == nid[None, :]] = -np.inf  # self-exclusion
+            take = min(top_r, n)
+            top = np.argsort(-adc, axis=1, kind="stable")[:, :take]
+            rows_q = np.repeat(q_ids, take)
+            rows_n = nid[top].ravel()
+            rows_a = np.take_along_axis(adc, top, axis=1).ravel()
+            keep = np.isfinite(rows_a)
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "adc": adc,
+                    "query_id": rows_q[keep],
+                    "neighbor_id": rows_n[keep],
+                    "adc": rows_a[keep],
                 }
             )
 
-    paired = (
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    scored = spread_for_kernel(
         codes.select(F.col(id_col).alias("neighbor_id"), "codes")
-        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    )
-    scored = paired.mapInPandas(adc_kernel, schema=out_schema)
+    ).mapInPandas(adc_kernel, schema=out_schema)
     w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
     cand = (
         scored.withColumn("r", F.row_number().over(w_adc))
