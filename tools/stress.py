@@ -310,6 +310,74 @@ def main() -> None:
             "sec": round(dt, 2),
         }
 
+    # 8) incremental near-dup against a persisted index: the 4×-doc
+    #    corpus index is built once; a perturbed 1× batch dedups against
+    #    it via the asymmetric banded join (the batch-over-batch
+    #    production shape — per-batch cost tracks the batch, not the
+    #    corpus).
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        build_dedup_index,
+        minhash_dedup_against_index,
+    )
+
+    idx = build_dedup_index(big_docs, bands=16, rows_per_band=12).localCheckpoint(
+        eager=True
+    )
+    idx.count()
+    new_batch = docs.select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.concat_ws(" ", "text", F.lit("tail")).alias("text"),
+    )
+    t0 = time.time()
+    n_inc = minhash_dedup_against_index(
+        new_batch, idx, threshold=0.95, bands=16, rows_per_band=12
+    ).count()
+    out["minhash_against_index"] = {
+        "index_docs": n_docs,
+        "batch_docs": n1,
+        "pairs": n_inc,
+        "sec": round(time.time() - t0, 2),
+    }
+
+    # 9) corpus-curation trio on the mult× corpus: shard shuffle
+    #    (hash shuffle + per-shard sort), weighted sampling (top-k, no
+    #    global sort), token-budget selection (decomposed prefix sum).
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        shuffle_shards,
+        token_budget_select,
+        weighted_sample,
+    )
+
+    t0 = time.time()
+    n_sh2 = shuffle_shards(big_corpus.select("doc_id"), n_shards=256).count()
+    out["shuffle_shards"] = {"docs": n_sh2, "sec": round(time.time() - t0, 2)}
+
+    sized = big_corpus.select("doc_id", F.length("text").alias("n_chars"))
+    t0 = time.time()
+    n_ws = weighted_sample(sized, weight_col="n_chars", k=10_000).count()
+    out["weighted_sample"] = {
+        "docs": nm,
+        "sampled": n_ws,
+        "sec": round(time.time() - t0, 2),
+    }
+
+    budget_in = big_corpus.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.expr("size(filter(split(text, ' '), w -> w != ''))")
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    t0 = time.time()
+    n_bud = token_budget_select(
+        budget_in, quality_col="n_chars", tokens_col="n_toks", budget=1_000_000
+    ).count()
+    out["token_budget_select"] = {
+        "docs": nm,
+        "selected": n_bud,
+        "sec": round(time.time() - t0, 2),
+    }
+
     print(json.dumps({"multiplier": mult, "sf_dir": sf_dir, "results": out}))
 
 
