@@ -60,6 +60,9 @@ def _bench_queries(spark, sf_dir):
         "l13_stratified_sample": registry["l13_stratified_sample"].spark_fn,
         "l14_sequence_packing": registry["l14_sequence_packing"].spark_fn,
         "l16_decontamination": registry["l16_decontamination"].spark_fn,
+        # the incremental-ingest flagship and the cheapest curation op
+        "l19_incremental_minhash": registry["l19_incremental_minhash_dedup"].spark_fn,
+        "l22_shuffle_shards": registry["l22_shuffle_shards"].spark_fn,
     }
     return picks
 
