@@ -696,12 +696,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6) -> 
     (rare grams → small buckets by construction); exact intersect/union
     math verifies. Stages: gram frequency (groupBy), per-doc frequency
     sort (one window), prefix explode + equi-join, verify join."""
-    grams = docs.select(
+    # the length guard matters: sequence(1, stop) DESCENDS when stop < 1
+    # in Spark SQL, so a sub-n-char doc would otherwise yield the
+    # spurious gram set {""} and pair with every other short doc at
+    # jaccard 1.0 (DuckDB's generate_series yields empty instead —
+    # found by the brute-force hypothesis property test)
+    grams = docs.filter(F.length("text") >= n).select(
         "doc_id",
         F.array_distinct(
             F.expr(f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n}))")
         ).alias("g"),
-    ).filter(F.size("g") > 0)
+    )
     # feeds the prefix derivation AND the two verify lookups
     grams = grams.localCheckpoint(eager=False)
 

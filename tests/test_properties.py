@@ -253,3 +253,73 @@ def test_stratified_sample_quota_property(spark, langs, frac):
     }
     for lang, n in sizes.items():
         assert got.get(lang, 0) == math.ceil(frac * n), (lang, n, frac)
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["red", "green", "blue", "cyan", "teal", "plum"]),
+                 min_size=1, max_size=8),
+        min_size=2, max_size=10,
+    ),
+    max_hamming=st.sampled_from([0, 1, 3]),
+)
+def test_simhash_banded_equals_bruteforce_hamming(spark, docs, max_hamming):
+    """The banded pigeonhole join (with the round-5 in-expansion verify)
+    must equal brute-force Hamming over the same fingerprints — the
+    blocking is exact, not probabilistic."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_dup_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in simhash_near_dup_pairs(sdf, max_hamming=max_hamming).collect()
+    }
+    fps = {r["doc_id"]: r["fp"] for r in simhash_fingerprints(sdf).collect()}
+    expected = set()
+    ids = sorted(fps)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            h = bin(fps[ids[a]] ^ fps[ids[b]]).count("1")
+            if h <= max_hamming:
+                expected.add((ids[a], ids[b], h))
+    assert got == expected
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=12),
+        min_size=2, max_size=10,
+    ),
+    threshold=st.sampled_from([0.5, 0.8, 1.0]),
+)
+def test_ngram_prefix_filter_equals_bruteforce(spark, texts, threshold):
+    """Prefix-filter blocked n-gram Jaccard (with the round-5 size
+    prune) must equal brute-force all-pairs over distinct char 3-gram
+    sets; sub-3-char docs are excluded by contract."""
+    from actuarial_reserve_modelling_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["d1"], r["d2"])
+        for r in ngram_jaccard_pairs(sdf, n=3, threshold=threshold).collect()
+    }
+    grams = {
+        i: frozenset(t[j : j + 3] for j in range(len(t) - 2))
+        for i, t in rows
+        if len(t) >= 3
+    }
+    expected = set()
+    ids = sorted(grams)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = grams[ids[x]], grams[ids[y]]
+            if a | b and len(a & b) / len(a | b) >= threshold:
+                expected.add((ids[x], ids[y]))
+    assert got == expected
