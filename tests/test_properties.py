@@ -323,3 +323,46 @@ def test_ngram_prefix_filter_equals_bruteforce(spark, texts, threshold):
             if a | b and len(a & b) / len(a | b) >= threshold:
                 expected.add((ids[x], ids[y]))
     assert got == expected
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=10),
+        min_size=2, max_size=8,
+    ),
+    max_dist=st.sampled_from([1, 2]),
+)
+def test_levenshtein_qgram_equals_bruteforce(spark, texts, max_dist):
+    """ED-Join q-gram blocking must equal brute-force edit distance over
+    all pairs of strings meeting the length contract (n >= q*(d+1));
+    shorter strings are excluded by contract."""
+    from actuarial_reserve_modelling_spark.operators.dedup import levenshtein_pairs
+
+    q = 2
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, head string")
+    got = {
+        (r["d1"], r["d2"], r["dist"])
+        for r in levenshtein_pairs(sdf, max_dist=max_dist, q=q).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    min_len = q * (max_dist + 1)
+    elig = [(i, t) for i, t in rows if len(t) >= min_len]
+    expected = set()
+    for x in range(len(elig)):
+        for y in range(x + 1, len(elig)):
+            (i, a), (j, b) = elig[x], elig[y]
+            d = lev(a, b)
+            if d <= max_dist:
+                expected.add((min(i, j), max(i, j), d))
+    assert got == expected
