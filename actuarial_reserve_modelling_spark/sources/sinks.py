@@ -118,3 +118,46 @@ def staging_commit(path: str) -> None:
 
     with open(os.path.join(path, _DONE_MARKER), "w") as fh:
         fh.write("done")
+
+
+def compact_parquet_dir(spark: SparkSession, path: str, target_files: int = 4) -> int:
+    """Compact a directory of small parquet files (e.g. the epoch-keyed
+    index appends the streaming ingest gates produce) into
+    ``target_files`` large files — the OPTIMIZE/compaction step that
+    keeps an append-heavy layout readable: the small-files problem is
+    the #1 operational failure of long-running ingest at 100 TB, and an
+    index appended once per micro-batch accretes one directory per
+    epoch forever without it.
+
+    Contract: contents are preserved exactly (same rows, one combined
+    layout); readers that use recursive lookup see either the old or
+    the new layout. The swap here is last-writer-wins (write compacted
+    → drop old entries → rename in); the crash-window atomicity a real
+    deployment needs comes from a transactional table format, which is
+    out of scope — this operator demonstrates the compaction shape and
+    its interaction with the ingest loop. Returns the file count after
+    compaction.
+    """
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    gen = f"compacted_{uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(path, f"_tmp_{gen}")
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    for entry in os.listdir(path):
+        if entry == f"_tmp_{gen}":
+            continue
+        full = os.path.join(path, entry)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            os.remove(full)
+    os.rename(tmp, os.path.join(path, gen))
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

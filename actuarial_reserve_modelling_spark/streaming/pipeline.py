@@ -284,6 +284,7 @@ def incremental_ingest_dedup(
     cache_key: str,
     seed: DataFrame | None = None,
     state_partitions: int = 8,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """Continuous-ingest exact dedup: stream document batches (one
     micro-batch each, in order) and admit only documents whose
@@ -358,6 +359,16 @@ def incremental_ingest_dedup(
         surv.select("fingerprint").write.mode("overwrite").parquet(
             os.path.join(idx_dir, f"e{bid}")
         )
+        if compact_every and (bid + 1) % compact_every == 0:
+            # compact only the INDEX (fingerprints): duplicate rows there
+            # are harmless under anti-join, so a retried epoch landing
+            # after compaction cannot corrupt results; the survivor sink
+            # stays epoch-keyed (duplicates there WOULD duplicate output)
+            from actuarial_reserve_modelling_spark.sources.sinks import (
+                compact_parquet_dir,
+            )
+
+            compact_parquet_dir(spark, idx_dir, target_files=state_partitions)
 
     stream = staged_ordered_source(
         spark, [b.select("doc_id", "text") for b in batches], cache_key
@@ -408,6 +419,12 @@ def incremental_neardup_ingest(
     (the S7 pattern). Rejected docs contribute NOTHING to the index —
     only admitted content gates the future, which is what keeps the
     index linear in the KEPT corpus, not the ingested stream.
+    ``compact_every``: compact the index directory into few large files
+    every N batches (sources/sinks.py::compact_parquet_dir) — an
+    append-per-epoch index accretes one directory per micro-batch
+    forever otherwise. At production scale the index is additionally
+    bucketed by digest prefix so the anti-join prunes instead of
+    scanning every index file per batch.
 
     Iterative CC inside + sequential batch dependence ⇒ not
     SQL-expressible: verified by a pytest against an independent pure-

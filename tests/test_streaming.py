@@ -467,3 +467,58 @@ def test_incremental_neardup_ingest_matches_reference(spark):
             expect.add((d, bid))
 
     assert got == expect
+
+
+def test_ingest_dedup_with_compaction_preserves_output(spark, tmp_path):
+    """Compacting the fingerprint index mid-stream must not change the
+    admitted set, and must shrink the index to few files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_ingest_dedup,
+    )
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batches = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    plain = {
+        (r["doc_id"], r["batch"])
+        for r in incremental_ingest_dedup(
+            spark, batches, cache_key="test_compact_plain"
+        ).collect()
+    }
+    compacted = {
+        (r["doc_id"], r["batch"])
+        for r in incremental_ingest_dedup(
+            spark, batches, cache_key="test_compact_on", compact_every=2
+        ).collect()
+    }
+    assert plain == compacted
+
+
+def test_compact_parquet_dir_preserves_rows(spark, tmp_path):
+    import os
+
+    from actuarial_reserve_modelling_spark.sources.sinks import compact_parquet_dir
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    for e in range(6):
+        spark.range(e * 10, e * 10 + 10).withColumnRenamed("id", "v").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"e{e}"))
+    before = {
+        r["v"]
+        for r in spark.read.option("recursiveFileLookup", "true").parquet(d).collect()
+    }
+    n_files = compact_parquet_dir(spark, d, target_files=2)
+    after = {
+        r["v"]
+        for r in spark.read.option("recursiveFileLookup", "true").parquet(d).collect()
+    }
+    assert before == after == set(range(60))
+    assert n_files <= 2
