@@ -356,6 +356,37 @@ def ann_ivf_topk(
         embeddings, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
     lists = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    return ann_ivf_topk_indexed(
+        lists,
+        centroids,
+        embeddings,
+        queries,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ann_ivf_topk_indexed(
+    lists: DataFrame,
+    centroids: np.ndarray,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query an EXISTING IVF index: ``lists`` is a persisted
+    (id, cluster) assignment (``ivf_assign`` output, in production
+    partitioned by cluster) built with ``centroids``. This is the
+    incremental-ingest shape for similarity search: centroids are
+    trained once, each arriving vector batch is assigned map-side
+    against them (``ivf_assign`` — no retraining, no index rebuild) and
+    appended to ``lists``, and query batches probe the union. Per-query
+    cost is nprobe/n_centroids of a scan plus the exact re-rank —
+    independent of how many batches built the index."""
     probes = ivf_assign(
         queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
     ).select(F.col(id_col).alias("query_id"), "cluster")

@@ -765,3 +765,29 @@ def l20_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(injected).select(
         "doc_id", F.md5("scrubbed").alias("scrub_md5"), "n_emails", "n_ips"
     )
+
+
+@register("l25_ann_ivf_index_add", "L3,D8 (incremental IVF index add + query)", oracle=None)
+def l25_ann_ivf_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental similarity-search ingest: centroids trained ONCE on
+    the existing corpus (vec_id % 3 != 0), the new batch (vec_id % 3
+    == 0) assigned map-side against those frozen centroids — no
+    retraining, no rebuild — and queries probe the UNION index
+    (operators/similarity.py::ann_ivf_topk_indexed). The ANN analogue
+    of the l18/l19 index tiers: per-batch cost is the batch assignment,
+    not the corpus. Deterministic but k-means-dependent => rows-only;
+    the pytest asserts add-batch ≡ whole-corpus assignment under the
+    same centroids."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    centroids = ivf_train_centroids(old, n_centroids=16)
+    lists = ivf_assign(old, centroids).unionByName(ivf_assign(new, centroids))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf_topk_indexed(lists, centroids, emb, queries, k=5, nprobe=6)

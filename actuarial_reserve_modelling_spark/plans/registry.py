@@ -76,6 +76,7 @@ _ROUND5_FRONT = [
     "l22_shuffle_shards",
     "l23_weighted_sample",
     "l24_token_budget_select",
+    "l25_ann_ivf_index_add",
     # 4) rows-only by design — still worth a driver rows-check slot.
     "l3d_ann_pq_topk",
     "l17_bpe_merges",

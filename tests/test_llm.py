@@ -446,3 +446,35 @@ def test_incremental_minhash_matches_batch_pairs(spark):
             if a % 3 == 0 and b % 3 != 0:
                 want.add((a, b, r["jac"]))
     assert inc == want
+
+
+def test_ivf_index_add_equals_bulk_assignment(spark):
+    """Adding a batch to an IVF index (assign against frozen centroids,
+    union the lists) must answer queries identically to assigning the
+    whole corpus in one pass with the same centroids."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    centroids = ivf_train_centroids(old, n_centroids=8)
+    inc_lists = ivf_assign(old, centroids).unionByName(ivf_assign(new, centroids))
+    bulk_lists = ivf_assign(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 8)
+    inc = {
+        tuple(r)
+        for r in ann_ivf_topk_indexed(
+            inc_lists, centroids, emb, queries, k=5, nprobe=4
+        ).collect()
+    }
+    bulk = {
+        tuple(r)
+        for r in ann_ivf_topk_indexed(
+            bulk_lists, centroids, emb, queries, k=5, nprobe=4
+        ).collect()
+    }
+    assert inc == bulk and len(inc) > 0
