@@ -40,6 +40,12 @@ _BASE_CONFS: dict[str, str] = {
     "spark.ui.showConsoleProgress": "false",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Scan-split sizing: 128 MB splits (the Spark default, pinned here as
+    # an explicit contract) keep a 100 TB table at ~800k input tasks and
+    # each task's columnar batch comfortably inside executor memory;
+    # raise for wide-row tables, lower only if per-task memory is tight —
+    # AQE coalesces the post-shuffle side, this governs the scan side.
+    "spark.sql.files.maxPartitionBytes": "134217728",
 }
 
 
