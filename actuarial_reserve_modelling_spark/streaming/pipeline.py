@@ -484,9 +484,15 @@ def incremental_neardup_ingest(
             eager=True
         )
         # 2) within-batch near-dup clustering → cluster representatives
-        pairs = minhash_near_dup_pairs(
-            docs_e, threshold=threshold, bands=bands, rows_per_band=rows_per_band
-        ).select("d1", "d2")
+        # eager checkpoint: the emptiness probe and the CC rounds below
+        # would otherwise each re-run the whole LSH pair pipeline
+        pairs = (
+            minhash_near_dup_pairs(
+                docs_e, threshold=threshold, bands=bands, rows_per_band=rows_per_band
+            )
+            .select("d1", "d2")
+            .localCheckpoint(eager=True)
+        )
         if pairs.limit(1).count() > 0:
             non_reps = (
                 dedup_clusters(pairs)
