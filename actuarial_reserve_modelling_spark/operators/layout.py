@@ -71,6 +71,10 @@ def quantize_minmax(df: DataFrame, cols: Sequence[str], bits: int = 16) -> DataF
     out = df
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"quantize_minmax: column {c!r} has no non-null values"
+            )
         span = (mx - mn) or 1.0
         out = out.withColumn(
             f"__q_{c}",
@@ -106,6 +110,10 @@ def quantize_quantile(df: DataFrame, cols: Sequence[str], bits: int = 8) -> Data
     ).collect()[0]
     out = df
     for c in cols:
+        if row[c] is None:
+            raise ValueError(
+                f"quantize_quantile: column {c!r} has no non-null values"
+            )
         bounds = sorted(set(row[c]))
         arr = F.array(*[F.lit(float(b)) for b in bounds])
         # bucket = number of boundaries <= value (0..len(bounds))

@@ -322,8 +322,12 @@ def bpe_encode(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict = {}
         for pdf in batches:
+            # NULL text arrives as None; the trainer's SQL split() treats
+            # it as token-less, so the encoder must too (not crash)
             toks = [
                 [t for w in text.split(" ") if w for t in _encode_word(w, memo)]
+                if text is not None
+                else []
                 for text in pdf["text"]
             ]
             yield pd.DataFrame(
@@ -385,18 +389,24 @@ def weighted_sample(
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement of ``k`` rows
     (Efraimidis & Spirakis, IPL'06 A-ES): each row draws
-    ``key = u^(1/w)`` with u ∈ (0,1) and the k largest keys win —
-    inclusion probability proportional to weight, exactly one pass, no
-    coordination. The curation use: sample a corpus proportional to a
-    quality score instead of uniformly.
+    ``key = ln(u)/w`` with u ∈ (0,1) — the numerically stable
+    exponential-race form of ``u^(1/w)``, same ordering — and the k
+    LARGEST keys win: inclusion probability proportional to weight,
+    exactly one pass, no coordination. The curation use: sample a
+    corpus proportional to a quality score instead of uniformly.
 
-    u is derived from the md5 of (id, salt) — the same content-addressed
-    convention as ``hash_split`` — so the "random" draw is reproducible
-    across reruns, partitionings, and engines; the ranking key is
-    rounded to 9 dp (ties broken by id) so the selected set is stable
-    against last-ulp pow() differences between engines. Top-k by key is
-    a ``TakeOrderedAndProject`` at scale — no global sort. Rows with
-    weight ≤ 0 never win (key 0).
+    The log form matters at extreme weights: ``u^(1/w)`` saturates to
+    1.0 for w ≳ 1e10 (every key rounds equal → selection degrades to
+    smallest-id) and underflows to 0.0 for tiny w; ``ln(u)/w`` keeps
+    full relative precision at any weight scale. u derives from the md5
+    of (id, salt) — the same content-addressed convention as
+    ``hash_split`` — so the draw reproduces across reruns,
+    partitionings, and engines; the key is rounded to 12 dp (ties
+    broken by id) so the selected set is stable against last-ulp ln()
+    differences between engines. Top-k by key is a
+    ``TakeOrderedAndProject`` at scale — no global sort. Rows with
+    weight ≤ 0 are excluded structurally — they can never be selected,
+    even when k exceeds the positive-weight population.
     """
     u = (
         F.conv(
@@ -408,11 +418,10 @@ def weighted_sample(
         ).cast("double")
         + F.lit(1.0)
     ) / F.lit(float(1 << 60))
-    key = F.when(
-        F.col(weight_col) > 0, F.round(F.pow(u, 1.0 / F.col(weight_col)), 9)
-    ).otherwise(F.lit(0.0))
+    key = F.round(F.log(u) / F.col(weight_col), 12)
     return (
-        df.withColumn("es_key", key)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
         .orderBy(F.desc("es_key"), id_col)
         .limit(k)
     )

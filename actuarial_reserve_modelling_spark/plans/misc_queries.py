@@ -303,10 +303,10 @@ def s10_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust = load_table(spark, sf_dir, "customer")
         cust.filter(F.col("c_custkey") % 4 == 0).select(
             "c_custkey", "c_acctbal"
-        ).write.parquet(out + "/batch=1")
+        ).write.mode("overwrite").parquet(out + "/batch=1")
         cust.filter(F.col("c_custkey") % 4 == 1).select(
             "c_custkey", "c_acctbal", "c_mktsegment"
-        ).write.parquet(out + "/batch=2")
+        ).write.mode("overwrite").parquet(out + "/batch=2")
         staging_commit(root)
     merged = spark.read.option("mergeSchema", "true").parquet(out)
     return merged.groupBy("batch").agg(

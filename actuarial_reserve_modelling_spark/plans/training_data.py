@@ -313,11 +313,11 @@ def l22_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     "D9,O3 (Efraimidis-Spirakis weighted sampling without replacement)",
     oracle="""
     SELECT doc_id, n_chars,
-           round(pow(
+           round(ln(
                (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
-                     AS BIGINT) AS DOUBLE) + 1) / 1152921504606846976.0,
-               1.0 / n_chars), 9) AS es_key
-    FROM documents
+                     AS BIGINT) AS DOUBLE) + 1) / 1152921504606846976.0
+           ) / n_chars, 12) AS es_key
+    FROM documents WHERE n_chars > 0
     ORDER BY es_key DESC, doc_id
     LIMIT 100
     """,
@@ -325,11 +325,12 @@ def l22_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l23_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sample (operators/traindata.py::
     weighted_sample, Efraimidis & Spirakis IPL'06): each doc draws
-    key = u^(1/weight) from a content-addressed u and the top-k keys
-    win — inclusion odds proportional to weight (n_chars here), no
-    replacement, one pass. Top-k is TakeOrderedAndProject at scale (no
-    global sort); the md5-derived u makes the draw reproducible across
-    engines, which is what the oracle checks."""
+    key = ln(u)/weight from a content-addressed u (the numerically
+    stable exponential-race form) and the top-k keys win — inclusion
+    odds proportional to weight (n_chars here), no replacement, one
+    pass. Top-k is TakeOrderedAndProject at scale (no global sort); the
+    md5-derived u makes the draw reproducible across engines, which is
+    what the oracle checks."""
     from actuarial_reserve_modelling_spark.operators.traindata import weighted_sample
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")

@@ -336,6 +336,25 @@ def incremental_ingest_dedup(
         return False
 
     def _step(batch_df: DataFrame, bid: int) -> None:
+        # RETRY HYGIENE, before anything reads the index: a failed prior
+        # attempt of THIS epoch may have appended its fingerprints to
+        # the index already — reading them back would anti-join the
+        # epoch's own survivors away and overwrite its output with an
+        # empty set (silent data loss). Deleting the epoch's own appends
+        # first makes the re-run see exactly the pre-epoch index.
+        shutil.rmtree(os.path.join(idx_dir, f"e{bid}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, f"e{bid}"), ignore_errors=True)
+        # compaction runs at the START of a later epoch, so it can only
+        # ever fold FULLY COMMITTED earlier epochs — compacting at the
+        # end of the writing epoch would bake a possibly-uncommitted
+        # epoch into the compacted generation, where the hygiene delete
+        # above could no longer remove it on retry
+        if compact_every and bid > 0 and bid % compact_every == 0:
+            from actuarial_reserve_modelling_spark.sources.sinks import (
+                compact_parquet_dir,
+            )
+
+            compact_parquet_dir(spark, idx_dir, target_files=state_partitions)
         fp = content_fingerprints(batch_df)
         w = Window.partitionBy("fingerprint").orderBy("doc_id")
         first = (
@@ -352,23 +371,15 @@ def incremental_ingest_dedup(
             surv = first.join(idx, "fingerprint", "left_anti")
         else:
             surv = first
-        surv = surv.select("doc_id", "fingerprint", F.lit(bid).cast("int").alias("batch"))
+        surv = surv.select(
+            "doc_id", "fingerprint", F.lit(bid).cast("int").alias("batch")
+        ).localCheckpoint(eager=True)  # one plan execution feeds both writes
         # epoch-keyed overwrite on BOTH sinks: a retried epoch replaces
         # its own output instead of appending duplicates
         surv.write.mode("overwrite").parquet(os.path.join(out_dir, f"e{bid}"))
         surv.select("fingerprint").write.mode("overwrite").parquet(
             os.path.join(idx_dir, f"e{bid}")
         )
-        if compact_every and (bid + 1) % compact_every == 0:
-            # compact only the INDEX (fingerprints): duplicate rows there
-            # are harmless under anti-join, so a retried epoch landing
-            # after compaction cannot corrupt results; the survivor sink
-            # stays epoch-keyed (duplicates there WOULD duplicate output)
-            from actuarial_reserve_modelling_spark.sources.sinks import (
-                compact_parquet_dir,
-            )
-
-            compact_parquet_dir(spark, idx_dir, target_files=state_partitions)
 
     stream = staged_ordered_source(
         spark, [b.select("doc_id", "text") for b in batches], cache_key
@@ -465,6 +476,11 @@ def incremental_neardup_ingest(
         return False
 
     def _step(batch_df: DataFrame, bid: int) -> None:
+        # retry hygiene (see incremental_ingest_dedup): a failed prior
+        # attempt of this epoch may have appended to either index; those
+        # appends would reject the epoch's own survivors on re-run.
+        for d in (fp_dir, sig_dir, out_dir):
+            shutil.rmtree(os.path.join(d, f"e{bid}"), ignore_errors=True)
         # 1) exact tier
         fp = content_fingerprints(batch_df)
         w = Window.partitionBy("fingerprint").orderBy("doc_id")

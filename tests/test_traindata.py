@@ -249,3 +249,30 @@ def test_token_budget_select_prefix_property(spark):
         total += t
         expect_ids.append(d)
     assert {r["doc_id"] for r in got} == set(expect_ids)
+
+
+def test_bpe_encode_null_text(spark):
+    from actuarial_reserve_modelling_spark.operators.traindata import bpe_encode
+
+    docs = spark.createDataFrame([(0, None), (1, "ab ab")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(docs, [("a", "b", 1)]).collect()}
+    assert got == {0: 0, 1: 2}
+
+
+def test_weighted_sample_extreme_weights_and_exclusion(spark):
+    """The ln(u)/w key must stay discriminative at huge weights, and
+    weight<=0 rows must never be selected even when k exceeds the
+    positive-weight population."""
+    from actuarial_reserve_modelling_spark.operators.traindata import weighted_sample
+
+    rows = [(i, 10**12 if i < 30 else 1) for i in range(200)] + [
+        (200 + i, 0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample(df, weight_col="w", k=30, salt=5).collect()
+    heavy = sum(1 for r in got if r["w"] == 10**12)
+    assert heavy >= 25  # 1e12x weight dominates; would fail if keys saturated
+    # k larger than the positive population: zero-weight rows still excluded
+    all_pos = weighted_sample(df, weight_col="w", k=1000, salt=5).collect()
+    assert len(all_pos) == 200
+    assert all(r["w"] > 0 for r in all_pos)
