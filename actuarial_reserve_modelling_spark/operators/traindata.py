@@ -401,12 +401,16 @@ def weighted_sample(
     full relative precision at any weight scale. u derives from the md5
     of (id, salt) — the same content-addressed convention as
     ``hash_split`` — so the draw reproduces across reruns,
-    partitionings, and engines; the key is rounded to 12 dp (ties
-    broken by id) so the selected set is stable against last-ulp ln()
-    differences between engines. Top-k by key is a
-    ``TakeOrderedAndProject`` at scale — no global sort. Rows with
-    weight ≤ 0 are excluded structurally — they can never be selected,
-    even when k exceeds the positive-weight population.
+    partitionings, and engines. Cross-engine stability: ``ln(u)`` is
+    bounded in (−41.6, 0), so rounding IT to 9 dp absorbs any last-ulp
+    libm difference, and the subsequent division by w is IEEE-exact —
+    the key therefore keeps full RELATIVE precision at any weight
+    scale (rounding the quotient instead would re-saturate for huge
+    w, where every quotient lands inside one rounding tick). Ties
+    break by id. Top-k by key is a ``TakeOrderedAndProject`` at scale —
+    no global sort. Rows with weight ≤ 0 are excluded structurally —
+    they can never be selected, even when k exceeds the
+    positive-weight population.
     """
     u = (
         F.conv(
@@ -418,7 +422,7 @@ def weighted_sample(
         ).cast("double")
         + F.lit(1.0)
     ) / F.lit(float(1 << 60))
-    key = F.round(F.log(u) / F.col(weight_col), 12)
+    key = F.round(F.log(u), 9) / F.col(weight_col)
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("es_key", key)

@@ -316,7 +316,7 @@ def l22_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(
                (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
                      AS BIGINT) AS DOUBLE) + 1) / 1152921504606846976.0
-           ) / n_chars, 12) AS es_key
+           ), 9) / n_chars AS es_key
     FROM documents WHERE n_chars > 0
     ORDER BY es_key DESC, doc_id
     LIMIT 100

@@ -304,6 +304,15 @@ def incremental_ingest_dedup(
     index fits in a few TB) and the anti-join shuffles digests, never
     documents.
 
+    ``compact_every``: compact the index directory into few large
+    files at the start of every Nth epoch (sources/sinks.py::
+    compact_parquet_dir) — an append-per-epoch index accretes one
+    directory per micro-batch forever otherwise. Compaction runs at
+    the START of a later epoch so it only ever folds fully committed
+    epochs. At production scale the index is additionally bucketed by
+    digest prefix so the anti-join prunes instead of scanning every
+    index file per batch.
+
     Returns the accepted rows ``(doc_id, fingerprint, batch)``.
     """
     import atexit
@@ -349,7 +358,7 @@ def incremental_ingest_dedup(
         # end of the writing epoch would bake a possibly-uncommitted
         # epoch into the compacted generation, where the hygiene delete
         # above could no longer remove it on retry
-        if compact_every and bid > 0 and bid % compact_every == 0:
+        if compact_every and bid > 0 and bid % compact_every == 0 and _has_index():
             from actuarial_reserve_modelling_spark.sources.sinks import (
                 compact_parquet_dir,
             )
@@ -373,13 +382,18 @@ def incremental_ingest_dedup(
             surv = first
         surv = surv.select(
             "doc_id", "fingerprint", F.lit(bid).cast("int").alias("batch")
-        ).localCheckpoint(eager=True)  # one plan execution feeds both writes
-        # epoch-keyed overwrite on BOTH sinks: a retried epoch replaces
-        # its own output instead of appending duplicates
-        surv.write.mode("overwrite").parquet(os.path.join(out_dir, f"e{bid}"))
-        surv.select("fingerprint").write.mode("overwrite").parquet(
-            os.path.join(idx_dir, f"e{bid}")
         )
+        # epoch-keyed overwrite on BOTH sinks: a retried epoch replaces
+        # its own output instead of appending duplicates. The survivor
+        # sink write executes the dedup plan ONCE; the index append is
+        # derived by re-reading that sink (cheap columnar scan) rather
+        # than a localCheckpoint, which would pin the survivor blocks in
+        # executor storage memory until nondeterministic GC.
+        out_epoch = os.path.join(out_dir, f"e{bid}")
+        surv.write.mode("overwrite").parquet(out_epoch)
+        spark.read.parquet(out_epoch).select("fingerprint").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(idx_dir, f"e{bid}"))
 
     stream = staged_ordered_source(
         spark, [b.select("doc_id", "text") for b in batches], cache_key
@@ -407,6 +421,7 @@ def incremental_neardup_ingest(
     bands: int = 16,
     rows_per_band: int = 16,
     state_partitions: int = 8,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """The FULL continuous-ingest gate — the production loop a training
     corpus actually runs: per arriving batch,
@@ -430,12 +445,13 @@ def incremental_neardup_ingest(
     (the S7 pattern). Rejected docs contribute NOTHING to the index —
     only admitted content gates the future, which is what keeps the
     index linear in the KEPT corpus, not the ingested stream.
-    ``compact_every``: compact the index directory into few large files
-    every N batches (sources/sinks.py::compact_parquet_dir) — an
-    append-per-epoch index accretes one directory per micro-batch
-    forever otherwise. At production scale the index is additionally
-    bucketed by digest prefix so the anti-join prunes instead of
-    scanning every index file per batch.
+    ``compact_every``: compact BOTH indexes (fingerprints and
+    signatures) into few large files at the start of every Nth epoch —
+    only fully committed epochs are ever folded (the epoch's own
+    leftovers are deleted by the retry hygiene first). A crash mid-
+    compaction can leave rows present in both the compacted generation
+    and a not-yet-removed epoch dir; duplicate index rows only
+    duplicate candidate pairs, which the gate's distinct absorbs.
 
     Iterative CC inside + sequential batch dependence ⇒ not
     SQL-expressible: verified by a pytest against an independent pure-
@@ -481,6 +497,14 @@ def incremental_neardup_ingest(
         # appends would reject the epoch's own survivors on re-run.
         for d in (fp_dir, sig_dir, out_dir):
             shutil.rmtree(os.path.join(d, f"e{bid}"), ignore_errors=True)
+        if compact_every and bid > 0 and bid % compact_every == 0:
+            from actuarial_reserve_modelling_spark.sources.sinks import (
+                compact_parquet_dir,
+            )
+
+            for d in (fp_dir, sig_dir):
+                if _has_files(d):
+                    compact_parquet_dir(spark, d, target_files=state_partitions)
         # 1) exact tier
         fp = content_fingerprints(batch_df)
         w = Window.partitionBy("fingerprint").orderBy("doc_id")

@@ -398,6 +398,18 @@ def test_incremental_neardup_ingest_matches_reference(spark):
             spark, batches, cache_key="test_neardup_gate", threshold=0.95
         ).collect()
     }
+    # compacting the indexes mid-stream must not change the admitted set
+    got_compacted = {
+        (r["doc_id"], r["batch"])
+        for r in incremental_neardup_ingest(
+            spark,
+            batches,
+            cache_key="test_neardup_gate_c",
+            threshold=0.95,
+            compact_every=2,
+        ).collect()
+    }
+    assert got == got_compacted
 
     # ---- independent reference ----
     rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
