@@ -657,3 +657,162 @@ def ann_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    rerank: int = 4,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ composite; Jégou et al. TPAMI'11
+    §V): a coarse k-means quantizer partitions the corpus into inverted
+    lists, product quantization encodes each vector's RESIDUAL against
+    its list centroid, and a query scans only its ``nprobe`` probed
+    lists' codes via ADC before the exact re-rank — combining IVF's
+    scan pruning (nprobe/n_centroids of the corpus) with PQ's 32×
+    compression of what it does scan. This is the production
+    100 TB ANN shape: the scan side is the codes table filtered to the
+    probed clusters (partition-prunable when lists are the partition
+    key), and the only full-width reads are the rerank·k re-rank rows.
+
+    Inner-product decomposition keeps the lookup tables per-QUERY, not
+    per-(query, cluster): IP(q, c + r) = q·c + q·r, so the residual
+    LUTs are computed once from q and each row just adds its cluster's
+    scalar offset q·c. Residual encoding uses one shared codebook set
+    (trained on all residuals — the FAISS default). Deterministic end
+    to end (same quantizer/tie-break/stable-argsort rules as IVF and
+    PQ); queries are driver-collected under the bounded-query-batch
+    contract shared by the whole ANN family."""
+    centroids = ivf_train_centroids(
+        embeddings, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    assign = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    # residual = vec - centroid[cluster], via a (k × d) plan-literal —
+    # JVM-side, no Python; at 16×64 doubles the literal is 1k constants
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    with_cluster = embeddings.select(id_col, vec_col).join(assign, id_col)
+    residuals = with_cluster.select(
+        id_col,
+        "cluster",
+        F.transform(
+            vec_col,
+            lambda x, i: x
+            - F.element_at(F.element_at(cent_lit, F.col("cluster") + 1), i + 1),
+        ).alias(vec_col),
+    )
+    books = pq_train_codebooks(
+        residuals, m_subspaces=m_subspaces, n_codes=n_codes, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col, dim=centroids.shape[1],
+    )
+    m, _, ds = books.shape
+    books_c = np.ascontiguousarray(books, dtype=np.float64)
+    codes = pq_encode(residuals, books, id_col=id_col, vec_col=vec_col).join(
+        assign, id_col
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    q_rows = q.collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = (
+        np.array([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows])
+        if q_rows
+        else np.zeros((0, m * ds))
+    )
+    nq = len(q_rows)
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    # per-query probe lists by the SAME L2 rule as ivf_assign
+    if nq:
+        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (q_mat @ cent.T)
+        probe = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
+        probed_clusters = sorted({int(c) for row in probe for c in row})
+        probe_mask = np.zeros((nq, len(cent)), dtype=bool)
+        for qi in range(nq):
+            probe_mask[qi, probe[qi]] = True
+        qc_offset = q_mat @ cent.T  # (nq, k): the q·c term of the IP
+    else:
+        probed_clusters = []
+    top_r = rerank * k
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def adc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "adc": pd.Series([], dtype="float64"),
+            }
+        )
+        if nq == 0:
+            yield empty
+            return
+        luts = [q_mat[:, j * ds : (j + 1) * ds] @ books_c[j].T for j in range(m)]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield empty
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cl = pdf["cluster"].to_numpy(dtype=np.int64)
+            cds = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ordn = np.argsort(nid, kind="stable")
+            nid, cl, cds = nid[ordn], cl[ordn], cds[ordn]
+            adc = qc_offset[:, cl]  # (nq, n): q·centroid of each row's list
+            for j in range(m):
+                adc += luts[j][:, cds[:, j]]
+            adc[~probe_mask[:, cl]] = -np.inf  # only probed lists count
+            adc[q_ids[:, None] == nid[None, :]] = -np.inf  # self-exclusion
+            take = min(top_r, n)
+            top = np.argsort(-adc, axis=1, kind="stable")[:, :take]
+            rows_q = np.repeat(q_ids, take)
+            rows_n = nid[top].ravel()
+            rows_a = np.take_along_axis(adc, top, axis=1).ravel()
+            keep = np.isfinite(rows_a)
+            yield pd.DataFrame(
+                {
+                    "query_id": rows_q[keep],
+                    "neighbor_id": rows_n[keep],
+                    "adc": rows_a[keep],
+                }
+            )
+
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    scan = codes.filter(F.col("cluster").isin(probed_clusters)).select(
+        F.col(id_col).alias("neighbor_id"), "cluster", "codes"
+    )
+    scored = spread_for_kernel(scan).mapInPandas(adc_kernel, schema=out_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
+    cand = (
+        scored.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= top_r)
+        .select("query_id", "neighbor_id")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    exact = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cosine("qvec", "cvec"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

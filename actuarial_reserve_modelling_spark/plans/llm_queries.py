@@ -791,3 +791,22 @@ def l25_ann_ivf_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = ivf_assign(old, centroids).unionByName(ivf_assign(new, centroids))
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_ivf_topk_indexed(lists, centroids, emb, queries, k=5, nprobe=6)
+
+
+@register("l26_ann_ivfpq_topk", "L3 (IVF-PQ composite, the production ANN shape)", oracle=None)
+def l26_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF-PQ (operators/similarity.py::
+    ann_ivfpq_topk): coarse 16-list quantizer + 8×16 product
+    quantization of the residuals, queries scan only their 6 probed
+    lists' codes via per-query LUT ADC (inner-product decomposition:
+    IP(q, c+r) = q·c + q·r), exact cosine re-rank of the top-8k.
+    Combines IVF's scan pruning with PQ's compression — the composite
+    every production vector store ships. Approximate ⇒ rows-only; the
+    pytest asserts recall vs exact and run-to-run determinism."""
+    from actuarial_reserve_modelling_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivfpq_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=6, m_subspaces=8, n_codes=16, rerank=8
+    )

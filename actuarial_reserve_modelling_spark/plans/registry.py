@@ -77,6 +77,7 @@ _ROUND5_FRONT = [
     "l23_weighted_sample",
     "l24_token_budget_select",
     "l25_ann_ivf_index_add",
+    "l26_ann_ivfpq_topk",
     # 4) rows-only by design — still worth a driver rows-check slot.
     "l3d_ann_pq_topk",
     "l17_bpe_merges",

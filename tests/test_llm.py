@@ -478,3 +478,29 @@ def test_ivf_index_add_equals_bulk_assignment(spark):
         ).collect()
     }
     assert inc == bulk and len(inc) > 0
+
+
+def test_ivfpq_recall_vs_exact_and_determinism(spark):
+    from actuarial_reserve_modelling_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    res1 = ann_ivfpq_topk(emb, queries, k=5, n_centroids=16, nprobe=6, rerank=8)
+    rows1 = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in res1.collect()}
+    approx = {(q, n) for q, n, _ in rows1}
+    # IVF pruning (6/16 lists) stacked on PQ quantization of uniform
+    # vectors — the compound worst case; clustered real embeddings do
+    # far better at the same budget
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} too low"
+    rows2 = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_ivfpq_topk(
+            emb, queries, k=5, n_centroids=16, nprobe=6, rerank=8
+        ).collect()
+    }
+    assert rows1 == rows2

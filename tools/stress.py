@@ -261,6 +261,7 @@ def main() -> None:
     #    degenerate exact copies.
     from actuarial_reserve_modelling_spark.operators.similarity import (
         ann_ivf_topk,
+        ann_ivfpq_topk,
         ann_lsh_topk,
         ann_pq_topk,
         cosine_topk,
@@ -299,6 +300,12 @@ def main() -> None:
         ("ann_lsh", lambda: ann_lsh_topk(big_emb, queries, k=k_ann)),
         ("ann_ivf", lambda: ann_ivf_topk(big_emb, queries, k=k_ann, n_centroids=32, nprobe=8)),
         ("ann_pq", lambda: ann_pq_topk(big_emb, queries, k=k_ann, rerank=8)),
+        (
+            "ann_ivfpq",
+            lambda: ann_ivfpq_topk(
+                big_emb, queries, k=k_ann, n_centroids=32, nprobe=8, rerank=8
+            ),
+        ),
     ):
         t0 = time.time()
         got = {(r["query_id"], r["neighbor_id"]) for r in fn().collect()}
