@@ -276,3 +276,31 @@ def test_weighted_sample_extreme_weights_and_exclusion(spark):
     all_pos = weighted_sample(df, weight_col="w", k=1000, salt=5).collect()
     assert len(all_pos) == 200
     assert all(r["w"] > 0 for r in all_pos)
+
+
+def test_weighted_sample_duckdb_parity_extreme_weights(spark):
+    """The selected set must match DuckDB running the identical key
+    formula, including at weight scales spanning 12 orders of
+    magnitude — the regime where naive key math diverges."""
+    import duckdb
+
+    rows = [(i, [1, 10**6, 10**12][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    from actuarial_reserve_modelling_spark.operators.traindata import weighted_sample
+
+    got = {r["doc_id"] for r in weighted_sample(df, "w", k=40, salt=42).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]
+        for r in con.execute("""
+            SELECT doc_id FROM t WHERE w > 0
+            ORDER BY round(ln(
+                (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+                      AS BIGINT) AS DOUBLE) + 1) / 1152921504606846976.0
+            ), 9) / w DESC, doc_id
+            LIMIT 40
+        """).fetchall()
+    }
+    assert got == want
