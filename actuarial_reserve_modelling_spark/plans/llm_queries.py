@@ -705,9 +705,12 @@ def l19_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # checkpoint the inline-built index: the operator consumes it twice
+    # (banding + verify join) and would otherwise re-sign the corpus;
+    # the production caller reads a persisted index instead
     index = build_dedup_index(
         docs.filter(F.col("doc_id") % 3 != 0), bands=16, rows_per_band=16
-    )
+    ).localCheckpoint(eager=False)
     return minhash_dedup_against_index(
         docs.filter(F.col("doc_id") % 3 == 0),
         index,
