@@ -370,3 +370,47 @@ def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
     )
+
+
+@register(
+    "s13_compaction_roundtrip",
+    "S6,S7 (small-file compaction preserves contents)",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def s13_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the oracle: the orders slice is
+    written as SIX per-epoch append directories (the layout the
+    streaming ingest gates produce), compacted into two files
+    (sources/sinks.py::compact_parquet_dir), and the aggregate over the
+    compacted layout must equal the direct answer — contents exactly
+    preserved while the file count drops an order of magnitude. The
+    operational OPTIMIZE step that keeps an append-heavy 100 TB layout
+    readable."""
+    import os
+
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        compact_parquet_dir,
+        staging_commit,
+        staging_dir,
+    )
+
+    root, fresh = staging_dir("s13", sf_dir)
+    out = root + "/epochs"
+    if fresh:
+        orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+        for e in range(6):
+            orders.filter(F.col("o_orderkey") % 6 == e).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"e{e}"))
+        n_files = compact_parquet_dir(spark, out, target_files=2)
+        assert n_files <= 2, n_files
+        staging_commit(root)
+    back = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

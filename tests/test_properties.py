@@ -366,3 +366,44 @@ def test_levenshtein_qgram_equals_bruteforce(spark, texts, max_dist):
             if d <= max_dist:
                 expected.add((min(i, j), max(i, j), d))
     assert got == expected
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=20),
+        min_size=1, max_size=6,
+    ),
+)
+def test_winnowing_equals_reference(spark, texts):
+    """winnowing_fingerprints must equal a pure-Python reference of the
+    same spec: md5-60-bit k-gram hashes, min over each sliding window
+    of `window` hashes, distinct per doc; docs shorter than k emit
+    nothing; docs with fewer than `window` grams emit one global min."""
+    import hashlib
+
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    k, window = 4, 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["fp_hash"])
+        for r in winnowing_fingerprints(sdf, k=k, window=window).collect()
+    }
+    expected = set()
+    for i, t in rows:
+        if len(t) < k:
+            continue
+        hs = [
+            int(hashlib.md5(t[j : j + k].encode()).hexdigest()[:15], 16)
+            for j in range(len(t) - k + 1)
+        ]
+        if len(hs) <= window:
+            expected.add((i, min(hs)))
+        else:
+            for s in range(len(hs) - window + 1):
+                expected.add((i, min(hs[s : s + window])))
+    assert got == expected
