@@ -450,3 +450,43 @@ def ts2_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "ts", F.round("value", 4).alias("value"), "ewma"
     )
+
+
+@register(
+    "l16b_decontaminate_flag",
+    "D5,J3 (decontamination filter; semi-join, scan-bound)",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(ws) - 1),
+                   i -> array_to_string(list_slice(ws, i, i + 2), ' ')
+               )) AS shingle
+        FROM tok WHERE len(ws) >= 3
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 5)
+    SELECT DISTINCT s.doc_id
+    FROM sh s JOIN bench USING (shingle)
+    WHERE s.doc_id % 101 <> 5
+    """,
+)
+def l16b_decontaminate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter form of benchmark decontamination (operators/
+    textstats.py::decontaminate_flag): flagged doc_ids only, via a LEFT
+    SEMI join against the broadcast benchmark shingle set — its
+    shuffle carries one row per flagged doc instead of one per matched
+    shingle occurrence; the shape a pipeline uses when it drops
+    contaminated docs rather than reporting contamination depth. Same
+    3-gram slice contract as l16."""
+    from actuarial_reserve_modelling_spark.operators.textstats import (
+        decontaminate_flag,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 5)
+    train = docs.filter(F.col("doc_id") % 101 != 5)
+    return decontaminate_flag(train, bench, n=3)

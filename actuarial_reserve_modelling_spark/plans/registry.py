@@ -79,6 +79,7 @@ _ROUND5_FRONT = [
     "l25_ann_ivf_index_add",
     "l26_ann_ivfpq_topk",
     "s13_compaction_roundtrip",
+    "l16b_decontaminate_flag",
     # 4) rows-only by design — still worth a driver rows-check slot.
     "l3d_ann_pq_topk",
     "l17_bpe_merges",
