@@ -414,3 +414,52 @@ def s13_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "o9_dataset_diff",
+    "O5,J2,S7 (snapshot diff: added/removed/changed keys)",
+    oracle="""
+    WITH oldv AS (
+        SELECT o_orderkey, substr(md5(CAST(o_totalprice AS VARCHAR)
+                   || CAST(o_orderstatus AS VARCHAR)), 1, 16) AS h
+        FROM orders WHERE o_orderkey % 89 <> 0
+    ),
+    newv AS (
+        SELECT o_orderkey,
+               substr(md5(CAST(
+                   CASE WHEN o_orderkey % 97 = 0
+                        THEN round(o_totalprice + 1.5, 2) ELSE o_totalprice END
+                   AS VARCHAR) || CAST(o_orderstatus AS VARCHAR)), 1, 16) AS h
+        FROM orders WHERE o_orderkey % 83 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed' END AS change_type
+    FROM oldv o FULL OUTER JOIN newv n USING (o_orderkey)
+    WHERE (o.h IS NULL) OR (n.h IS NULL) OR (o.h <> n.h)
+    """,
+)
+def o9_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (sources/sinks.py::dataset_diff): the old snapshot
+    drops keys %89=0, the new one drops %83=0 and bumps %97=0 prices —
+    the diff must report exactly the removed, added, and changed keys.
+    Both sides collapse map-side to (key, 16-byte hash) before one
+    full-outer join; unchanged keys never leave the join stage."""
+    from actuarial_reserve_modelling_spark.sources.sinks import dataset_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    oldv = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    newv = orders.filter(F.col("o_orderkey") % 83 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.round(F.col("o_totalprice") + 1.5, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return dataset_diff(oldv, newv, key_cols=["o_orderkey"])

@@ -80,6 +80,7 @@ _ROUND5_FRONT = [
     "l26_ann_ivfpq_topk",
     "s13_compaction_roundtrip",
     "l16b_decontaminate_flag",
+    "o9_dataset_diff",
     # 4) rows-only by design — still worth a driver rows-check slot.
     "l3d_ann_pq_topk",
     "l17_bpe_merges",

@@ -161,3 +161,47 @@ def compact_parquet_dir(spark: SparkSession, path: str, target_files: int = 4) -
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff: classify every key as ``added`` (only in new),
+    ``removed`` (only in old), or ``changed`` (present in both with a
+    different content hash over ``compare_cols``; unchanged keys are
+    dropped). The data-management primitive behind incremental
+    re-publication and audit (what moved between yesterday's corpus
+    snapshot and today's).
+
+    Shape at scale: each side collapses map-side to (key, 16-byte row
+    hash) before one full-outer hash join, so row content never
+    shuffles, and unchanged keys (the overwhelming majority of a daily
+    diff) drop immediately after the join. Column order inside the
+    hash is pinned by ``compare_cols`` order, so schema projection
+    changes cannot silently flip hashes. NULL caveat: ``concat_ws``
+    skips NULLs, so a NULL and an empty string hash identically —
+    map NULLs to a sentinel upstream if that distinction matters.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    digest = F.substring(
+        F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in compare_cols])),
+        1,
+        16,
+    )
+    o = old.select(*key_cols, digest.alias("_h_old"))
+    n = new.select(*key_cols, digest.alias("_h_new"))
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )

@@ -534,3 +534,22 @@ def test_compact_parquet_dir_preserves_rows(spark, tmp_path):
     }
     assert before == after == set(range(60))
     assert n_files <= 2
+
+
+def test_dataset_diff_classification(spark):
+    from actuarial_reserve_modelling_spark.sources.sinks import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "d", 40.0)], ["k", "s", "v"]
+    )
+    got = {(r["k"], r["change_type"]) for r in dataset_diff(old, new, ["k"]).collect()}
+    assert got == {(1, "removed"), (3, "changed"), (4, "added")}
+    # unchanged keys (2) are dropped; compare_cols subset narrows the diff
+    got_v = {
+        (r["k"], r["change_type"])
+        for r in dataset_diff(old, new, ["k"], compare_cols=["s"]).collect()
+    }
+    assert got_v == {(1, "removed"), (4, "added")}  # 3's s is unchanged
