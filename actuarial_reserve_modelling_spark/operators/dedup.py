@@ -959,11 +959,20 @@ def minhash_dedup_against_index(
     seed: int = 42,
     text_col: str = "text",
     max_bucket_size: int = 10_000,
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Incremental near-dup check: (new_id, index_id, jac ≥ τ) pairs
     between an ingest batch and an existing ``build_dedup_index``
     output — the production shape where yesterday's corpus is never
     re-processed.
+
+    Precondition: new-batch doc_ids are DISJOINT from index doc_ids.
+    With the default ``exclude_same_id=True`` a candidate pair whose
+    ids are equal is dropped as a self-pair — so a batch that REUSES an
+    id already in the index (with different content) would silently
+    miss that real near-duplicate. If your id space allows reuse, pass
+    ``exclude_same_id=False`` (same-id pairs then verify like any
+    other) or re-key the batch before ingest.
 
     Asymmetric LSH equi-join: both sides band their signatures, the
     join matches on (band, bucket) — so no new×new or index×index
@@ -989,9 +998,11 @@ def minhash_dedup_against_index(
         .drop("_n")
     )
     new_banded = _banded_buckets(new_index, "new_id", bands, rows_per_band)
+    cand = new_banded.join(idx_banded, ["band", "bucket"])
+    if exclude_same_id:
+        cand = cand.filter(F.col("new_id") != F.col("index_id"))
     cand = (
-        new_banded.join(idx_banded, ["band", "bucket"])
-        .filter(F.col("new_id") != F.col("index_id"))
+        cand
         # size prune before the distinct shuffle: jaccard ≤ min/max of
         # the token-set sizes, so ratio-incompatible pairs can't verify
         # (1e-6 slack matches the round-before-filter verify)

@@ -62,7 +62,13 @@ def quantize_minmax(df: DataFrame, cols: Sequence[str], bits: int = 16) -> DataF
     scaling is pure codegen arithmetic. Min/max scaling is the cheap
     default; it quantizes poorly under heavy skew (one outlier
     compresses everything else into few buckets) — use
-    ``quantize_quantile`` there."""
+    ``quantize_quantile`` there.
+
+    NULL handling (pinned, identical in both quantizers): NULL values
+    map to bucket 0, so null-heavy rows co-locate at the low end of the
+    Z-curve instead of scattering (``F.least`` skips NULL operands, so
+    without the coalesce a NULL would land in the TOP bucket here but
+    bucket 0 in ``quantize_quantile``)."""
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
@@ -78,10 +84,16 @@ def quantize_minmax(df: DataFrame, cols: Sequence[str], bits: int = 16) -> DataF
         span = (mx - mn) or 1.0
         out = out.withColumn(
             f"__q_{c}",
-            F.least(
-                F.lit(top),
-                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * (top + 1)),
-            ).cast("bigint"),
+            F.when(F.col(c).isNull(), F.lit(0))  # NULL → bucket 0 (see docstring)
+            .otherwise(
+                F.least(
+                    F.lit(top),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * (top + 1)
+                    ),
+                )
+            )
+            .cast("bigint"),
         )
     return out
 
@@ -97,7 +109,8 @@ def quantize_quantile(df: DataFrame, cols: Sequence[str], bits: int = 8) -> Data
     column; the bucket lookup is a broadcast-literal array binary
     search via ``width_bucket``-style filtering in codegen. Keep
     ``bits`` modest (≤12): the boundary array is 2^bits doubles per
-    column, carried as a plan literal."""
+    column, carried as a plan literal. NULLs map to bucket 0, matching
+    ``quantize_minmax`` (see its docstring)."""
     if bits > 12:
         raise ValueError("quantile quantization bits should be <= 12")
     nb = 1 << bits

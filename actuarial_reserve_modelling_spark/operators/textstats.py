@@ -271,27 +271,21 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     any corpus size. Order matters and is part of the contract: emails
     first (their local part may contain digits), then IPv4 (dotted
     quads would otherwise partially match the phone pattern), then
-    phone runs. Adds ``scrubbed`` plus per-category match counts; the
-    caller drops or keeps the original column per retention policy."""
+    phone runs. Adds ``scrubbed`` plus per-category match counts; each
+    count is taken on the text ALREADY scrubbed by the earlier passes
+    (n_ips after email removal, n_phones after email+IP removal), so
+    every count equals the number of placeholders of that type emitted
+    — a dotted quad inside an email local part is replaced as <EMAIL>
+    and never also counted as an IP. The caller drops or keeps the
+    original column per retention policy."""
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-        ),
-        PHONE_RE,
-        "<PHONE>",
-    )
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
     return docs.select(
         "doc_id",
         scrubbed.alias("scrubbed"),
         F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(t, F.lit(IPV4_RE)).alias("n_ips"),
-        # phone runs counted on the email/IP-scrubbed text, mirroring
-        # the replacement order (an IPv4 would otherwise double-count)
-        F.regexp_count(
-            F.regexp_replace(
-                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-            ),
-            F.lit(PHONE_RE),
-        ).alias("n_phones"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).alias("n_phones"),
     )

@@ -738,7 +738,10 @@ def l19_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(len(regexp_extract_all(t,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
                AS n_emails,
-           CAST(len(regexp_extract_all(t,
+           CAST(len(regexp_extract_all(
+               regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
                '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ips
     FROM injected
     """,

@@ -32,65 +32,70 @@ REGISTRY: dict[str, Query] = {}
 # every query that has never appeared in a driver CORRECTNESS_r*.json,
 # plus queries added or rewritten this round. Names not yet registered
 # are skipped (harmless); everything else keeps registration order.
-_ROUND5_FRONT = [
-    # 1) never driver-sampled through round 4 (VERDICT r4 "What's
-    # missing" #1; all green under tools/check_oracle locally) — the
-    # round-4 additions: training-data D-rows, TPC-H completions,
-    # streaming/window/source additions.
-    "l12_train_test_split",
-    "l13_stratified_sample",
-    "l14_sequence_packing",
-    "l15_vocab_topk",
-    "l16_decontamination",
-    "l5j_repetition",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q11_important_stock",
-    "t8_stream_static_join",
-    "t9_stateful_counters",
-    "w12_scd2_dimension",
-    "j5b_asof_tolerance",
-    "l6d_audio_frame_energy",
-    "ts2_ewma",
-    "u2d_grouped_agg_udf",
-    "s12_zorder_key",
-    "l4b_lsh_cosine_pairs",
-    # 2) driver rows predate their round-4 rewrite (VERDICT #2):
-    # re-earn driver-grade evidence for the current code.
-    "l2_minhash_lsh_dedup",
-    "l2b_simhash_pairs",
-    "l2c_ngram_jaccard",
-    "l5f_winnowing",
-    "l4_cosine_pairs",
-    # 3) fixed this round: list column → joined string so the driver
-    # canonicalizer can hash it (r4 err row).
-    "a11_collect_set",
-    # 3b) new in round 5: incremental-ingest dedup tiers, PII scrub,
-    # BPE apply side (l21 rows-only — trainer is iterative).
-    "l18_incremental_exact_dedup",
-    "l19_incremental_minhash_dedup",
+_ROUND6_FRONT = [
+    # 1) the 34 queries whose latest driver evidence dates to round 2
+    #    (VERDICT r5 "What's missing" #1 / "Next round" #1): re-earn
+    #    hash-grade driver rows on current code. All pass locally under
+    #    tools/check_oracle; this is audit debt, not a code change.
+    "l5_text_stats",
+    "l5b_token_counts",
+    "l5c_quality_scores",
+    "l5d_lang_id",
+    "l5e_fingerprints",
+    "l5g_text_cleaning",
+    "l6_multimodal",
+    "l6b_multimodal_resize",
+    "l7_label_centroids",
+    "l7b_vector_normalize",
+    "l8_chunking",
+    "l10_corpus_prep",
+    "l1_exact_dedup",
+    "l2e_dedup_clusters",
+    "l3_cosine_topk",
+    "l3b_ann_lsh_topk",
+    "l3c_ann_ivf_topk",
+    "u1_reserve_pipeline",
+    "u1b_reserve_sql_mc",
+    "u1c_reserve_risk_measures",
+    "u2_scalar_udf",
+    "u2b_builtin_expression",
+    "u2c_segment_reserves",
+    "u3_grouped_map",
+    "u4_table_function",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
+    # 2) rewritten or re-oracled in round 6 — must re-earn driver
+    #    evidence for the NEW code/oracle: scrub_pii count semantics
+    #    (n_ips now counted post-email-scrub), dataset_diff structural
+    #    xxhash64, compaction rename-before-delete, t11/l21 promoted
+    #    from rows-only to oracle-backed, decontamination count-path
+    #    prefilter, ANN auto-centroids + content-hash init.
     "l20_pii_scrub",
-    "l21_bpe_encode",
-    "t10_incremental_ingest_dedup",
+    "o9_dataset_diff",
+    "s13_compaction_roundtrip",
     "t11_neardup_ingest_gate",
-    "l22_shuffle_shards",
-    "l23_weighted_sample",
-    "l24_token_budget_select",
+    "l21_bpe_encode",
+    "l16_decontamination",
+    "l3d_ann_pq_topk",
     "l25_ann_ivf_index_add",
     "l26_ann_ivfpq_topk",
-    "s13_compaction_roundtrip",
-    "l16b_decontaminate_flag",
-    "o9_dataset_diff",
-    # 4) rows-only by design — still worth a driver rows-check slot.
-    "l3d_ann_pq_topk",
-    "l17_bpe_merges",
-    "o6_tablesample",
+    # 3) r3-era rows filling the remaining window slots (oldest of the
+    #    round-3 evidence, VERDICT-spot-checked but driver-stale).
+    "u1d_reserve_closed_form",
+    "u4b_python_udtf",
+    "j5_asof_join",
+    "w1_ranking",
+    "w4_topk_per_group",
+    "o5_except_intersect",
+    "t2_tumbling_window",
 ]
-
-# Round-6 rotation TODO: after CORRECTNESS_r05 lands, return to
-# steady-state sampling — front-load anything added/rewritten in round
-# 5 plus any r5 window entries the driver did not reach; otherwise let
-# registration order rotate older rows back through the window.
 
 
 def register(name: str, survey_rows: str, oracle: str | None = None):
@@ -125,7 +130,7 @@ def load_all() -> dict[str, Query]:
         window_queries2,
     )
 
-    front = [n for n in _ROUND5_FRONT if n in REGISTRY]
+    front = [n for n in _ROUND6_FRONT if n in REGISTRY]
     seen = set(front)
     ordered = front + [n for n in REGISTRY if n not in seen]
     return {n: REGISTRY[n] for n in ordered}

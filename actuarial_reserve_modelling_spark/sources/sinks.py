@@ -130,13 +130,18 @@ def compact_parquet_dir(spark: SparkSession, path: str, target_files: int = 4) -
     epoch forever without it.
 
     Contract: contents are preserved exactly (same rows, one combined
-    layout); readers that use recursive lookup see either the old or
-    the new layout. The swap here is last-writer-wins (write compacted
-    → drop old entries → rename in); the crash-window atomicity a real
-    deployment needs comes from a transactional table format, which is
-    out of scope — this operator demonstrates the compaction shape and
-    its interaction with the ingest loop. Returns the file count after
-    compaction.
+    layout); readers that use recursive lookup see either the old, the
+    new, or (in the crash window) a doubled layout. The swap order is
+    deliberately rename-in FIRST, delete-old SECOND: a crash between
+    the two steps leaves BOTH generations visible, and every consumer
+    of this index (the ingest gates) reads it through ``distinct()``,
+    so doubled rows are absorbed. The reverse order (delete → rename)
+    would leave data only under an underscore-prefixed ``_tmp_*`` dir
+    that Spark's file listing ignores — the index would read back
+    EMPTY and the gates would silently re-admit duplicates. Crash-window
+    *atomicity* needs a transactional table format (out of scope); this
+    operator guarantees the benign failure mode. Returns the file count
+    after compaction.
     """
     import os
     import shutil
@@ -146,15 +151,14 @@ def compact_parquet_dir(spark: SparkSession, path: str, target_files: int = 4) -
     gen = f"compacted_{uuid.uuid4().hex[:8]}"
     tmp = os.path.join(path, f"_tmp_{gen}")
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    for entry in os.listdir(path):
-        if entry == f"_tmp_{gen}":
-            continue
+    old_entries = [e for e in os.listdir(path) if e != f"_tmp_{gen}"]
+    os.rename(tmp, os.path.join(path, gen))
+    for entry in old_entries:
         full = os.path.join(path, entry)
         if os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)
         else:
             os.remove(full)
-    os.rename(tmp, os.path.join(path, gen))
     return sum(
         1
         for _, _, files in os.walk(path)
@@ -176,22 +180,28 @@ def dataset_diff(
     re-publication and audit (what moved between yesterday's corpus
     snapshot and today's).
 
-    Shape at scale: each side collapses map-side to (key, 16-byte row
+    Shape at scale: each side collapses map-side to (key, 8-byte row
     hash) before one full-outer hash join, so row content never
     shuffles, and unchanged keys (the overwhelming majority of a daily
-    diff) drop immediately after the join. Column order inside the
-    hash is pinned by ``compare_cols`` order, so schema projection
-    changes cannot silently flip hashes. NULL caveat: ``concat_ws``
-    skips NULLs, so a NULL and an empty string hash identically —
-    map NULLs to a sentinel upstream if that distinction matters.
-    """
+    diff) drop immediately after the join. The hash is STRUCTURAL
+    (``xxhash64`` over the column values, each length-framed by the
+    hasher, interleaved with per-column null flags — Spark's hash
+    functions SKIP null operands, so the flags are what keeps a NULL
+    moving between columns, or NULL vs empty string, from colliding),
+    not a string concatenation — so adjacent-column boundary shifts
+    (('ab','c') vs ('a','bc')) cannot be silently classified
+    "unchanged" either. Column order inside the hash is pinned by
+    ``compare_cols`` order, so schema projection changes cannot
+    silently flip hashes. Precondition: ``key_cols`` uniquely identify
+    a row on each side (the full-outer join is 1:1 per key; duplicate
+    keys would fan out)."""
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in key_cols]
-    digest = F.substring(
-        F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in compare_cols])),
-        1,
-        16,
-    )
+    hash_inputs = []
+    for c in compare_cols:
+        hash_inputs.append(F.col(c))
+        hash_inputs.append(F.col(c).isNull())
+    digest = F.xxhash64(*hash_inputs)
     o = old.select(*key_cols, digest.alias("_h_old"))
     n = new.select(*key_cols, digest.alias("_h_new"))
     joined = o.join(n, key_cols, "full_outer")

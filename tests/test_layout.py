@@ -136,3 +136,18 @@ def test_quantize_minmax_bounds_and_monotonicity(spark):
     assert got[0] == 0 and got[-1] == 15, got
     assert got == sorted(got), got
     assert all(0 <= q <= 15 for q in got), got
+
+
+def test_quantize_null_pinned_to_bucket_zero(spark):
+    """Both quantizers place NULL in bucket 0 (the pinned, documented
+    behavior — minmax previously let F.least skip the NULL and emit
+    the TOP bucket)."""
+    from actuarial_reserve_modelling_spark.operators.layout import quantize_quantile
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 9.0), (4, 1.0)], ["k", "v"]
+    )
+    mm = {r["k"]: r["__q_v"] for r in quantize_minmax(df, ["v"], bits=4).collect()}
+    qq = {r["k"]: r["__q_v"] for r in quantize_quantile(df, ["v"], bits=2).collect()}
+    assert mm[2] == 0 and qq[2] == 0, (mm, qq)
+    assert mm[3] == 15  # non-null max still tops out

@@ -553,3 +553,45 @@ def test_dataset_diff_classification(spark):
         for r in dataset_diff(old, new, ["k"], compare_cols=["s"]).collect()
     }
     assert got_v == {(1, "removed"), (4, "added")}  # 3's s is unchanged
+
+
+def test_dataset_diff_structural_hash(spark):
+    """Boundary shifts between adjacent compare columns and NULL vs
+    empty string must classify as 'changed' (the concat_ws('') hash
+    collided on both; xxhash64 is structural)."""
+    from actuarial_reserve_modelling_spark.sources.sinks import dataset_diff
+
+    old = spark.createDataFrame([(1, "ab", "c"), (2, "", None)], ["k", "a", "b"])
+    new = spark.createDataFrame([(1, "a", "bc"), (2, None, "")], ["k", "a", "b"])
+    got = {(r["k"], r["change_type"]) for r in dataset_diff(old, new, ["k"]).collect()}
+    assert got == {(1, "changed"), (2, "changed")}
+
+
+def test_compact_parquet_dir_crash_window_keeps_data(spark, tmp_path, monkeypatch):
+    """A crash between rename-in and delete-old must leave the index
+    READABLE (doubled rows absorbed by distinct), never empty."""
+    import os
+    import shutil
+
+    from actuarial_reserve_modelling_spark.sources import sinks
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    for e in range(3):
+        spark.range(e * 10, e * 10 + 10).withColumnRenamed("id", "v").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, f"e{e}"))
+
+    # simulate the crash: let the rename land, fail the first delete
+    def boom(*a, **k):
+        raise RuntimeError("crash mid-compaction")
+
+    monkeypatch.setattr(shutil, "rmtree", boom)
+    try:
+        sinks.compact_parquet_dir(spark, d, target_files=1)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    back = spark.read.option("recursiveFileLookup", "true").parquet(d)
+    vals = {r["v"] for r in back.select("v").distinct().collect()}
+    assert vals == set(range(30))  # never empty, distinct absorbs the double
