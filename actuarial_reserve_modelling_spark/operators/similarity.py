@@ -241,27 +241,56 @@ def lsh_cosine_pairs(
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 
+def resolve_n_centroids(
+    embeddings: DataFrame, n_centroids: int | str, id_col: str = "vec_id"
+) -> int:
+    """Resolve the ``n_centroids="auto"`` contract: ``max(16, ⌊√n⌋)``
+    — the standard IVF sizing rule that keeps both the probed-list
+    scan (n/k per probe) and the centroid matmul (k per vector) at
+    O(√n), so recall does not silently decay as the corpus grows under
+    a fixed k (the 128k→256k degradation BASELINE.md documents for
+    fixed settings). The count is a column-pruned scan; integers pass
+    through unchanged."""
+    if n_centroids == "auto":
+        import math
+
+        return max(16, math.isqrt(embeddings.select(id_col).count()))
+    if not isinstance(n_centroids, int):
+        raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
+    return n_centroids
+
+
 def ivf_train_centroids(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic coarse quantizer for IVF: Lloyd's k-means with
-    data-derived init (the ``n_centroids`` lowest-id vectors) and
-    decimal-exact mean updates.
+    content-hash sampled init (the ``n_centroids`` vectors with the
+    lowest ``xxhash64(id)`` — deterministic like a lowest-id take, but
+    a uniform pseudo-random sample of the corpus rather than a biased
+    slice of one id region, which on an id-sorted corpus would seed
+    every centroid inside a single locality and cost recall before
+    nprobe even matters) and decimal-exact mean updates.
+    ``n_centroids="auto"`` applies the √n sizing rule
+    (``resolve_n_centroids``).
 
-    Determinism notes: init is order-free (keyed by id); assignment
-    breaks distance ties by centroid index; the per-cluster mean uses
-    DECIMAL(30,8)-quantized sums so reduction order cannot perturb the
-    result. Centroids are (k × d) doubles — driver-resident, broadcast
-    into the assignment kernel's closure; training touches the corpus
-    ``n_iters + 1`` times, all scans, no shuffle wider than (cluster,
-    dim) pairs.
+    Determinism notes: init is order-free (keyed by hash(id), ties by
+    id); assignment breaks distance ties by centroid index; the
+    per-cluster mean uses DECIMAL(30,8)-quantized sums so reduction
+    order cannot perturb the result. Centroids are (k × d) doubles —
+    driver-resident, broadcast into the assignment kernel's closure;
+    training touches the corpus ``n_iters + 1`` times, all scans, no
+    shuffle wider than (cluster, dim) pairs.
     """
+    n_centroids = resolve_n_centroids(embeddings, n_centroids, id_col=id_col)
     init_rows = (
-        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
     )
     centroids = np.array([np.asarray(r[1], dtype=np.float64) for r in init_rows])
     for _ in range(n_iters):
@@ -329,12 +358,52 @@ def ivf_assign(
     )
 
 
+def _ivf_residuals(
+    with_cluster: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, vec) → (id, cluster, vec − centroid[cluster]):
+    the IVF-PQ residual pass as one Arrow batch subtraction, centroids
+    in the task closure (k·d doubles — bounded by the √n centroid rule
+    at a few MB even for 10⁹-vector corpora)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: [], "cluster": [], vec_col: []})
+                continue
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            clusters = np.asarray(pdf["cluster"], dtype=np.int64)
+            res = vecs - cent[clusters]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": pdf["cluster"],
+                    vec_col: list(res),
+                }
+            )
+
+    return with_cluster.select(id_col, "cluster", vec_col).mapInPandas(
+        kernel, schema=schema
+    )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
-    nprobe: int = 6,
+    n_centroids: int | str = 16,
+    nprobe: int | str = 6,
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -351,7 +420,15 @@ def ann_ivf_topk(
     on how clustered the corpus is; on near-uniform vectors it
     approaches the probed-fraction baseline (test asserts the measured
     bound), on real clustered embeddings it is far higher.
+
+    ``n_centroids="auto"`` applies the √n rule (resolve_n_centroids);
+    ``nprobe="auto"`` then tracks it at max(8, n_centroids // 8) so the
+    probed fraction of lists stays fixed as the corpus grows instead of
+    silently shrinking.
     """
+    n_centroids = resolve_n_centroids(embeddings, n_centroids, id_col=id_col)
+    if nprobe == "auto":
+        nprobe = max(8, n_centroids // 8)
     centroids = ivf_train_centroids(
         embeddings, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
@@ -663,8 +740,8 @@ def ann_ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
-    nprobe: int = 6,
+    n_centroids: int | str = 16,
+    nprobe: int | str = 6,
     m_subspaces: int = 8,
     n_codes: int = 16,
     rerank: int = 4,
@@ -690,26 +767,25 @@ def ann_ivfpq_topk(
     (trained on all residuals — the FAISS default). Deterministic end
     to end (same quantizer/tie-break/stable-argsort rules as IVF and
     PQ); queries are driver-collected under the bounded-query-batch
-    contract shared by the whole ANN family."""
+    contract shared by the whole ANN family. ``n_centroids="auto"`` /
+    ``nprobe="auto"`` follow the same √n scaling contract as
+    ``ann_ivf_topk`` — the knob that holds recall as lists densify
+    (fixed settings measured 0.81→0.65 at a 128k→256k doubling)."""
+    n_centroids = resolve_n_centroids(embeddings, n_centroids, id_col=id_col)
+    if nprobe == "auto":
+        nprobe = max(8, n_centroids // 8)
     centroids = ivf_train_centroids(
         embeddings, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
     assign = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
-    # residual = vec - centroid[cluster], via a (k × d) plan-literal —
-    # JVM-side, no Python; at 16×64 doubles the literal is 1k constants
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    # residual = vec - centroid[cluster], as an Arrow kernel with the
+    # (k × d) centroid matrix riding in the task closure — NOT a plan
+    # literal: under n_centroids="auto" the √n rule makes k·d grow past
+    # what Catalyst should carry as constants (506×64 ≈ 32k literals at
+    # 256k vectors, ~2M at 10⁹), while the closure copy stays a few MB
+    # and the subtraction is one vectorized batch op.
     with_cluster = embeddings.select(id_col, vec_col).join(assign, id_col)
-    residuals = with_cluster.select(
-        id_col,
-        "cluster",
-        F.transform(
-            vec_col,
-            lambda x, i: x
-            - F.element_at(F.element_at(cent_lit, F.col("cluster") + 1), i + 1),
-        ).alias(vec_col),
-    )
+    residuals = _ivf_residuals(with_cluster, centroids, id_col=id_col, vec_col=vec_col)
     books = pq_train_codebooks(
         residuals, m_subspaces=m_subspaces, n_codes=n_codes, n_iters=n_iters,
         id_col=id_col, vec_col=vec_col, dim=centroids.shape[1],

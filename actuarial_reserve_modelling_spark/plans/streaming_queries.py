@@ -313,10 +313,87 @@ def t10_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_ingest_dedup(spark, batches, cache_key=f"ingest3_{sf_dir}")
 
 
+# t11 oracle: the three-batch gate unrolled as a batch replay — the
+# same technique that hash-graded t10, extended per tier. Per batch b:
+# tier 1 = first-wins-by-fingerprint minus fingerprints admitted by
+# earlier batches; tier 2 = drop connected-component non-representatives
+# of the exact-Jaccard ≥ τ pair graph (recursive transitive-closure CTE,
+# one per batch — components never span batches because edges are
+# within-batch); tier 3 = drop survivors with an exact-Jaccard ≥ τ match
+# against ANY earlier-batch admitted doc. Exact Jaccard stands in for
+# the MinHash-LSH stages because 16 bands × 16 rows at τ=0.95 was
+# validated to reproduce the exact pair set on this corpus (see l2).
+def _t11_batch_ctes(b: int) -> str:
+    prev_adm = " UNION ALL ".join(f"SELECT doc_id FROM adm{i}" for i in range(b))
+    fp_gate = (
+        f"""AND NOT EXISTS (SELECT 1 FROM fp pf JOIN ({prev_adm}) pa
+                ON pf.doc_id = pa.doc_id WHERE pf.f = fp.f)"""
+        if b
+        else ""
+    )
+    cross = (
+        f"""adm{b} AS (
+        SELECT doc_id FROM surv{b} s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ndb n JOIN ({prev_adm}) pa ON n.b = pa.doc_id
+            WHERE n.a = s.doc_id))"""
+        if b
+        else f"adm{b} AS (SELECT doc_id FROM surv{b})"
+    )
+    return f"""
+    ex{b} AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) rn
+            FROM fp WHERE batch = {b} {fp_gate}
+        ) WHERE rn = 1),
+    edges{b} AS (
+        SELECT n.a, n.b FROM ndb n
+        JOIN ex{b} x ON n.a = x.doc_id JOIN ex{b} y ON n.b = y.doc_id),
+    cc{b}(a, b) AS (
+        SELECT a, b FROM edges{b}
+        UNION
+        SELECT e.a, c.b FROM edges{b} e JOIN cc{b} c ON e.b = c.a),
+    surv{b} AS (
+        SELECT doc_id FROM ex{b} e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM (
+                SELECT a AS doc_id, least(a, min(b)) AS rep
+                FROM cc{b} GROUP BY a
+            ) r WHERE r.doc_id = e.doc_id AND r.doc_id <> r.rep)),
+    {cross}"""
+
+
+_T11_ORACLE = f"""
+    WITH RECURSIVE
+    words AS (
+        SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> ''),
+    cnt AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
+    fp AS (
+        SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch,
+               substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS f
+        FROM documents),
+    inter AS (
+        SELECT a.doc_id d1, b.doc_id d2, count(*) k
+        FROM words a JOIN words b USING (w)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    nd AS (
+        SELECT d1, d2 FROM inter
+        JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95),
+    ndb AS (SELECT d1 a, d2 b FROM nd UNION SELECT d2, d1 FROM nd),
+    {",".join(_t11_batch_ctes(b) for b in range(3))}
+    {" UNION ALL ".join(
+        f"SELECT doc_id, CAST({b} AS INT) AS batch FROM adm{b}" for b in range(3)
+    )}
+"""
+
+
 @register(
     "t11_neardup_ingest_gate",
     "T1,S7,L1,L2,L4,D8 (full continuous-ingest near-dup gate)",
-    oracle=None,
+    oracle=_T11_ORACLE,
 )
 def t11_neardup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production ingest gate (streaming/pipeline.py::
@@ -324,11 +401,11 @@ def t11_neardup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier, within-batch MinHash-LSH clustering keeping cluster
     representatives, asymmetric LSH check against the persisted
     signature index, then index append of admitted content only.
-    Iterative connected components inside + sequential batch dependence
-    make it non-SQL-expressible (rows-only here); the pytest verifies
-    it against an independent pure-Python reference of the same
-    contract, and every constituent operator (l1, l2, l2e, l19, t10)
-    is oracle-checked in isolation."""
+    Oracle: the deterministic batch replay unrolled in SQL (see
+    _T11_ORACLE above) — exact Jaccard standing in for the validated
+    LSH banding, recursive-closure CCs per batch, first-wins/min-rep
+    tie-breaks identical to the implementation. The pytest additionally
+    verifies the gate against an independent pure-Python reference."""
     from actuarial_reserve_modelling_spark.streaming.pipeline import (
         incremental_neardup_ingest,
     )

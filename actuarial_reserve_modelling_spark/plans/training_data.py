@@ -249,32 +249,88 @@ def l17_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, left string, right string, n bigint")
 
 
+# l21: the apply side runs with a PINNED merge table — the production
+# shape (a tokenizer is a shipped artifact applied unchanged to every
+# corpus, not retrained per batch), and what makes the encode fold
+# exactly SQL-expressible. The oracle mirrors the left-to-right
+# non-overlapping merge scan with delimiter-guarded chained replaces:
+# each token is wrapped chr(1)token chr(2), so the pattern
+# "␁a␂ ␁b␂" can only match whole adjacent tokens (never a suffix of a
+# longer token), and str-replace's leftmost-non-overlapping order is
+# the same order bpe_encode's scan applies merges in.
+_L21_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("a", "t"),
+]
+
+
+def _l21_word_expr() -> str:
+    expr = (
+        "chr(1) || array_to_string(regexp_split_to_array(w, ''),"
+        " chr(2) || ' ' || chr(1)) || chr(2)"
+    )
+    for a, b in _L21_MERGES:
+        expr = (
+            f"replace({expr}, chr(1) || '{a}' || chr(2) || ' ' ||"
+            f" chr(1) || '{b}' || chr(2), chr(1) || '{a}{b}' || chr(2))"
+        )
+    return expr
+
+
+_L21_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    enc AS (
+        SELECT doc_id,
+               list_transform(ws, w -> {_l21_word_expr()}) AS encws
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(encws,
+                e -> len(e) - len(replace(e, chr(1), '')))), 0) AS INT)
+               AS n_tokens,
+           md5(array_to_string(list_transform(encws,
+               e -> replace(replace(replace(e, chr(2) || ' ' || chr(1), '|'),
+                            chr(1), ''), chr(2), '')), '|')) AS tokens_md5
+    FROM enc
+"""
+
+
 @register(
     "l21_bpe_encode",
     "D7,D8 (tokenizer application; map-side)",
-    oracle=None,
+    oracle=_L21_ORACLE,
 )
 def l21_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train 8 BPE merges, then TOKENIZE the corpus with them
+    """TOKENIZE the corpus with a pinned BPE merge table
     (operators/traindata.py::bpe_encode) — the apply side of the
     tokenizer story: a pure map-side Arrow kernel carrying the merge
     table as a closure (no shuffle, no join; linear in corpus bytes —
-    the 100 TB tokenization shape). Rows-only here (the merge rules
-    come from the iterative trainer); the pytest checks the encoded
-    streams against a sequential BPE reference, and determinism pins
-    content: per-doc token count + md5 of the joined token stream."""
-    from actuarial_reserve_modelling_spark.operators.traindata import (
-        bpe_encode,
-        bpe_train_merges,
-    )
+    the 100 TB tokenization shape). The merge table is a fixed shipped
+    artifact (_L21_MERGES), exactly how production tokenization runs —
+    which also makes the deterministic encode fold SQL-expressible, so
+    this row is hash-graded (oracle above). The train→encode roundtrip
+    with LEARNED merges stays covered by the pytest against a
+    sequential BPE reference (l17 covers the trainer). Content is
+    pinned per doc by token count + md5 of the '|'-joined token stream
+    (the separator keeps token BOUNDARIES in the digest — a
+    boundary-free concat would hash identically for any merge table)."""
+    from actuarial_reserve_modelling_spark.operators.traindata import bpe_encode
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe_train_merges(docs, k=8)
-    enc = bpe_encode(docs, merges)
+    enc = bpe_encode(docs, _L21_MERGES)
     return enc.select(
         "doc_id",
         "n_tokens",
-        F.md5(F.concat_ws("", "tokens")).alias("tokens_md5"),
+        F.md5(F.concat_ws("|", "tokens")).alias("tokens_md5"),
     )
 
 

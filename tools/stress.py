@@ -298,12 +298,14 @@ def main() -> None:
 
     for name, fn in (
         ("ann_lsh", lambda: ann_lsh_topk(big_emb, queries, k=k_ann)),
-        ("ann_ivf", lambda: ann_ivf_topk(big_emb, queries, k=k_ann, n_centroids=32, nprobe=8)),
+        # auto = the √n scaling contract (resolve_n_centroids): holds
+        # recall as the corpus grows instead of decaying at fixed k
+        ("ann_ivf", lambda: ann_ivf_topk(big_emb, queries, k=k_ann, n_centroids="auto", nprobe="auto")),
         ("ann_pq", lambda: ann_pq_topk(big_emb, queries, k=k_ann, rerank=8)),
         (
             "ann_ivfpq",
             lambda: ann_ivfpq_topk(
-                big_emb, queries, k=k_ann, n_centroids=32, nprobe=8, rerank=8
+                big_emb, queries, k=k_ann, n_centroids="auto", nprobe="auto", rerank=8
             ),
         ),
     ):
