@@ -51,12 +51,48 @@ def attach_binary_payload(docs: DataFrame, mime: str = "text/plain") -> DataFram
     )
 
 
+def _find_codec(mime: str):
+    """Soft-import the codec for a mime family: PIL for image/*,
+    soundfile for audio/*. Returns a decode callable or None when the
+    library is absent (this container ships neither — the stub path)."""
+    family = mime.split("/", 1)[0]
+    if family == "image":
+        try:
+            import io
+
+            from PIL import Image  # type: ignore[import-not-found]
+
+            return lambda payload: np.asarray(Image.open(io.BytesIO(payload)))
+        except ImportError:
+            return None
+    if family == "audio":
+        try:
+            import io
+
+            import soundfile  # type: ignore[import-not-found]
+
+            return lambda payload: soundfile.read(io.BytesIO(payload))[0]
+        except ImportError:
+            return None
+    return None
+
+
 def decode_media(payload: bytes, mime: str) -> np.ndarray:
-    """Real decode path — STUB. Container has no PIL/ffmpeg; a production
-    build plugs the codec in here (one function, same signature)."""
-    raise NotImplementedError(
-        "media codecs unavailable in this environment; use fake_decode_features"
-    )
+    """Real decode path: soft-imports the codec for the mime family
+    (PIL → HxWxC uint8 array for image/*, soundfile → float samples
+    for audio/*) and decodes when the library is installed — the
+    production build just installs the dependency, no code change.
+    Where codecs are absent (this container ships none) it raises
+    NotImplementedError; the deterministic fakes (extract_features /
+    frame_sample / resize_media) keep the Spark-side plumbing testable
+    either way."""
+    codec = _find_codec(mime)
+    if codec is None:
+        raise NotImplementedError(
+            f"no codec available for {mime!r} in this environment"
+            " (install pillow/soundfile); use fake_decode_features"
+        )
+    return codec(bytes(payload))
 
 
 FEATURE_SCHEMA = T.StructType(

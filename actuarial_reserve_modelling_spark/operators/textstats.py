@@ -153,17 +153,28 @@ def content_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+def word_shingles(
+    docs: DataFrame, n: int = 5, text_col: str = "text", distinct: bool = False
+) -> DataFrame:
     """Word n-gram shingles per document, hashed to 64-bit (xxhash64 of
     the space-joined gram) — the unit of benchmark decontamination and
     repetition scoring. JVM-side: tokenize → sliding slice → hash, all
     inside codegen; only (doc_id, shingle bigint) rows leave the stage.
-    Docs with fewer than ``n`` words emit nothing."""
+    Docs with fewer than ``n`` words emit nothing.
+
+    ``distinct=True`` dedupes each doc's shingles INSIDE the per-row
+    array (array_distinct) before the explode — set it when the
+    consumer only cares about set membership (decontamination): on
+    template-repetitive corpora it cuts the exploded row count, and
+    therefore every downstream probe/aggregate, before any shuffle
+    happens, for the price of a per-row hash set."""
     toks = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
     grams = F.expr(
         f"transform(sequence(1, size(_toks) - {n - 1}),"
         f" i -> xxhash64(concat_ws(' ', slice(_toks, i, {n}))))"
     )
+    if distinct:
+        grams = F.array_distinct(grams)
     return (
         docs.select("doc_id", toks.alias("_toks"))
         .filter(F.size("_toks") >= n)
@@ -184,12 +195,17 @@ def decontaminate(
     corpus. Returns (doc_id, n_contaminated) for flagged docs only.
     """
     bench_shingles = (
-        word_shingles(benchmark, n=n, text_col=text_col)
+        word_shingles(benchmark, n=n, text_col=text_col, distinct=True)
         .select("shingle")
         .distinct()
     )
+    # distinct=True: per-doc shingles are deduped in the per-row array
+    # before the explode, so the broadcast probe and the count-distinct
+    # see one row per (doc, shingle) instead of per occurrence — on the
+    # adversarially repetitive stress corpus this is what bounds the
+    # aggregate input, and the count_distinct result is identical.
     return (
-        word_shingles(train, n=n, text_col=text_col)
+        word_shingles(train, n=n, text_col=text_col, distinct=True)
         .join(F.broadcast(bench_shingles), "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_contaminated"))
@@ -213,12 +229,12 @@ def decontaminate_flag(
     FILTERS contaminated docs; use ``decontaminate`` when it reports.
     """
     bench_shingles = (
-        word_shingles(benchmark, n=n, text_col=text_col)
+        word_shingles(benchmark, n=n, text_col=text_col, distinct=True)
         .select("shingle")
         .distinct()
     )
     return (
-        word_shingles(train, n=n, text_col=text_col)
+        word_shingles(train, n=n, text_col=text_col, distinct=True)
         .join(F.broadcast(bench_shingles), "shingle", "semi")
         .select("doc_id")
         .distinct()

@@ -26,6 +26,20 @@ from pyspark.sql import functions as F  # noqa: E402
 # the set BASELINE.md's cold-total band was measured over
 HEADLINE_N = 10
 
+# second published band (VERDICT r5 task 8): the round-5 additions,
+# gated against their own round-5 numbers (BASELINE.md "band 2") so a
+# regression in the new family fails the bench check rather than hiding
+# outside the headline ten. Cold sum at r5: 8.201 s; budget = 1.25×.
+BAND2 = [
+    "l2b_simhash_pairs",
+    "l13_stratified_sample",
+    "l14_sequence_packing",
+    "l16_decontamination",
+    "l19_incremental_minhash",
+    "l22_shuffle_shards",
+]
+BAND2_BUDGET_SEC = 10.25
+
 
 def _bench_queries(spark, sf_dir):
     from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
@@ -110,6 +124,8 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     headline = list(timings)[:HEADLINE_N]
+    band2 = [q for q in BAND2 if q in timings]
+    band2_total = round(sum(timings[q] for q in band2), 3)
     print(
         json.dumps(
             {
@@ -123,6 +139,10 @@ def main() -> None:
                 "queries": timings,
                 "steady_queries": steady,
                 "steady_total": round(sum(steady[q] for q in headline), 3),
+                "value2": band2_total,
+                "value2_scope": band2,
+                "value2_budget": BAND2_BUDGET_SEC,
+                "value2_ok": band2_total <= BAND2_BUDGET_SEC,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

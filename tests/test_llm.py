@@ -153,11 +153,28 @@ def test_winnowing_deterministic(spark):
     assert a == b
 
 
-def test_multimodal_decode_stub_raises():
-    from actuarial_reserve_modelling_spark.operators.multimodal import decode_media
+def test_multimodal_decode_soft_import():
+    """decode_media soft-imports codecs: where PIL/soundfile are absent
+    (this container) it raises NotImplementedError; where a codec IS
+    importable it must decode. Unknown mime families always raise."""
+    from actuarial_reserve_modelling_spark.operators.multimodal import (
+        _find_codec,
+        decode_media,
+    )
 
+    try:
+        import PIL  # type: ignore[import-not-found]  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        assert _find_codec("image/png") is not None
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x00", "image/png")
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00", "image/png")
+        decode_media(b"\x00", "application/octet-stream")
 
 
 def test_multimodal_resize_fixed_size(spark):
@@ -508,3 +525,82 @@ def test_ivfpq_recall_vs_exact_and_determinism(spark):
         ).collect()
     }
     assert rows1 == rows2
+
+
+def test_lsh_bucket_cap_drops_degenerate_band_recall_via_other_bands(spark):
+    """Skew kill-test for lsh_candidate_pairs: one band value collects
+    EVERY doc (the template-corpus hazard). The bucket cap must drop
+    that bucket — no quadratic blowup — while true pairs, which also
+    collide in their own small per-pair buckets in the other bands, are
+    all still emitted. Asserts the exact output pair set, which bounds
+    the expansion at O(true pairs) instead of O(n²)."""
+    from actuarial_reserve_modelling_spark.operators.dedup import lsh_candidate_pairs
+
+    bands, rows = 4, 2
+    n = 200
+    # band 0 degenerate: identical slice for all docs. Bands 1-3 are
+    # shared only within each (2j, 2j+1) pair.
+    rows_data = [
+        (i, [0, 0] + [100 + (i // 2), 7, 200 + (i // 2), 9, 300 + (i // 2), 11])
+        for i in range(n)
+    ]
+    sigs = spark.createDataFrame(rows_data, "doc_id bigint, sig array<bigint>")
+    got = {
+        (r["d1"], r["d2"])
+        for r in lsh_candidate_pairs(
+            sigs, bands=bands, rows_per_band=rows, max_bucket_size=50
+        ).collect()
+    }
+    expected = {(2 * j, 2 * j + 1) for j in range(n // 2)}
+    assert got == expected, (len(got), len(expected))
+    # sanity: without the cap, the degenerate band-0 bucket would emit
+    # all C(200, 2) pairs
+    uncapped = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows, max_bucket_size=10_000
+    ).count()
+    assert uncapped == n * (n - 1) // 2
+
+
+def test_simhash_bucket_cap_drops_template_flood_recall_via_other_bands(spark):
+    """Skew kill-test for simhash_near_dup_pairs: 100 identical
+    template docs flood every band bucket they touch past the cap, so
+    no template pair survives (the documented trade-off); a genuine
+    ≤2-bit pair that SHARES one band key with the template flood is
+    still found through its other, small band buckets. The extra words
+    (x0/x24 over a 41-word template) were chosen so the pair differs in
+    exactly 2 bits and collides with the template only in band 1 —
+    preconditions asserted below so a corpus-construction drift fails
+    loudly rather than silently weakening the test."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_dup_pairs,
+    )
+
+    tmpl_words = " ".join(f"tmpl{i}" for i in range(41))
+    docs = [(i, tmpl_words) for i in range(100)]
+    docs.append((100, tmpl_words + " x0"))
+    docs.append((101, tmpl_words + " x24"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    # preconditions: pair within 2 bits; band 1 shared with template
+    # (the flooded bucket); at least one other band shared pair-only
+    fps = {r["doc_id"]: r["fp"] for r in simhash_fingerprints(df).collect()}
+    width = 15
+    bk = lambda fp, i: (fp >> (i * width)) & ((1 << width) - 1)  # noqa: E731
+    assert bin(fps[100] ^ fps[101]).count("1") <= 2
+    assert bk(fps[100], 1) == bk(fps[101], 1) == bk(fps[0], 1)
+    pair_only = [
+        i
+        for i in range(4)
+        if bk(fps[100], i) == bk(fps[101], i) != bk(fps[0], i)
+    ]
+    assert pair_only, "construction drifted: no pair-only band"
+
+    got = {
+        (r["d1"], r["d2"])
+        for r in simhash_near_dup_pairs(
+            df, max_hamming=2, bands=4, max_bucket_size=50
+        ).collect()
+    }
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got), "template pairs not capped"
