@@ -892,3 +892,50 @@ def ann_ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster vectors whose pairwise cosine ≥
+    ``threshold`` into connected components and keep one canonical
+    representative (minimum id) per component — the embedding-level
+    analogue of MinHash near-dup dedup, catching paraphrases and
+    re-encodings that share no n-grams.
+
+    Returns one row per input vector: (id, rep_id, keep) with
+    keep = 1 iff the vector IS its component's representative
+    (singletons keep themselves).
+
+    Scale shape: the pair stage is pluggable via ``pairs`` (columns
+    v1 < v2) — the default exact ``cosine_pairs`` is the correctness
+    baseline; at 100 TB pass ``lsh_cosine_pairs`` output (hyperplane
+    blocking, near-dup thresholds) or an IVF-partitioned pair join so
+    no all-pairs stage exists. Component finding reuses
+    ``dedup_clusters`` (alternating large-star/small-star, O(log² n)
+    rounds); the final join back to the full vector set is a
+    digest-width shuffle (id, rep) — vectors never move.
+    """
+    from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
+
+    if pairs is None:
+        pairs = cosine_pairs(embeddings, threshold, id_col=id_col, vec_col=vec_col)
+    clusters = dedup_clusters(
+        pairs.select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
+    ).select(F.col("doc_id").alias(id_col), "rep_id")
+    return (
+        embeddings.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("rep_id", F.col(id_col)).alias("rep_id"),
+            (F.coalesce("rep_id", F.col(id_col)) == F.col(id_col))
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -480,3 +480,54 @@ def token_budget_select(
         .drop("_qoff")
         .select(*df.columns, "cum_tokens")
     )
+
+
+def domain_mix_weights(
+    docs: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain sampling weights to steer a corpus toward a target
+    mixture (the Pile/Dolma-style domain reweighting step): for each
+    domain, measure its ACTUAL share of corpus tokens, then weight =
+    target_share / actual_share — the multiplier a downstream weighted
+    sampler (``weighted_sample``) or epoch-repetition schedule applies
+    per document of that domain to hit the target mix. weight > 1 ⇒
+    the domain must be upsampled/repeated, < 1 ⇒ downsampled.
+
+    Domains absent from ``targets`` get weight 0 (excluded — the
+    explicit-mixture contract); targets naming absent domains are a
+    caller error surfaced by the published shares not summing to the
+    target total.
+
+    One hash aggregate over (domain) — token counts are per-row
+    ``size(split())`` inside codegen, so the shuffle is |domains| rows
+    regardless of corpus size; the share normalization is a broadcast
+    of one total row. Output (domain, n_docs, n_tokens, actual_share,
+    target_share, weight), shares and weight rounded to 6 dp.
+    """
+    n_tok = F.size(F.expr(f"filter(split({text_col}, ' '), x -> x != '')"))
+    per_domain = docs.select(
+        F.col(domain_col).alias("domain"), n_tok.alias("_t")
+    ).groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").cast("bigint").alias("n_tokens"),
+    )
+    total = per_domain.agg(F.sum("n_tokens").alias("_total"))
+    target_map = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )
+    actual = F.col("n_tokens") / F.col("_total")
+    target = F.coalesce(target_map[F.col("domain")], F.lit(0.0))
+    return (
+        per_domain.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round(actual, 6).alias("actual_share"),
+            F.round(target, 6).alias("target_share"),
+            F.round(target / actual, 6).alias("weight"),
+        )
+    )

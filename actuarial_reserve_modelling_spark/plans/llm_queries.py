@@ -816,3 +816,41 @@ def l26_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfpq_topk(
         emb, queries, k=5, n_centroids=16, nprobe=6, m_subspaces=8, n_codes=16, rerank=8
     )
+
+
+@register(
+    "l27_semantic_dedup",
+    "L3,L4,L2 (SemDeDup: embedding-level semantic dedup)",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+        SELECT a.vec_id v1, b.vec_id v2
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.4
+    ),
+    edges AS (SELECT v1 a, v2 b FROM p UNION SELECT v2, v1 FROM p),
+    closure(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT e.a, c.b FROM edges e JOIN closure c ON e.b = c.a
+    ),
+    reps AS (
+        SELECT a AS vec_id, least(a, min(b)) AS rep_id
+        FROM closure GROUP BY a
+    )
+    SELECT e.vec_id, coalesce(r.rep_id, e.vec_id) AS rep_id,
+           CAST(coalesce(r.rep_id, e.vec_id) = e.vec_id AS INT) AS keep
+    FROM embeddings e LEFT JOIN reps r USING (vec_id)
+    """,
+)
+def l27_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py::semantic_dedup): connected
+    components over the cosine ≥ 0.4 pair graph, keep = min-id rep per
+    component, singletons keep themselves — the embedding-level dedup
+    tier that catches paraphrases sharing no n-grams. Exact pair stage
+    here (the correctness baseline, same cosine SQL as l4); the
+    operator takes any blocked pair set for the 100 TB path. Oracle:
+    recursive transitive-closure CTE + left join to the full corpus."""
+    from actuarial_reserve_modelling_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4)

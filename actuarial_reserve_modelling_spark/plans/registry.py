@@ -86,6 +86,9 @@ _ROUND6_FRONT = [
     "l3d_ann_pq_topk",
     "l25_ann_ivf_index_add",
     "l26_ann_ivfpq_topk",
+    # 2b) NEW in round 6: SemDeDup semantic dedup + domain-mix weights
+    "l27_semantic_dedup",
+    "l28_domain_mix",
     # 3) r3-era rows filling the remaining window slots (oldest of the
     #    round-3 evidence, VERDICT-spot-checked but driver-stale).
     "u1d_reserve_closed_form",
@@ -93,8 +96,6 @@ _ROUND6_FRONT = [
     "j5_asof_join",
     "w1_ranking",
     "w4_topk_per_group",
-    "o5_except_intersect",
-    "t2_tumbling_window",
 ]
 
 

@@ -434,3 +434,40 @@ def l24_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(
         t, quality_col="n_chars", tokens_col="n_toks", budget=15_000
     )
+
+
+@register(
+    "l28_domain_mix",
+    "D9,A4 (domain reweighting toward a target mixture)",
+    oracle="""
+    WITH per AS (
+        SELECT lang AS domain, count(*) AS n_docs,
+               CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    tgt(domain, share) AS (
+        VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.2), ('es', 0.1)
+    )
+    SELECT p.domain, p.n_docs, p.n_tokens,
+           round(p.n_tokens / CAST(t.t AS DOUBLE), 6) AS actual_share,
+           round(CAST(coalesce(g.share, 0.0) AS DOUBLE), 6) AS target_share,
+           round(CAST(coalesce(g.share, 0.0) AS DOUBLE)
+                 / (p.n_tokens / CAST(t.t AS DOUBLE)), 6) AS weight
+    FROM per p CROSS JOIN tot t LEFT JOIN tgt g USING (domain)
+    """,
+)
+def l28_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (operators/traindata.py::
+    domain_mix_weights): measure each language's actual token share and
+    emit the weight that steers sampling toward an explicit target mix
+    (en .5 / de .2 / fr .2 / es .1; zh excluded → weight 0). One
+    |domains|-row hash aggregate regardless of corpus size — token
+    counting stays per-row inside codegen."""
+    from actuarial_reserve_modelling_spark.operators.traindata import domain_mix_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix_weights(
+        docs, {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}, domain_col="lang"
+    )

@@ -604,3 +604,55 @@ def test_simhash_bucket_cap_drops_template_flood_recall_via_other_bands(spark):
     }
     assert (100, 101) in got
     assert not any(a < 100 and b < 100 for a, b in got), "template pairs not capped"
+
+
+def test_semantic_dedup_clusters_and_singletons(spark):
+    """Two semantic clusters + one singleton: min-id reps keep, members
+    drop, singleton keeps itself; pluggable pair input produces the
+    same answer as the built-in exact pair stage."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        cosine_pairs,
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # ~same direction as 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),   # ~same direction as 3
+        (5, [0.0, 0.0, 1.0]),      # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["rep_id"], r["keep"])
+        for r in semantic_dedup(emb, threshold=0.95).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0), 3: (3, 1), 4: (3, 0), 5: (5, 1)}
+    via_pairs = {
+        r["vec_id"]: (r["rep_id"], r["keep"])
+        for r in semantic_dedup(
+            emb, pairs=cosine_pairs(emb, threshold=0.95)
+        ).collect()
+    }
+    assert via_pairs == got
+
+
+def test_domain_mix_weights_exact(spark):
+    """weight = target_share / actual_share on token counts; domains
+    outside the target mixture get weight 0."""
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        domain_mix_weights,
+    )
+
+    rows = [
+        (1, "en", "a b c d e f"),   # 6 tokens
+        (2, "en", "a b"),           # 2 -> en: 8 tokens
+        (3, "de", "x y"),           # 2 -> de: 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = {
+        r["domain"]: (r["n_docs"], r["n_tokens"], r["actual_share"], r["weight"])
+        for r in domain_mix_weights(docs, {"en": 0.5, "fr": 0.5}).collect()
+    }
+    assert got["en"] == (2, 8, 0.8, 0.625)  # 0.5 / 0.8
+    assert got["de"] == (1, 2, 0.2, 0.0)    # not in targets
