@@ -744,7 +744,7 @@ def ann_ivfpq_topk(
     nprobe: int | str = 6,
     m_subspaces: int = 8,
     n_codes: int = 16,
-    rerank: int = 4,
+    rerank: int | str = 4,
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -770,10 +770,22 @@ def ann_ivfpq_topk(
     contract shared by the whole ANN family. ``n_centroids="auto"`` /
     ``nprobe="auto"`` follow the same √n scaling contract as
     ``ann_ivf_topk`` — the knob that holds recall as lists densify
-    (fixed settings measured 0.81→0.65 at a 128k→256k doubling)."""
+    (fixed settings measured 0.81→0.65 at a 128k→256k doubling).
+
+    ``rerank="auto"`` scales the exact re-rank budget with the probe
+    budget: max(8, nprobe // 2). Under the √n rule residuals SHRINK as
+    centroids multiply, so the exact q·c term dominates each ADC score
+    and the coarse quantization noise on q·r must be absorbed by a
+    LARGER exact re-rank window — measured at 256k vectors: auto
+    centroids/nprobe with rerank=8 drop recall to 0.435 while rerank=32
+    (= nprobe//2) restores 1.0 at ~12% wall cost. The budget stays
+    bounded: rerank·k rows re-ranked per query, O(√n) at any corpus
+    size."""
     n_centroids = resolve_n_centroids(embeddings, n_centroids, id_col=id_col)
     if nprobe == "auto":
         nprobe = max(8, n_centroids // 8)
+    if rerank == "auto":
+        rerank = max(8, nprobe // 2)
     centroids = ivf_train_centroids(
         embeddings, n_centroids=n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )

@@ -656,3 +656,21 @@ def test_domain_mix_weights_exact(spark):
     }
     assert got["en"] == (2, 8, 0.8, 0.625)  # 0.5 / 0.8
     assert got["de"] == (1, 2, 0.2, 0.0)    # not in targets
+
+
+def test_ann_auto_scaling_contract(spark):
+    """n_centroids='auto' = max(16, isqrt(n)); downstream 'auto' knobs
+    derive from it (nprobe = max(8, k//8), rerank = max(8, nprobe//2))
+    and non-int/non-'auto' values are rejected."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        resolve_n_centroids,
+    )
+
+    emb = spark.range(400).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    assert resolve_n_centroids(emb, "auto") == 20  # isqrt(400)
+    assert resolve_n_centroids(emb.limit(9), "auto") == 16  # floor
+    assert resolve_n_centroids(emb, 7) == 7
+    with pytest.raises(ValueError):
+        resolve_n_centroids(emb, "sqrt")

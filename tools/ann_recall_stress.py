@@ -69,7 +69,7 @@ def main() -> None:
             big_emb, queries, k=k, n_centroids="auto", nprobe="auto"
         ),
         "ivfpq_auto": lambda: ann_ivfpq_topk(
-            big_emb, queries, k=k, n_centroids="auto", nprobe="auto", rerank=8
+            big_emb, queries, k=k, n_centroids="auto", nprobe="auto", rerank="auto"
         ),
         "ivf_fixed": lambda: ann_ivf_topk(big_emb, queries, k=k, n_centroids=32, nprobe=8),
         "ivfpq_fixed": lambda: ann_ivfpq_topk(

@@ -156,6 +156,14 @@ ALLOWED: dict[str, Allow] = {
         probe=_scalar_agg("documents", lambda: F.count(F.lit(1)).alias("n")),
         max_rows=1,
     ),
+    "l28_domain_mix": Allow(
+        "BroadcastNestedLoopJoin",
+        "one-row total-token scalar broadcast into the share/weight "
+        "expressions; the join's other side is the |domains|-row "
+        "aggregate, so both sides are bounded",
+        probe=_scalar_agg("documents", lambda: F.count(F.lit(1)).alias("n")),
+        max_rows=1,
+    ),
     "l5i_bm25": Allow(
         "BroadcastNestedLoopJoin",
         "one-row (N, avgdl) scalar broadcast into the BM25 expression",

@@ -305,7 +305,7 @@ def main() -> None:
         (
             "ann_ivfpq",
             lambda: ann_ivfpq_topk(
-                big_emb, queries, k=k_ann, n_centroids="auto", nprobe="auto", rerank=8
+                big_emb, queries, k=k_ann, n_centroids="auto", nprobe="auto", rerank="auto"
             ),
         ),
     ):
