@@ -1023,3 +1023,75 @@ def minhash_dedup_against_index(
     return _jaccard_score_filter(joined, threshold, round_before_filter=True).select(
         "new_id", "index_id", "jac"
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_words: int = 10,
+    max_df: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style line-level dedup generalized to fixed word-window
+    segments (this corpus has no newlines; with newline-delimited text,
+    split on newlines instead — the mechanism is identical): cut each
+    document into consecutive ``seg_words``-word segments, drop every
+    segment whose corpus-wide document frequency exceeds ``max_df``
+    (boilerplate: headers, navigation, license blocks — the mass
+    duplication that survives doc-level dedup), and reassemble each
+    document from its kept segments in order.
+
+    Returns (doc_id, n_segments, n_dropped, cleaned) with ``cleaned``
+    the reassembled text ('' when everything was boilerplate).
+
+    The 100 TB shape: the explode emits (doc_id, seg_idx, 8-byte
+    segment hash) — document text stays columnar until reassembly; the
+    frequency pass is one hash aggregate over digests; and the
+    drop-set (segments with df > max_df) is SMALL by construction —
+    boilerplate is heavy-tailed — so it broadcasts and the corpus-side
+    anti-join never shuffles. Reassembly is a per-doc sort of its own
+    bounded segment list, not a global sort.
+    """
+    toks = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+    segs = F.expr(
+        f"transform(sequence(1, greatest(size(_toks), 1), {seg_words}),"
+        f" i -> concat_ws(' ', slice(_toks, i, {seg_words})))"
+    )
+    exploded = (
+        docs.select("doc_id", toks.alias("_toks"))
+        .select("doc_id", F.posexplode(segs).alias("seg_idx", "seg_text"))
+        .filter(F.col("seg_text") != "")
+    )
+    with_hash = exploded.select(
+        "doc_id", "seg_idx", "seg_text", F.xxhash64("seg_text").alias("_h")
+    )
+    frequent = (
+        with_hash.groupBy("_h")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_h")
+    )
+    kept = with_hash.join(F.broadcast(frequent), "_h", "left_anti")
+    kept_per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    totals = with_hash.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments")
+    )
+    return (
+        totals.join(kept_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+            F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        )
+    )

@@ -854,3 +854,52 @@ def l27_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.4)
+
+
+@register(
+    "l29_segment_dedup",
+    "L1,L5,D5 (CCNet-style line/segment-level boilerplate removal)",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(list_slice(ws, i, i + 9), ' ') AS seg_text
+        FROM tok, unnest(generate_series(1, greatest(len(ws), 1), 10)) AS t(i)
+        WHERE array_to_string(list_slice(ws, i, i + 9), ' ') <> ''
+    ),
+    freq AS (
+        SELECT seg_text FROM seg GROUP BY seg_text
+        HAVING count(DISTINCT doc_id) > 2
+    ),
+    kept AS (
+        SELECT s.doc_id,
+               CAST(count(*) AS INT) AS n_kept,
+               string_agg(s.seg_text, ' ' ORDER BY s.seg_idx) AS cleaned
+        FROM seg s ANTI JOIN freq f ON s.seg_text = f.seg_text
+        GROUP BY s.doc_id
+    ),
+    totals AS (SELECT doc_id, CAST(count(*) AS INT) AS n_segments FROM seg GROUP BY doc_id)
+    SELECT t.doc_id, t.n_segments,
+           CAST(t.n_segments - coalesce(k.n_kept, 0) AS INT) AS n_dropped,
+           md5(coalesce(k.cleaned, '')) AS cleaned_md5
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def l29_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/segment-level dedup (operators/dedup.py::segment_dedup):
+    10-word segments whose corpus document-frequency exceeds 2 are
+    dropped as boilerplate and each doc is reassembled from its kept
+    segments — the CCNet line-dedup mechanism over deterministic
+    segmentation (this corpus has no newlines). Digest-only frequency
+    shuffle, broadcast drop-set, per-doc bounded reassembly sort.
+    Oracle mirrors the same segmentation and DF rule; the cleaned text
+    is md5-pinned."""
+    from actuarial_reserve_modelling_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_words=10, max_df=2).select(
+        "doc_id", "n_segments", "n_dropped", F.md5("cleaned").alias("cleaned_md5")
+    )

@@ -89,13 +89,13 @@ _ROUND6_FRONT = [
     # 2b) NEW in round 6: SemDeDup semantic dedup + domain-mix weights
     "l27_semantic_dedup",
     "l28_domain_mix",
+    "l29_segment_dedup",
     # 3) r3-era rows filling the remaining window slots (oldest of the
     #    round-3 evidence, VERDICT-spot-checked but driver-stale).
     "u1d_reserve_closed_form",
     "u4b_python_udtf",
     "j5_asof_join",
     "w1_ranking",
-    "w4_topk_per_group",
 ]
 
 

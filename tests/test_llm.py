@@ -674,3 +674,28 @@ def test_ann_auto_scaling_contract(spark):
     assert resolve_n_centroids(emb, 7) == 7
     with pytest.raises(ValueError):
         resolve_n_centroids(emb, "sqrt")
+
+
+def test_segment_dedup_drops_boilerplate_preserves_order(spark):
+    """Segments above the DF bound vanish from every doc; kept segments
+    reassemble in original order; an all-boilerplate doc comes back
+    empty but present."""
+    from actuarial_reserve_modelling_spark.operators.dedup import segment_dedup
+
+    boiler = "b1 b2 b3"  # 3-word segment shared by all docs
+    rows = [
+        (1, boiler + " u1a u1b u1c"),
+        (2, boiler + " u2a u2b u2c"),
+        (3, boiler + " u3a u3b u3c"),
+        (4, boiler),  # all boilerplate
+        (5, "z1 z2 z3 z4 z5 z6"),  # no boilerplate, 2 segments
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_dropped"], r["cleaned"])
+        for r in segment_dedup(df, seg_words=3, max_df=2).collect()
+    }
+    assert got[1] == (2, 1, "u1a u1b u1c")
+    assert got[4] == (1, 1, "")
+    assert got[5] == (2, 0, "z1 z2 z3 z4 z5 z6")  # order preserved
+    assert len(got) == 5
