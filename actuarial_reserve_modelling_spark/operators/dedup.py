@@ -1030,6 +1030,7 @@ def segment_dedup(
     seg_words: int = 10,
     max_df: int = 2,
     text_col: str = "text",
+    broadcast_dropset: bool = False,
 ) -> DataFrame:
     """CCNet-style line-level dedup generalized to fixed word-window
     segments (this corpus has no newlines; with newline-delimited text,
@@ -1040,16 +1041,23 @@ def segment_dedup(
     duplication that survives doc-level dedup), and reassemble each
     document from its kept segments in order.
 
-    Returns (doc_id, n_segments, n_dropped, cleaned) with ``cleaned``
-    the reassembled text ('' when everything was boilerplate).
+    Returns one row per input document — (doc_id, n_segments,
+    n_dropped, cleaned) — including token-less documents, which come
+    back as (doc_id, 0, 0, ''). ``cleaned`` is '' when everything was
+    boilerplate.
 
     The 100 TB shape: the explode emits (doc_id, seg_idx, 8-byte
     segment hash) — document text stays columnar until reassembly; the
-    frequency pass is one hash aggregate over digests; and the
-    drop-set (segments with df > max_df) is SMALL by construction —
-    boilerplate is heavy-tailed — so it broadcasts and the corpus-side
-    anti-join never shuffles. Reassembly is a per-doc sort of its own
-    bounded segment list, not a global sort.
+    frequency pass is one hash aggregate over digests; reassembly is a
+    per-doc sort of its own bounded segment list, not a global sort.
+    The drop-set (segments with df > ``max_df``) is NOT assumed small:
+    heavy-tailed boilerplate bounds the top of the df distribution,
+    not the count of segments above a df of 2 — on a natural web-scale
+    corpus that count is in the billions, so by default the anti-join
+    strategy is left to Catalyst/AQE (which promotes to broadcast at
+    runtime only when the measured build side fits). Pass
+    ``broadcast_dropset=True`` only when the caller can bound the
+    drop-set (e.g. a high ``max_df`` boilerplate-only pass).
     """
     toks = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
     segs = F.expr(
@@ -1070,7 +1078,7 @@ def segment_dedup(
         .filter(F.col("_df") > max_df)
         .select("_h")
     )
-    kept = with_hash.join(F.broadcast(frequent), "_h", "left_anti")
+    kept = with_hash.join(_opt_broadcast(frequent, broadcast_dropset), "_h", "left_anti")
     kept_per_doc = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("_n_kept"),
         F.array_join(
@@ -1084,12 +1092,18 @@ def segment_dedup(
     totals = with_hash.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_segments")
     )
+    # left-join from the full doc_id set so token-less documents
+    # (empty/whitespace-only text emits zero segments) still return a
+    # (doc_id, 0, 0, '') row — downstream reassembly must not silently
+    # lose doc_ids.
     return (
-        totals.join(kept_per_doc, "doc_id", "left")
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(kept_per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_segments",
-            (F.col("n_segments") - F.coalesce("_n_kept", F.lit(0)))
+            F.coalesce("n_segments", F.lit(0)).cast("int").alias("n_segments"),
+            (F.coalesce("n_segments", F.lit(0)) - F.coalesce("_n_kept", F.lit(0)))
             .cast("int")
             .alias("n_dropped"),
             F.coalesce("cleaned", F.lit("")).alias("cleaned"),

@@ -912,6 +912,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pairs: DataFrame | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster vectors whose pairwise cosine ≥
@@ -925,17 +926,27 @@ def semantic_dedup(
     (singletons keep themselves).
 
     Scale shape: the pair stage is pluggable via ``pairs`` (columns
-    v1 < v2) — the default exact ``cosine_pairs`` is the correctness
-    baseline; at 100 TB pass ``lsh_cosine_pairs`` output (hyperplane
+    v1 < v2) — at 100 TB pass ``lsh_cosine_pairs`` output (hyperplane
     blocking, near-dup thresholds) or an IVF-partitioned pair join so
-    no all-pairs stage exists. Component finding reuses
-    ``dedup_clusters`` (alternating large-star/small-star, O(log² n)
-    rounds); the final join back to the full vector set is a
-    digest-width shuffle (id, rep) — vectors never move.
+    no all-pairs stage exists. The exact ``cosine_pairs`` baseline
+    (O(n²) verify) must be opted into with ``exact=True`` — it is the
+    correctness oracle path, not a corpus-scale default, so omitting
+    both ``pairs`` and ``exact`` raises rather than silently running
+    quadratic. Component finding reuses ``dedup_clusters`` (alternating
+    large-star/small-star, O(log² n) rounds); the final join back to
+    the full vector set is a digest-width shuffle (id, rep) — vectors
+    never move.
     """
     from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
 
     if pairs is None:
+        if not exact:
+            raise ValueError(
+                "semantic_dedup needs an explicit pair stage: pass a blocked "
+                "candidate-pair DataFrame via pairs= (e.g. lsh_cosine_pairs(...)) "
+                "for corpus scale, or exact=True to opt into the O(n^2) "
+                "cosine_pairs baseline."
+            )
         pairs = cosine_pairs(embeddings, threshold, id_col=id_col, vec_col=vec_col)
     clusters = dedup_clusters(
         pairs.select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))

@@ -499,7 +499,11 @@ def domain_mix_weights(
     Domains absent from ``targets`` get weight 0 (excluded — the
     explicit-mixture contract); targets naming absent domains are a
     caller error surfaced by the published shares not summing to the
-    target total.
+    target total. A domain whose documents are all token-less
+    (actual_share = 0) gets weight 0 rather than NULL/inf — there is
+    nothing to upsample, and the pinned value keeps Spark and the
+    DuckDB oracle (whose default IEEE float ops would yield inf)
+    agreeing on the edge.
 
     One hash aggregate over (domain) — token counts are per-row
     ``size(split())`` inside codegen, so the shuffle is |domains| rows
@@ -528,6 +532,8 @@ def domain_mix_weights(
             "n_tokens",
             F.round(actual, 6).alias("actual_share"),
             F.round(target, 6).alias("target_share"),
-            F.round(target / actual, 6).alias("weight"),
+            F.round(
+                F.when(F.col("n_tokens") > 0, target / actual).otherwise(F.lit(0.0)), 6
+            ).alias("weight"),
         )
     )

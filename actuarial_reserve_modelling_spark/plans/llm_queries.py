@@ -847,13 +847,51 @@ def l27_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     components over the cosine ≥ 0.4 pair graph, keep = min-id rep per
     component, singletons keep themselves — the embedding-level dedup
     tier that catches paraphrases sharing no n-grams. Exact pair stage
-    here (the correctness baseline, same cosine SQL as l4); the
-    operator takes any blocked pair set for the 100 TB path. Oracle:
+    here via the explicit ``exact=True`` opt-in (the correctness
+    baseline, same cosine SQL as l4); the 100 TB blocked-pair path is
+    its own registry row (l27b). Oracle:
     recursive transitive-closure CTE + left join to the full corpus."""
     from actuarial_reserve_modelling_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.4)
+    return semantic_dedup(emb, threshold=0.4, exact=True)
+
+
+@register(
+    "l27b_semantic_dedup_lsh",
+    "L7,L3,L4 (SemDeDup over the blocked LSH pair stage — the 100 TB path)",
+    oracle="""
+    SELECT vec_id, vec_id AS rep_id, CAST(1 AS INT) AS keep FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, vec_id AS rep_id, CAST(0 AS INT) AS keep
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+)
+def l27b_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup fed by the blocked pair stage — ``semantic_dedup(pairs=
+    lsh_cosine_pairs(...))`` — so the corpus-scale path (hyperplane-LSH
+    blocking, no all-pairs stage) carries its own hash-grade evidence
+    instead of riding on l4b's plus prose.
+
+    Hash-checkable despite probabilistic blocking, by the l4b
+    construction: every 5th vector is planted as an exact duplicate
+    (id + 100000); identical vectors get identical signatures in EVERY
+    hyperplane table, so recall on the planted pairs is 1
+    deterministically, and the corpus itself has no pairs at τ=0.9
+    (max non-identical cosine ≈ 0.51 on this testdata). The component
+    set is therefore exactly the planted {v, v+100000} pairs: originals
+    keep themselves, plants point at their source with keep=0."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        lsh_cosine_pairs,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return semantic_dedup(corpus, pairs=lsh_cosine_pairs(corpus, threshold=0.9))
 
 
 @register(
@@ -881,7 +919,10 @@ def l27_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM seg s ANTI JOIN freq f ON s.seg_text = f.seg_text
         GROUP BY s.doc_id
     ),
-    totals AS (SELECT doc_id, CAST(count(*) AS INT) AS n_segments FROM seg GROUP BY doc_id)
+    totals AS (
+        SELECT d.doc_id, CAST(count(s.doc_id) AS INT) AS n_segments
+        FROM documents d LEFT JOIN seg s USING (doc_id) GROUP BY d.doc_id
+    )
     SELECT t.doc_id, t.n_segments,
            CAST(t.n_segments - coalesce(k.n_kept, 0) AS INT) AS n_dropped,
            md5(coalesce(k.cleaned, '')) AS cleaned_md5
@@ -894,7 +935,8 @@ def l29_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped as boilerplate and each doc is reassembled from its kept
     segments — the CCNet line-dedup mechanism over deterministic
     segmentation (this corpus has no newlines). Digest-only frequency
-    shuffle, broadcast drop-set, per-doc bounded reassembly sort.
+    shuffle, AQE-decided anti-join on the (unbounded) drop-set, per-doc
+    bounded reassembly sort; token-less docs return (doc_id, 0, 0, '').
     Oracle mirrors the same segmentation and DF rule; the cleaned text
     is md5-pinned."""
     from actuarial_reserve_modelling_spark.operators.dedup import segment_dedup

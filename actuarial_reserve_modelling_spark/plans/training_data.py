@@ -453,8 +453,10 @@ def l24_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.domain, p.n_docs, p.n_tokens,
            round(p.n_tokens / CAST(t.t AS DOUBLE), 6) AS actual_share,
            round(CAST(coalesce(g.share, 0.0) AS DOUBLE), 6) AS target_share,
-           round(CAST(coalesce(g.share, 0.0) AS DOUBLE)
-                 / (p.n_tokens / CAST(t.t AS DOUBLE)), 6) AS weight
+           round(CASE WHEN p.n_tokens > 0
+                      THEN CAST(coalesce(g.share, 0.0) AS DOUBLE)
+                           / (p.n_tokens / CAST(t.t AS DOUBLE))
+                      ELSE 0.0 END, 6) AS weight
     FROM per p CROSS JOIN tot t LEFT JOIN tgt g USING (domain)
     """,
 )

@@ -625,9 +625,15 @@ def test_semantic_dedup_clusters_and_singletons(spark):
     emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     got = {
         r["vec_id"]: (r["rep_id"], r["keep"])
-        for r in semantic_dedup(emb, threshold=0.95).collect()
+        for r in semantic_dedup(emb, threshold=0.95, exact=True).collect()
     }
     assert got == {1: (1, 1), 2: (1, 0), 3: (3, 1), 4: (3, 0), 5: (5, 1)}
+    # without pairs= and without the exact opt-in, the quadratic default
+    # is refused — corpus-scale callers must choose a blocked pair stage
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pair stage"):
+        semantic_dedup(emb, threshold=0.95)
     via_pairs = {
         r["vec_id"]: (r["rep_id"], r["keep"])
         for r in semantic_dedup(
@@ -656,6 +662,28 @@ def test_domain_mix_weights_exact(spark):
     }
     assert got["en"] == (2, 8, 0.8, 0.625)  # 0.5 / 0.8
     assert got["de"] == (1, 2, 0.2, 0.0)    # not in targets
+
+
+def test_domain_mix_weights_tokenless_domain(spark):
+    """A domain whose docs are all token-less has actual_share 0; its
+    weight is pinned to 0.0 (not NULL, not inf) even when the target
+    mixture names it — there is nothing to upsample."""
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        domain_mix_weights,
+    )
+
+    rows = [
+        (1, "en", "a b c d"),  # 4 tokens
+        (2, "xx", ""),         # token-less domain
+        (3, "xx", "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = {
+        r["domain"]: (r["n_tokens"], r["actual_share"], r["weight"])
+        for r in domain_mix_weights(docs, {"en": 0.5, "xx": 0.5}).collect()
+    }
+    assert got["en"] == (4, 1.0, 0.5)
+    assert got["xx"] == (0, 0.0, 0.0)
 
 
 def test_ann_auto_scaling_contract(spark):
@@ -699,3 +727,32 @@ def test_segment_dedup_drops_boilerplate_preserves_order(spark):
     assert got[4] == (1, 1, "")
     assert got[5] == (2, 0, "z1 z2 z3 z4 z5 z6")  # order preserved
     assert len(got) == 5
+
+
+def test_segment_dedup_tokenless_docs_and_large_dropset(spark):
+    """Two contracts at once: (a) token-less documents (empty or
+    whitespace-only text) still return a (doc_id, 0, 0, '') row instead
+    of vanishing from the output; (b) a drop-set comprising nearly every
+    distinct segment — the web-corpus regime where forcing a broadcast
+    would OOM the driver — still anti-joins correctly under the default
+    AQE-decided strategy (no forced broadcast hint)."""
+    from actuarial_reserve_modelling_spark.operators.dedup import segment_dedup
+
+    # 60 docs sharing 20 distinct 2-word boilerplate segments (each in
+    # all 60 docs -> df=60 > max_df=2) plus one unique tail segment.
+    shared = " ".join(f"s{j}a s{j}b" for j in range(20))
+    rows = [(i, f"{shared} tail{i}a tail{i}b") for i in range(60)]
+    rows += [(100, ""), (101, "   "), (102, "solo words here only once")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_dropped"], r["cleaned"])
+        for r in segment_dedup(df, seg_words=2, max_df=2).collect()
+    }
+    assert len(got) == 63, "every input doc_id must come back"
+    assert got[100] == (0, 0, "")
+    assert got[101] == (0, 0, "")
+    # unique doc: 3 segments ("solo words", "here only", "once"), none dropped
+    assert got[102] == (3, 0, "solo words here only once")
+    for i in range(60):
+        # 20 boilerplate segments dropped, the unique tail kept
+        assert got[i] == (21, 20, f"tail{i}a tail{i}b")
