@@ -3,15 +3,19 @@
 Design: media travels as an opaque ``binary`` payload column next to a
 typed metadata struct; decode / feature-extract / resize / frame-sample
 are Arrow kernels over ``mapInPandas`` so bytes never round-trip through
-Python row objects. The decode internals are STUBBED (no image/audio
-libs in this container): ``decode_media`` raises NotImplementedError for
-real codecs and ships a clearly-marked deterministic fake so the
-Spark-side plumbing — schema, batching, partitioning — is real and
-testable end-to-end.
+Python row objects. ``decode_media`` has two REAL, dependency-free codec
+paths that execute in this container — uncompressed 24-bit BMP (manual
+header parse) and PCM WAV (stdlib ``wave``) — plus soft-imported
+PIL/soundfile for the general image/audio families (absent here; the
+production build installs the dependency, no code change). The
+deterministic fakes (``extract_features`` / ``frame_sample`` /
+``resize_media``) remain as decode-free stand-ins that keep the plumbing
+testable for formats with no local codec.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -51,10 +55,100 @@ def attach_binary_payload(docs: DataFrame, mime: str = "text/plain") -> DataFram
     )
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Serialize an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, bottom-up rows, BGR byte order, rows padded
+    to 4 bytes) — the inverse of ``_decode_bmp``, used by tests and the
+    l30 registry query to manufacture real image payloads without any
+    image library."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects an (H, W, 3) uint8 array")
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    bgr = pixels[:, :, ::-1]
+    data = b"".join(bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1))
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Manual parse of an uncompressed 24-bit BMP → (H, W, 3) uint8 RGB
+    array (same shape/order contract as PIL's ``np.asarray(Image.open)``
+    so swapping in the soft-imported codec changes nothing downstream).
+    Handles bottom-up (positive height) and top-down (negative height)
+    row order and 4-byte row padding; refuses palettized/compressed
+    variants rather than mis-decoding them."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    _hdr, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    top_down = h < 0
+    h = abs(h)
+    row = w * 3
+    stride = (row + 3) // 4 * 4
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) < data_off + stride * (h - 1) + row:
+        raise ValueError("truncated BMP pixel data")
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        src = data_off + y * stride
+        out[y if top_down else h - 1 - y] = buf[src : src + row].reshape(w, 3)[:, ::-1]
+    return out
+
+
+def encode_wav(samples: np.ndarray, framerate: int = 16000) -> bytes:
+    """Serialize a 1-D int16 sample array as a mono PCM WAV via stdlib
+    ``wave`` — the inverse of ``_decode_wav``."""
+    import io
+    import wave
+
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_wav expects a 1-D int16 array")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return bio.getvalue()
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV decode via stdlib ``wave`` → float64 samples in [-1, 1)
+    (int16/32768, uint8 centered at 128 — soundfile's convention, so
+    the soft-imported codec is a drop-in replacement). Mono → 1-D,
+    multi-channel → (n_frames, n_channels)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+        n, ch, sw = wf.getnframes(), wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(n)
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} unsupported")
+    return arr.reshape(-1, ch) if ch > 1 else arr
+
+
 def _find_codec(mime: str):
-    """Soft-import the codec for a mime family: PIL for image/*,
-    soundfile for audio/*. Returns a decode callable or None when the
-    library is absent (this container ships neither — the stub path)."""
+    """Resolve the decode callable for a mime type. Exact dependency-free
+    codecs first (BMP, WAV — always available); then soft-import PIL for
+    image/*, soundfile for audio/*. Returns None when no codec exists in
+    this environment (the stub path)."""
+    mime_l = mime.lower()
+    if mime_l == "image/bmp":
+        return _decode_bmp
+    if mime_l in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return _decode_wav
     family = mime.split("/", 1)[0]
     if family == "image":
         try:
@@ -78,11 +172,11 @@ def _find_codec(mime: str):
 
 
 def decode_media(payload: bytes, mime: str) -> np.ndarray:
-    """Real decode path: soft-imports the codec for the mime family
-    (PIL → HxWxC uint8 array for image/*, soundfile → float samples
-    for audio/*) and decodes when the library is installed — the
-    production build just installs the dependency, no code change.
-    Where codecs are absent (this container ships none) it raises
+    """Real decode path. image/bmp and audio/wav decode here with zero
+    dependencies (manual BMP parse, stdlib wave); other image/* and
+    audio/* mimes soft-import PIL/soundfile (PIL → HxWxC uint8 array,
+    soundfile → float samples) — the production build just installs
+    the dependency, no code change. Where no codec exists it raises
     NotImplementedError; the deterministic fakes (extract_features /
     frame_sample / resize_media) keep the Spark-side plumbing testable
     either way."""
@@ -189,6 +283,53 @@ def resize_media(
     return spread_for_kernel(media.select("doc_id", payload_col)).mapInPandas(
         kernel, schema=schema
     )
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("dims", T.ArrayType(T.IntegerType())),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """REAL-decode feature extraction: each payload is decoded with the
+    codec for its ``meta.mime`` (``decode_media`` — BMP/WAV always, the
+    PIL/soundfile families when installed) and summarized as (doc_id,
+    mime, dims, n_values, value_sum) with value_sum the UNROUNDED sum
+    of decoded array values. For integer-backed codecs (uint8 pixels,
+    int16/2^15 PCM floats) every addend and partial sum is an exactly
+    representable dyadic rational, so value_sum is bit-exact in any
+    summation order and hash-comparable against an oracle that computes
+    the same sum from the payload construction — no float tolerance
+    needed.
+
+    Same Arrow ``mapInPandas`` shape as ``extract_features``: a real
+    CLIP/CNN/fbank featurizer swaps the per-payload body, the plan —
+    partition-spread scan, one Python stage, columnar out — stays."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "mime": [], "dims": [], "n_values": [], "value_sum": []}
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                mime = meta["mime"]
+                arr = decode_media(bytes(payload), mime)
+                out["doc_id"].append(int(doc_id))
+                out["mime"].append(mime)
+                out["dims"].append([int(d) for d in arr.shape])
+                out["n_values"].append(int(arr.size))
+                out["value_sum"].append(float(arr.sum()))
+            yield pd.DataFrame(out)
+
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    return spread_for_kernel(media.select("doc_id", "payload", "meta")).mapInPandas(
+        kernel, schema=DECODED_SCHEMA
+    )
+
 
 ENERGY_SCHEMA = T.StructType(
     [

@@ -641,6 +641,75 @@ def l6d_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l30_media_decode",
+    "L6 (REAL codec decode: BMP header parse + stdlib WAV, exact-sum oracle)",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    img AS (
+        SELECT doc_id, 'image/bmp' AS mime, [4, 4, 3] AS dims,
+               CAST(48 AS BIGINT) AS n_values,
+               CAST(sum((doc_id * 7 + i * 13) % 256) AS DOUBLE) AS value_sum
+        FROM ids, unnest(generate_series(0, 47)) AS t(i) GROUP BY doc_id
+    ),
+    aud AS (
+        SELECT doc_id, 'audio/wav' AS mime, [32] AS dims,
+               CAST(32 AS BIGINT) AS n_values,
+               sum(((doc_id * 31 + i * 17) % 65536) - 32768) / 32768.0 AS value_sum
+        FROM ids, unnest(generate_series(0, 31)) AS t(i) GROUP BY doc_id
+    )
+    SELECT * FROM img UNION ALL SELECT * FROM aud
+    """,
+)
+def l30_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL decode path executing end-to-end in a distributed plan
+    (not the deterministic-fake plumbing of l6/l6b/l6c/l6d): per doc,
+    manufacture one 4×4 24-bit BMP whose pixel bytes are the arithmetic
+    sequence (doc_id·7 + i·13) mod 256 and one 32-sample int16 WAV with
+    samples (doc_id·31 + i·17) mod 65536 − 32768, then decode both with
+    ``decode_media``'s dependency-free codecs (manual BMP header parse,
+    stdlib ``wave``) via ``decode_features``. Decoded dims and EXACT
+    value sums (uint8 pixel sum; dyadic int16/2^15 sample sum — no
+    float tolerance) are hash-checked against an oracle that computes
+    the same sums straight from the payload-construction arithmetic, so
+    a codec that mis-parses padding, row order, channel order (sums are
+    invariant to those two — shape/count pins them jointly with the
+    round-trip pytest), bit depth, or sign convention fails the hash."""
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+    from actuarial_reserve_modelling_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        encode_bmp,
+        encode_wav,
+    )
+
+    def make_payloads(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pix = ((d * 7 + np.arange(48) * 13) % 256).astype(np.uint8)
+                bmp = encode_bmp(pix.reshape(4, 4, 3))
+                samp = (((d * 31 + np.arange(32) * 17) % 65536) - 32768).astype(
+                    np.int16
+                )
+                wav = encode_wav(samp)
+                for payload, mime in ((bmp, "image/bmp"), (wav, "audio/wav")):
+                    out["doc_id"].append(d)
+                    out["payload"].append(payload)
+                    out["meta"].append({"mime": mime, "n_bytes": len(payload)})
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = spread_for_kernel(docs.select("doc_id")).mapInPandas(
+        make_payloads, schema=MEDIA_SCHEMA
+    )
+    return decode_features(media)
+
+
+@register(
     "l18_incremental_exact_dedup",
     "L1,D8 (incremental ingest, exact tier)",
     oracle="""

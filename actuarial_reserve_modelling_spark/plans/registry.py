@@ -32,70 +32,70 @@ REGISTRY: dict[str, Query] = {}
 # every query that has never appeared in a driver CORRECTNESS_r*.json,
 # plus queries added or rewritten this round. Names not yet registered
 # are skipped (harmless); everything else keeps registration order.
-_ROUND6_FRONT = [
-    # 1) the 34 queries whose latest driver evidence dates to round 2
-    #    (VERDICT r5 "What's missing" #1 / "Next round" #1): re-earn
-    #    hash-grade driver rows on current code. All pass locally under
-    #    tools/check_oracle; this is audit debt, not a code change.
-    "l5_text_stats",
-    "l5b_token_counts",
-    "l5c_quality_scores",
-    "l5d_lang_id",
-    "l5e_fingerprints",
-    "l5g_text_cleaning",
-    "l6_multimodal",
-    "l6b_multimodal_resize",
-    "l7_label_centroids",
-    "l7b_vector_normalize",
-    "l8_chunking",
-    "l10_corpus_prep",
-    "l1_exact_dedup",
-    "l2e_dedup_clusters",
-    "l3_cosine_topk",
-    "l3b_ann_lsh_topk",
-    "l3c_ann_ivf_topk",
-    "u1_reserve_pipeline",
-    "u1b_reserve_sql_mc",
-    "u1c_reserve_risk_measures",
-    "u2_scalar_udf",
-    "u2b_builtin_expression",
-    "u2c_segment_reserves",
-    "u3_grouped_map",
-    "u4_table_function",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_predicates",
-    "q22_global_sales_opportunity",
-    # 2) rewritten or re-oracled in round 6 — must re-earn driver
-    #    evidence for the NEW code/oracle: scrub_pii count semantics
-    #    (n_ips now counted post-email-scrub), dataset_diff structural
-    #    xxhash64, compaction rename-before-delete, t11/l21 promoted
-    #    from rows-only to oracle-backed, decontamination count-path
-    #    prefilter, ANN auto-centroids + content-hash init.
-    "l20_pii_scrub",
-    "o9_dataset_diff",
-    "s13_compaction_roundtrip",
-    "t11_neardup_ingest_gate",
-    "l21_bpe_encode",
-    "l16_decontamination",
-    "l3d_ann_pq_topk",
-    "l25_ann_ivf_index_add",
-    "l26_ann_ivfpq_topk",
-    # 2b) NEW in round 6: SemDeDup semantic dedup + domain-mix weights
+_ROUND7_FRONT = [
+    # 1) queries ADDED or semantically CHANGED in round 7 — they must
+    #    earn driver evidence for the new code/oracle: l27 (explicit
+    #    exact=True opt-in), l27b (NEW: SemDeDup over the blocked LSH
+    #    pair stage), l28 (zero-share weight pinned to 0 on both
+    #    sides), l29 (AQE-decided drop-set anti-join + token-less docs
+    #    now returned; oracle totals rebased on documents), l30 (NEW:
+    #    real BMP/WAV codec decode, exact-sum oracle).
     "l27_semantic_dedup",
+    "l27b_semantic_dedup_lsh",
     "l28_domain_mix",
     "l29_segment_dedup",
-    # 3) r3-era rows filling the remaining window slots (oldest of the
-    #    round-3 evidence, VERDICT-spot-checked but driver-stale).
-    "u1d_reserve_closed_form",
-    "u4b_python_udtf",
-    "j5_asof_join",
-    "w1_ranking",
+    "l30_media_decode",
+    # 2) the 37 queries whose latest driver evidence dates to round 3
+    #    (VERDICT r6 "Next round" #1): every row re-earns hash-grade
+    #    evidence on shipped code. All pass locally under
+    #    tools/check_oracle; audit debt, not suspected breakage.
+    "a1_a2_global_agg",
+    "a4_groupby_q1",
+    "a5_count_distinct",
+    "a6_approx_count_distinct",
+    "a7_rollup",
+    "a7b_cube",
+    "a8_distinct",
+    "f1_f2_string_funcs",
+    "f3_math_funcs",
+    "f4_date_funcs",
+    "f4b_date_arith",
+    "f5_array_funcs",
+    "f6_struct_map",
+    "f7_json_extract",
+    "f8_case_coalesce",
+    "j2b_full_outer_join",
+    "j4b_pure_range_join",
+    "j6_cross_join",
+    "o1_o3_topk",
+    "o2_ntile_bucketing",
+    "o4_union_all",
+    "o5_except_intersect",
+    "q_pivot",
+    "q_sql_correlated_subquery",
+    "s4_listing_source",
+    "t1_stream_batch_equivalence",
+    "t2_tumbling_window",
+    "t3_sliding_window",
+    "t4_session_window",
+    "t7_stream_stream_join",
+    "ts1_resample_locf",
+    "w10_cohort_retention",
+    "w11_funnel",
+    "w2_lag_lead",
+    "w3_running_agg",
+    "w4_topk_per_group",
+    "w9_sessionization",
+    # 3) the oldest r4-era rows filling the remaining window slots;
+    #    the other 41 r4-era rows queue for round 8.
+    "a7c_grouping_sets",
+    "a9_stats_aggregates",
+    "a10_median_percentile",
+    "a12_salted_aggregate",
+    "a14_argmax_aggregates",
+    "f1b_string_funcs2",
+    "j7_salted_join",
+    "q13_customer_distribution",
 ]
 
 
@@ -131,7 +131,7 @@ def load_all() -> dict[str, Query]:
         window_queries2,
     )
 
-    front = [n for n in _ROUND6_FRONT if n in REGISTRY]
+    front = [n for n in _ROUND7_FRONT if n in REGISTRY]
     seen = set(front)
     ordered = front + [n for n in REGISTRY if n not in seen]
     return {n: REGISTRY[n] for n in ordered}

@@ -322,7 +322,13 @@ def t10_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within-batch); tier 3 = drop survivors with an exact-Jaccard ≥ τ match
 # against ANY earlier-batch admitted doc. Exact Jaccard stands in for
 # the MinHash-LSH stages because 16 bands × 16 rows at τ=0.95 was
-# validated to reproduce the exact pair set on this corpus (see l2).
+# validated to reproduce the exact pair set on this corpus — at the
+# driver's sf0.01 scale (where this oracle runs; do not point it at
+# other corpora/scales without revalidating: a borderline true pair
+# has ~1e-4 per-pair banding miss probability, so the equivalence is
+# corpus-validated, not universal) and independently re-validated at
+# sf0.1 by tools/t11_sf01_check.py's pure-Python replay (BASELINE.md
+# round-7 note: exact 3,002-row set match).
 def _t11_batch_ctes(b: int) -> str:
     prev_adm = " UNION ALL ".join(f"SELECT doc_id FROM adm{i}" for i in range(b))
     fp_gate = (

@@ -177,6 +177,85 @@ def test_multimodal_decode_soft_import():
         decode_media(b"\x00", "application/octet-stream")
 
 
+def test_bmp_codec_roundtrip_exact():
+    """The dependency-free BMP codec is REAL: encode→decode is the
+    identity on an asymmetric pixel pattern, which pins row order
+    (bottom-up storage flipped back), channel order (BGR→RGB), and
+    4-byte row padding (width 3 ⇒ 9-byte rows, 3 pad bytes) — not just
+    sums. Malformed and unsupported payloads are refused."""
+    import numpy as np
+
+    from actuarial_reserve_modelling_spark.operators.multimodal import (
+        _decode_bmp,
+        decode_media,
+        encode_bmp,
+    )
+
+    rng = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3) * 7 % 256
+    assert rng.shape == (2, 3, 3)
+    decoded = decode_media(encode_bmp(rng.astype(np.uint8)), "image/bmp")
+    assert decoded.dtype == np.uint8 and decoded.shape == (2, 3, 3)
+    assert np.array_equal(decoded, rng.astype(np.uint8))
+    # corner pixel check: [0,0] must come back at [0,0] in RGB order
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 0] = (10, 20, 30)
+    assert tuple(_decode_bmp(encode_bmp(px))[0, 0]) == (10, 20, 30)
+    with pytest.raises(ValueError):
+        _decode_bmp(b"XX not a bmp")
+    with pytest.raises((NotImplementedError, ValueError)):
+        # 24bpp flag but compressed variant refused, not mis-decoded
+        bad = bytearray(encode_bmp(px))
+        bad[30] = 1  # biCompression = BI_RLE8
+        _decode_bmp(bytes(bad))
+
+
+def test_wav_codec_roundtrip_exact():
+    """stdlib-wave codec: int16 samples round-trip exactly through
+    encode→decode (decoded floats are sample/32768, an exact dyadic)."""
+    import numpy as np
+
+    from actuarial_reserve_modelling_spark.operators.multimodal import (
+        decode_media,
+        encode_wav,
+    )
+
+    samp = np.array([0, 1, -1, 32767, -32768, 12345, -12345], dtype=np.int16)
+    decoded = decode_media(encode_wav(samp), "audio/wav")
+    assert decoded.ndim == 1 and len(decoded) == len(samp)
+    assert np.array_equal((decoded * 32768.0).astype(np.int16), samp)
+
+
+def test_decode_features_real_codecs(spark):
+    """The real decode path runs distributed: BMP and WAV payloads
+    built row-by-row decode through decode_features (mapInPandas →
+    decode_media) with exact dims and value sums."""
+    import numpy as np
+
+    from actuarial_reserve_modelling_spark.operators.multimodal import (
+        decode_features,
+        encode_bmp,
+        encode_wav,
+    )
+
+    px = (np.arange(48, dtype=np.uint8) * 5 % 256).reshape(4, 4, 3)
+    samp = np.array([100, -200, 300, -400], dtype=np.int16)
+    rows = [
+        (1, bytes(encode_bmp(px.astype(np.uint8))), {"mime": "image/bmp", "n_bytes": 0}),
+        (2, bytes(encode_wav(samp)), {"mime": "audio/wav", "n_bytes": 0}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "doc_id bigint, payload binary, "
+        "meta struct<mime: string, n_bytes: bigint>",
+    )
+    got = {r["doc_id"]: r.asDict() for r in decode_features(media).collect()}
+    assert got[1]["dims"] == [4, 4, 3]
+    assert got[1]["n_values"] == 48
+    assert got[1]["value_sum"] == float(int(px.astype(np.uint64).sum()))
+    assert got[2]["dims"] == [4]
+    assert got[2]["value_sum"] == float(samp.astype(np.int64).sum()) / 32768.0
+
+
 def test_multimodal_resize_fixed_size(spark):
     from actuarial_reserve_modelling_spark.operators.multimodal import (
         attach_binary_payload,
