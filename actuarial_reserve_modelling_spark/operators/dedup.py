@@ -1109,3 +1109,105 @@ def segment_dedup(
             F.coalesce("cleaned", F.lit("")).alias("cleaned"),
         )
     )
+
+
+def repeated_span_removal(
+    docs: DataFrame,
+    span_words: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style repeated-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) at word-window granularity: every OVERLAPPING
+    ``span_words``-word window whose total corpus occurrence count
+    (including within-document repeats) reaches ``min_count`` marks its
+    token range as duplicated; overlapping marked ranges merge into
+    maximal spans (gaps-and-islands), and the document is rebuilt from
+    the tokens outside every span. The overlapping windows + interval
+    merge are what distinguish this from ``segment_dedup``'s disjoint
+    segments: a repeated passage is excised exactly, wherever it starts,
+    instead of at fixed segment boundaries — the suffix-array
+    formulation's effect, reachable with hash aggregates.
+
+    Returns one row per input document: (doc_id, n_tokens, n_spans,
+    n_masked, cleaned) — token-less and shorter-than-window documents
+    come back with 0 spans and their text's tokens intact.
+
+    The 100 TB shape: windows cross the wire as (doc_id, position,
+    8-byte xxhash64) — text stays columnar; the occurrence count is one
+    digest aggregate; the repeated-window set anti-join is AQE-decided
+    (same unbounded-drop-set argument as ``segment_dedup``); interval
+    merging is two bounded per-document windows (running max + island
+    sum), never a global sort; and reassembly is a per-doc array
+    expression over the doc's own bounded span list.
+    """
+    toks = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+    # overlapping windows, 1-based start positions (matches DuckDB list
+    # indexing in the oracle); guarded — sequence(1, n) DESCENDS for
+    # n < 1, so short docs must produce an empty window array
+    wins = F.expr(
+        f"case when size(_t) >= {span_words} then"
+        f" transform(sequence(1, size(_t) - {span_words} + 1),"
+        f" i -> struct(i as s, concat_ws(' ', slice(_t, i, {span_words})) as w))"
+        " else cast(array() as array<struct<s:int,w:string>>) end"
+    )
+    base = docs.select("doc_id", toks.alias("_t"))
+    pos = (
+        base.select("doc_id", F.explode(wins).alias("p"))
+        .select("doc_id", F.col("p.s").alias("s"), F.xxhash64("p.w").alias("_h"))
+    )
+    repeated = (
+        pos.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    marked = pos.join(repeated, "_h", "left_semi").select(
+        "doc_id", "s", (F.col("s") + span_words).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn("_pm", F.max("e").over(w_prev)).withColumn(
+        "_isl",
+        F.sum(
+            F.when(F.col("_pm").isNull() | (F.col("s") > F.col("_pm")), 1).otherwise(0)
+        ).over(w_run),
+    )
+    spans = (
+        islands.groupBy("doc_id", "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s")).cast("int").alias("n_masked"),
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_spans"),
+        )
+    )
+    # kept tokens: 1-based position outside every [s, e) span; the span
+    # list is per-doc and bounded, so the exists() probe is a local
+    # array expression, not a join
+    cleaned = F.expr(
+        "concat_ws(' ', transform(filter(transform(_t,"
+        " (x, i) -> struct(x as x, i + 1 as i)),"
+        " t -> _spans is null or not exists(_spans, sp -> t.i >= sp.s and t.i < sp.e)),"
+        " t -> t.x))"
+    )
+    return (
+        base.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_t").cast("int").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+            cleaned.alias("cleaned"),
+        )
+    )

@@ -537,3 +537,103 @@ def domain_mix_weights(
             ).alias("weight"),
         )
     )
+
+
+def _hashed_grams(docs: DataFrame, buckets: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, bucket) per word unigram AND bigram occurrence (a bag, not a
+    set — DSIR's features count occurrences), bucketed by the md5-prefix
+    convention of ``_hash_bucket`` so the assignment reproduces in any
+    engine (DuckDB: ``('0x' || substr(md5(g), 1, 15))::bigint % B``).
+    Bigrams via zip_with over two slices — no sequence() call that would
+    go descending on short docs."""
+    toks = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+    grams = F.expr(
+        "concat(_t, zip_with(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+        " slice(_t, 2, greatest(size(_t) - 1, 0)), (a, b) -> concat(a, ' ', b)))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+        .select("_id", F.explode(grams).alias("_g"))
+        .select(
+            "_id",
+            (F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("bigint") % buckets)
+            .alias("b"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every corpus document by how target-like
+    its hashed n-gram distribution is. Features are word unigram +
+    bigram occurrences hashed into ``buckets``; two categorical
+    distributions are estimated with add-``smoothing`` Laplace
+    smoothing — p̂_target over the ``target`` exemplar set, p̂_raw over
+    ``docs`` — and each document's log importance weight is
+
+        logw(d) = Σ_{g ∈ grams(d)} [ ln p̂_target(h(g)) − ln p̂_raw(h(g)) ]
+
+    the log of the DSIR importance ratio. Feed ``exp``-free logw
+    straight into ``weighted_sample``'s exponential-race keys (key =
+    ln(u)/w needs w > 0, so shift/exp as appropriate) or rank by logw
+    for top-k selection toward the target domain.
+
+    Returns one row per corpus document: (id, n_grams, logw), logw
+    rounded to 6 dp, gram-less documents as (id, 0, 0.0).
+
+    Cross-engine determinism: buckets come from the md5-prefix hash
+    (engine-portable, content-addressed); per-bucket log-ratios are
+    rounded to 9 dp before the per-doc sum (absorbs last-ulp libm
+    differences between JVM and any oracle engine) and the final sum
+    to 6 dp (absorbs float addition-order wobble, ~1e-14 at these
+    magnitudes).
+
+    The 100 TB shape: the corpus crosses the wire once as (id, bucket)
+    int pairs; both distribution estimates are |buckets|-row hash
+    aggregates (bounded by the caller's ``buckets``, default 4096 —
+    ~100 KB), so the ratio table legitimately broadcasts; the per-doc
+    reduce is one groupBy over the already-shuffled gram pairs. No
+    text moves after tokenization, no all-pairs stage, and target-set
+    size only affects one bounded aggregate.
+    """
+    corpus_grams = _hashed_grams(docs, buckets, text_col, id_col)
+    target_grams = _hashed_grams(target, buckets, text_col, id_col)
+    tgt_counts = target_grams.groupBy("b").agg(F.count(F.lit(1)).alias("_tc"))
+    cor_counts = corpus_grams.groupBy("b").agg(F.count(F.lit(1)).alias("_cc"))
+    tgt_total = target_grams.agg(F.count(F.lit(1)).alias("_tt"))
+    cor_total = corpus_grams.agg(F.count(F.lit(1)).alias("_ct"))
+    s, b_count = float(smoothing), float(buckets)
+    dist = (
+        cor_counts.join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(tgt_total))
+        .crossJoin(F.broadcast(cor_total))
+        .select(
+            "b",
+            F.round(
+                F.log((F.coalesce("_tc", F.lit(0)) + s) / (F.col("_tt") + s * b_count))
+                - F.log((F.col("_cc") + s) / (F.col("_ct") + s * b_count)),
+                9,
+            ).alias("_lr"),
+        )
+    )
+    per_doc = (
+        corpus_grams.join(F.broadcast(dist), "b")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"), F.sum("_lr").alias("_s"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("logw"),
+        )
+    )

@@ -1014,3 +1014,75 @@ def l29_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(docs, seg_words=10, max_df=2).select(
         "doc_id", "n_segments", "n_dropped", F.md5("cleaned").alias("cleaned_md5")
     )
+
+
+@register(
+    "l32_repeated_spans",
+    "L2,L1,D5 (ExactSubstr-style repeated-substring span removal)",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, CAST(i AS INT) AS s,
+               array_to_string(list_slice(ws, i, i + 7), ' ') AS w
+        FROM tok, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+    ),
+    rep AS (SELECT w FROM pos GROUP BY w HAVING count(*) >= 2),
+    marked AS (
+        SELECT doc_id, s, s + 8 AS e FROM pos SEMI JOIN rep USING (w)
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pm
+        FROM marked
+    ),
+    grp AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, g, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, g
+    ),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+               CAST(sum(e - s) AS INT) AS n_masked
+        FROM spans GROUP BY doc_id
+    ),
+    keptagg AS (
+        SELECT t.doc_id, string_agg(t.ws[i], ' ' ORDER BY i) AS cleaned
+        FROM tok t, unnest(generate_series(1, len(t.ws))) AS u(i)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM spans sp
+            WHERE sp.doc_id = t.doc_id AND i >= sp.s AND i < sp.e)
+        GROUP BY t.doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens,
+           coalesce(a.n_spans, 0) AS n_spans,
+           coalesce(a.n_masked, 0) AS n_masked,
+           md5(coalesce(k.cleaned, '')) AS cleaned_md5
+    FROM tok t LEFT JOIN agg a USING (doc_id) LEFT JOIN keptagg k USING (doc_id)
+    """,
+)
+def l32_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-substring removal (operators/dedup.py
+    ::repeated_span_removal; Lee et al. arXiv:2107.06499): every
+    overlapping 8-word window occurring ≥2 times corpus-wide (including
+    within-doc repeats) marks its token range; overlapping marks merge
+    into maximal spans (gaps-and-islands windows) and each doc is
+    rebuilt from the tokens outside its spans. Digest-only window
+    shuffle, AQE-decided repeated-set semi-join, two bounded per-doc
+    windows for the merge; the cleaned text is md5-pinned and the whole
+    span algebra is mirrored in the oracle's window formulation."""
+    from actuarial_reserve_modelling_spark.operators.dedup import repeated_span_removal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_removal(docs, span_words=8, min_count=2).select(
+        "doc_id", "n_tokens", "n_spans", "n_masked", F.md5("cleaned").alias("cleaned_md5")
+    )

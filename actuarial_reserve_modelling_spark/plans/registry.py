@@ -45,6 +45,8 @@ _ROUND7_FRONT = [
     "l28_domain_mix",
     "l29_segment_dedup",
     "l30_media_decode",
+    "l31_dsir_weights",
+    "l32_repeated_spans",
     # 2) the 37 queries whose latest driver evidence dates to round 3
     #    (VERDICT r6 "Next round" #1): every row re-earns hash-grade
     #    evidence on shipped code. All pass locally under
@@ -87,15 +89,13 @@ _ROUND7_FRONT = [
     "w4_topk_per_group",
     "w9_sessionization",
     # 3) the oldest r4-era rows filling the remaining window slots;
-    #    the other 41 r4-era rows queue for round 8.
+    #    the remaining r4-era rows queue for round 8.
     "a7c_grouping_sets",
     "a9_stats_aggregates",
     "a10_median_percentile",
     "a12_salted_aggregate",
     "a14_argmax_aggregates",
     "f1b_string_funcs2",
-    "j7_salted_join",
-    "q13_customer_distribution",
 ]
 
 

@@ -473,3 +473,63 @@ def l28_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_mix_weights(
         docs, {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}, domain_col="lang"
     )
+
+
+@register(
+    "l31_dsir_weights",
+    "D9,A4,F1 (DSIR hashed n-gram importance weights toward a target domain)",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               unnest(list_concat(ws,
+                   list_transform(range(1, greatest(len(ws), 1)),
+                                  i -> ws[i] || ' ' || ws[i + 1]))) AS g
+        FROM tok
+    ),
+    hb AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+        FROM grams
+    ),
+    tc AS (SELECT b, count(*) c FROM hb WHERE source = 'src0' GROUP BY b),
+    cc AS (SELECT b, count(*) c FROM hb GROUP BY b),
+    tt AS (SELECT count(*) t FROM hb WHERE source = 'src0'),
+    ct AS (SELECT count(*) t FROM hb),
+    dist AS (
+        SELECT cc.b,
+               round(ln((coalesce(tc.c, 0) + 1.0) / (tt.t + 4096.0))
+                   - ln((cc.c + 1.0) / (ct.t + 4096.0)), 9) AS lr
+        FROM cc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN ct
+    ),
+    per AS (
+        SELECT h.doc_id, count(*) AS n_grams, sum(d.lr) AS s
+        FROM hb h JOIN dist d USING (b) GROUP BY h.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           round(coalesce(p.s, 0.0), 6) AS logw
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def l31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection weights (operators/traindata.py::
+    dsir_importance_weights; Xie et al. 2023, arXiv:2302.03169): score
+    every document by the log importance ratio of its hashed
+    unigram+bigram features under the target domain's distribution
+    (here: docs with source='src0') vs the raw corpus — the principled
+    replacement for heuristic quality filters when steering a 100 TB
+    corpus toward a target domain. md5-prefix buckets make the hashing
+    engine-portable; per-bucket log-ratios round to 9 dp and doc sums
+    to 6 dp, so the oracle comparison is exact."""
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, docs.filter(F.col("source") == "src0"), buckets=4096
+    )

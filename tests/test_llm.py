@@ -835,3 +835,37 @@ def test_segment_dedup_tokenless_docs_and_large_dropset(spark):
     for i in range(60):
         # 20 boilerplate segments dropped, the unique tail kept
         assert got[i] == (21, 20, f"tail{i}a tail{i}b")
+
+
+def test_repeated_span_removal_merging_and_edges(spark):
+    """Repeated overlapping windows merge into maximal spans; within-doc
+    repeats count toward the occurrence threshold; short and empty docs
+    return 0 spans with their text intact."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        repeated_span_removal,
+    )
+
+    boiler = "b1 b2 b3 b4"  # repeated 3-token windows live inside this
+    rows = [
+        # docs 1 and 2 share the 4-token run -> windows (b1 b2 b3) and
+        # (b2 b3 b4) both repeat -> marks [s,s+3) overlap -> ONE merged
+        # span of 4 tokens in each doc
+        (1, f"u1a u1b {boiler} u1c"),
+        (2, f"{boiler} u2a u2b u2c"),
+        # doc 3: WITHIN-doc repeat of 'r1 r2 r3' (count 2 in one doc)
+        (3, "r1 r2 r3 x1 x2 r1 r2 r3"),
+        (4, "short doc"),  # < window size: no windows, intact
+        (5, ""),            # token-less
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_masked"], r["cleaned"])
+        for r in repeated_span_removal(docs, span_words=3, min_count=2).collect()
+    }
+    assert got[1] == (7, 1, 4, "u1a u1b u1c")
+    assert got[2] == (7, 1, 4, "u2a u2b u2c")
+    # doc 3: marks at positions 1 and 6 (1-based), spans [1,4) and [6,9)
+    # -> 2 spans, 6 masked, 'x1 x2' kept
+    assert got[3] == (8, 2, 6, "x1 x2")
+    assert got[4] == (2, 0, 0, "short doc")
+    assert got[5] == (0, 0, 0, "")

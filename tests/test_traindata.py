@@ -304,3 +304,59 @@ def test_weighted_sample_duckdb_parity_extreme_weights(spark):
         """).fetchall()
     }
     assert got == want
+
+
+def test_dsir_importance_weights_exact(spark):
+    """DSIR log importance weights match an exact Python replica of the
+    same hashed-bigram arithmetic; target-like docs score higher than
+    off-target docs; gram-less docs return (0, 0.0)."""
+    import hashlib
+    import math
+
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        dsir_importance_weights,
+    )
+
+    rows = [
+        (1, "spark table scan", "tgt"),
+        (2, "spark table merge", "tgt"),
+        (3, "spark table scan fast", "web"),
+        (4, "zebra yak quux", "web"),
+        (5, "", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    target = docs.filter("source = 'tgt'")
+    B, s = 4096, 1.0
+
+    def grams(t):
+        w = [x for x in t.split(" ") if x]
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    tgt_grams = [bucket(g) for _, t, src in rows if src == "tgt" for g in grams(t)]
+    cor_grams = [bucket(g) for _, t, _ in rows for g in grams(t)]
+    tt, ct = len(tgt_grams), len(cor_grams)
+    expect = {}
+    for d, t, _ in rows:
+        gs = [bucket(g) for g in grams(t)]
+        lw = sum(
+            round(
+                math.log((tgt_grams.count(b) + s) / (tt + s * B))
+                - math.log((cor_grams.count(b) + s) / (ct + s * B)),
+                9,
+            )
+            for b in gs
+        )
+        expect[d] = (len(gs), round(lw, 6))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["logw"])
+        for r in dsir_importance_weights(docs, target, buckets=B).collect()
+    }
+    assert got == expect
+    assert got[5] == (0, 0.0)
+    # target members score above the clearly-off-target doc
+    assert got[1][1] > got[4][1] and got[2][1] > got[4][1]
+    # the near-target doc shares most grams with the target
+    assert got[3][1] > got[4][1]
