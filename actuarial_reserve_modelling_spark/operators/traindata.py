@@ -590,10 +590,18 @@ def dsir_importance_weights(
 
     Cross-engine determinism: buckets come from the md5-prefix hash
     (engine-portable, content-addressed); per-bucket log-ratios are
-    rounded to 9 dp before the per-doc sum (absorbs last-ulp libm
-    differences between JVM and any oracle engine) and the final sum
-    to 6 dp (absorbs float addition-order wobble, ~1e-14 at these
-    magnitudes).
+    quantized to integer NANO-UNITS — round(round(lr, 9) · 1e9) as
+    bigint — and the per-doc reduce sums int64, which is EXACT in any
+    addition order, so both engines hold the identical integer before
+    the single final division/rounding. (Summing rounded doubles
+    instead leaves ~1e-15 addition-order wobble that flips the 6-dp
+    rounding when a doc's sum sits on a boundary — observed once in
+    5,000 docs at sf0.1.) The two-step quantization bounds the libm
+    hazard: a 1-ulp ln() difference only changes the integer when lr
+    sits within ~4e-15 of a 0.5e-9 grid boundary, and even then the
+    final 6-dp value only moves if the doc sum also sits within 1e-9
+    of its own boundary — a ~1e-9 coincidence instead of a per-doc
+    ~1e-4 one.
 
     The 100 TB shape: the corpus crosses the wire once as (id, bucket)
     int pairs; both distribution estimates are |buckets|-row hash
@@ -617,10 +625,17 @@ def dsir_importance_weights(
         .select(
             "b",
             F.round(
-                F.log((F.coalesce("_tc", F.lit(0)) + s) / (F.col("_tt") + s * b_count))
-                - F.log((F.col("_cc") + s) / (F.col("_ct") + s * b_count)),
-                9,
-            ).alias("_lr"),
+                F.round(
+                    F.log(
+                        (F.coalesce("_tc", F.lit(0)) + s) / (F.col("_tt") + s * b_count)
+                    )
+                    - F.log((F.col("_cc") + s) / (F.col("_ct") + s * b_count)),
+                    9,
+                )
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("_lr"),
         )
     )
     per_doc = (
@@ -634,6 +649,6 @@ def dsir_importance_weights(
         .select(
             F.col("_id").alias(id_col),
             F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
-            F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("logw"),
+            F.round(F.coalesce("_s", F.lit(0)) / 1e9, 6).alias("logw"),
         )
     )

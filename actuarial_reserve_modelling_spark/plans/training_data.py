@@ -502,8 +502,8 @@ def l28_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT count(*) t FROM hb),
     dist AS (
         SELECT cc.b,
-               round(ln((coalesce(tc.c, 0) + 1.0) / (tt.t + 4096.0))
-                   - ln((cc.c + 1.0) / (ct.t + 4096.0)), 9) AS lr
+               CAST(round(round(ln((coalesce(tc.c, 0) + 1.0) / (tt.t + 4096.0))
+                   - ln((cc.c + 1.0) / (ct.t + 4096.0)), 9) * 1e9) AS BIGINT) AS lr
         FROM cc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN ct
     ),
     per AS (
@@ -511,7 +511,7 @@ def l28_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hb h JOIN dist d USING (b) GROUP BY h.doc_id
     )
     SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
-           round(coalesce(p.s, 0.0), 6) AS logw
+           round(coalesce(p.s, 0) / 1e9, 6) AS logw
     FROM documents d LEFT JOIN per p USING (doc_id)
     """,
 )
@@ -523,8 +523,10 @@ def l31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (here: docs with source='src0') vs the raw corpus — the principled
     replacement for heuristic quality filters when steering a 100 TB
     corpus toward a target domain. md5-prefix buckets make the hashing
-    engine-portable; per-bucket log-ratios round to 9 dp and doc sums
-    to 6 dp, so the oracle comparison is exact."""
+    engine-portable; per-bucket log-ratios are quantized to integer
+    nano-units and the per-doc reduce sums int64 (exact in any order),
+    so the oracle comparison is exact — see the operator docstring's
+    determinism analysis."""
     from actuarial_reserve_modelling_spark.operators.traindata import (
         dsir_importance_weights,
     )

@@ -341,15 +341,20 @@ def test_dsir_importance_weights_exact(spark):
     expect = {}
     for d, t, _ in rows:
         gs = [bucket(g) for g in grams(t)]
-        lw = sum(
+        # mirror the operator's integer nano-unit quantization: the
+        # per-doc sum is exact int64, only one division/round at the end
+        nano = sum(
             round(
-                math.log((tgt_grams.count(b) + s) / (tt + s * B))
-                - math.log((cor_grams.count(b) + s) / (ct + s * B)),
-                9,
+                round(
+                    math.log((tgt_grams.count(b) + s) / (tt + s * B))
+                    - math.log((cor_grams.count(b) + s) / (ct + s * B)),
+                    9,
+                )
+                * 1e9
             )
             for b in gs
         )
-        expect[d] = (len(gs), round(lw, 6))
+        expect[d] = (len(gs), round(nano / 1e9, 6))
     got = {
         r["doc_id"]: (r["n_grams"], r["logw"])
         for r in dsir_importance_weights(docs, target, buckets=B).collect()

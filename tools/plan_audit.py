@@ -164,6 +164,15 @@ ALLOWED: dict[str, Allow] = {
         probe=_scalar_agg("documents", lambda: F.count(F.lit(1)).alias("n")),
         max_rows=1,
     ),
+    "l31_dsir_weights": Allow(
+        "BroadcastNestedLoopJoin",
+        "two one-row gram-total scalars (target and corpus) broadcast "
+        "into the |buckets|-row log-ratio table; every BNLJ side is "
+        "bounded by the caller's buckets parameter (default 4096)",
+        probe=_scalar_agg("documents", lambda: F.count(F.lit(1)).alias("n")),
+        max_rows=1,
+        max_occurrences=2,  # reviewed: target-total + corpus-total crossJoins
+    ),
     "l5i_bm25": Allow(
         "BroadcastNestedLoopJoin",
         "one-row (N, avgdl) scalar broadcast into the BM25 expression",
