@@ -1018,7 +1018,7 @@ def l29_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l32_repeated_spans",
-    "L2,L1,D5 (ExactSubstr-style repeated-substring span removal)",
+    "L9,L2,D5 (ExactSubstr-style repeated-substring span removal)",
     oracle="""
     WITH tok AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws

@@ -477,7 +477,7 @@ def l28_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l31_dsir_weights",
-    "D9,A4,F1 (DSIR hashed n-gram importance weights toward a target domain)",
+    "D10,D9,A4 (DSIR hashed n-gram importance weights toward a target domain)",
     oracle="""
     WITH tok AS (
         SELECT doc_id, source,
