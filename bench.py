@@ -45,6 +45,19 @@ BAND2 = [
 ]
 BAND2_BUDGET_SEC = 10.55
 
+# third band: the round-7 LLM-curation additions, gated the same way so
+# regressions in the new family are visible round over round. Budget =
+# 1.25× the idle-box cold sum at introduction (10.85 s: l29 1.42 +
+# l31 3.51 + l32 2.49 + l27b 3.43, measured after the single-pass
+# hyperplane-signature rewrite cut l27b from 12.1 s to 3.4 s).
+BAND3 = [
+    "l29_segment_dedup",
+    "l31_dsir_weights",
+    "l32_repeated_spans",
+    "l27b_semantic_dedup_lsh",
+]
+BAND3_BUDGET_SEC = 13.55
+
 
 def _bench_queries(spark, sf_dir):
     from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
@@ -82,6 +95,12 @@ def _bench_queries(spark, sf_dir):
         # the incremental-ingest flagship and the cheapest curation op
         "l19_incremental_minhash": registry["l19_incremental_minhash_dedup"].spark_fn,
         "l22_shuffle_shards": registry["l22_shuffle_shards"].spark_fn,
+        # round-7 additions (band 3): segment/span dedup, DSIR weights,
+        # SemDeDup over the blocked pair stage
+        "l29_segment_dedup": registry["l29_segment_dedup"].spark_fn,
+        "l31_dsir_weights": registry["l31_dsir_weights"].spark_fn,
+        "l32_repeated_spans": registry["l32_repeated_spans"].spark_fn,
+        "l27b_semantic_dedup_lsh": registry["l27b_semantic_dedup_lsh"].spark_fn,
     }
     return picks
 
@@ -144,9 +163,12 @@ def main() -> None:
     headline = [n for n in all_names[:HEADLINE_N] if n in timings]
     band2 = [q for q in BAND2 if q in timings]
     band2_total = round(sum(timings[q] for q in band2), 3)
-    # the gate fails CLOSED: a missing/errored band member cannot make
+    # the gates fail CLOSED: a missing/errored band member cannot make
     # the budget check pass vacuously by shrinking the sum
     band2_complete = set(BAND2) <= set(timings)
+    band3 = [q for q in BAND3 if q in timings]
+    band3_total = round(sum(timings[q] for q in band3), 3)
+    band3_complete = set(BAND3) <= set(timings)
     print(
         json.dumps(
             {
@@ -165,6 +187,12 @@ def main() -> None:
                 "value2_budget": BAND2_BUDGET_SEC,
                 "value2_ok": band2_complete and band2_total <= BAND2_BUDGET_SEC,
                 "value2_complete": band2_complete,
+                "value3": band3_total,
+                "value3_scope": band3,
+                "value3_budget": BAND3_BUDGET_SEC,
+                "value3_ok": band3_complete
+                and (BAND3_BUDGET_SEC is None or band3_total <= BAND3_BUDGET_SEC),
+                "value3_complete": band3_complete,
                 "errors": errors,
                 "loadavg_1m_5m_15m": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],

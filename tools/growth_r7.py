@@ -20,9 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def timed(df) -> float:
+def timed(thunk) -> float:
+    """Times the thunk INCLUDING DataFrame construction: operators with
+    eager driver-side stages (dedup_clusters' checkpointed rounds run
+    when the plan is BUILT, not when it is executed) would otherwise
+    leak their real cost out of the measurement."""
     t0 = time.time()
-    df.write.mode("overwrite").format("noop").save()
+    thunk().write.mode("overwrite").format("noop").save()
     return round(time.time() - t0, 2)
 
 
@@ -56,7 +60,7 @@ def main() -> None:
     )
     # warm the JVM + python workers
     docs1.agg(F.count(F.lit(1))).collect()
-    timed(segment_dedup(docs1.limit(64)))
+    timed(lambda: segment_dedup(docs1.limit(64)))
 
     out = {}
     for name, one, two in [
@@ -70,11 +74,23 @@ def main() -> None:
          lambda: dsir_importance_weights(
              docs2, docs2.filter(F.col("source") == "src0"))),
         ("semantic_dedup_lsh",
-         lambda: semantic_dedup(emb1, pairs=lsh_cosine_pairs(emb1, threshold=0.9)),
-         lambda: semantic_dedup(emb2, pairs=lsh_cosine_pairs(emb2, threshold=0.9))),
+         # plant the same duplicate FRACTION at both sizes (every 5th
+         # vector) so 1x and 2x carry proportional pair/cluster mass —
+         # without plants the 1x corpus has zero pairs at tau=0.9 and
+         # the "growth" ratio compares structurally different workloads
+         lambda: semantic_dedup(
+             c1 := emb1.unionByName(
+                 emb1.filter(F.col("vec_id") % 5 == 0).select(
+                     (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")),
+             pairs=lsh_cosine_pairs(c1, threshold=0.9)),
+         lambda: semantic_dedup(
+             c2 := emb2.unionByName(
+                 emb2.filter(F.col("vec_id") % 5 == 0).select(
+                     (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")),
+             pairs=lsh_cosine_pairs(c2, threshold=0.9))),
     ]:
-        s1 = timed(one())
-        s2 = timed(two())
+        s1 = timed(one)
+        s2 = timed(two)
         out[name] = {"x1_sec": s1, "x2_sec": s2,
                      "growth": round(s2 / s1, 2) if s1 else None}
     print(json.dumps(out))
