@@ -539,36 +539,52 @@ def domain_mix_weights(
     )
 
 
-def _hashed_grams(docs: DataFrame, buckets: int, text_col: str, id_col: str) -> DataFrame:
-    """(id, bucket) per word unigram AND bigram occurrence (a bag, not a
-    set — DSIR's features count occurrences), bucketed by the md5-prefix
-    convention of ``_hash_bucket`` so the assignment reproduces in any
-    engine (DuckDB: ``('0x' || substr(md5(g), 1, 15))::bigint % B``).
-    Bigrams via zip_with over two slices — no sequence() call that would
-    go descending on short docs."""
+def _hashed_grams(
+    docs: DataFrame,
+    buckets: int,
+    text_col: str,
+    id_col: str,
+    flag: Column | None = None,
+) -> DataFrame:
+    """(id, bucket[, _tgt]) per word unigram AND bigram occurrence (a
+    bag, not a set — DSIR's features count occurrences), bucketed by the
+    md5-prefix convention of ``_hash_bucket`` so the assignment
+    reproduces in any engine (DuckDB: ``('0x' || substr(md5(g), 1,
+    15))::bigint % B``). Bigrams via zip_with over two slices — no
+    sequence() call that would go descending on short docs. ``flag``
+    (optional boolean column) is carried through per gram so an
+    in-corpus target distribution can be derived from THIS table
+    instead of hashing the target docs a second time."""
     toks = F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
     grams = F.expr(
         "concat(_t, zip_with(slice(_t, 1, greatest(size(_t) - 1, 0)),"
         " slice(_t, 2, greatest(size(_t) - 1, 0)), (a, b) -> concat(a, ' ', b)))"
     )
+    cols = [F.col(id_col).alias("_id"), toks.alias("_t")]
+    carry = []
+    if flag is not None:
+        cols.append(flag.alias("_tgt"))
+        carry = ["_tgt"]
     return (
-        docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
-        .select("_id", F.explode(grams).alias("_g"))
+        docs.select(*cols)
+        .select("_id", F.explode(grams).alias("_g"), *carry)
         .select(
             "_id",
             (F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("bigint") % buckets)
             .alias("b"),
+            *carry,
         )
     )
 
 
 def dsir_importance_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     buckets: int = 4096,
     smoothing: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023,
     arXiv:2302.03169): score every corpus document by how target-like
@@ -611,17 +627,62 @@ def dsir_importance_weights(
     text moves after tokenization, no all-pairs stage, and target-set
     size only affects one bounded aggregate.
     """
-    corpus_grams = _hashed_grams(docs, buckets, text_col, id_col)
-    target_grams = _hashed_grams(target, buckets, text_col, id_col)
-    tgt_counts = target_grams.groupBy("b").agg(F.count(F.lit(1)).alias("_tc"))
-    cor_counts = corpus_grams.groupBy("b").agg(F.count(F.lit(1)).alias("_cc"))
-    tgt_total = target_grams.agg(F.count(F.lit(1)).alias("_tt"))
-    cor_total = corpus_grams.agg(F.count(F.lit(1)).alias("_ct"))
+    if (target is None) == (target_pred is None):
+        raise ValueError(
+            "pass exactly one of target= (an exemplar DataFrame, e.g. a "
+            "separate high-quality corpus) or target_pred= (a boolean "
+            "Column over docs, for an in-corpus target domain)"
+        )
+    # Subtree-reuse discipline: Spark re-executes a DataFrame's lineage
+    # at every point of use, so the corpus gram table (the expensive
+    # explode+md5 map over the whole corpus) must be referenced as few
+    # times as possible. Both distribution counts come from ONE
+    # aggregate over it (a conditional count for the in-corpus target),
+    # that |buckets|-row result is localCheckpointed (bucket-bounded —
+    # ≤ ``buckets`` rows at any corpus size, so the materialization is
+    # always safe) so totals and the ratio table read the checkpoint,
+    # and the corpus subtree therefore executes exactly twice: the
+    # counts pass and the per-doc reduce. The naive five-reference
+    # formulation re-ran the corpus explode+md5 five times.
+    if target_pred is not None:
+        # in-corpus target: one gram/hash pass carrying a per-gram flag
+        # instead of hashing the target documents a second time; the
+        # target total can be summed from the counts table because the
+        # target's buckets are a subset of the corpus's by construction
+        corpus_grams = _hashed_grams(docs, buckets, text_col, id_col, flag=target_pred)
+        counts = corpus_grams.groupBy("b").agg(
+            F.count(F.lit(1)).alias("_cc"),
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_tc"),
+        ).localCheckpoint(eager=False)
+        totals = counts.agg(
+            F.sum("_cc").alias("_ct"),
+            F.sum(F.coalesce("_tc", F.lit(0))).alias("_tt"),
+        )
+    else:
+        # external target set: its own (bounded) counts table; the
+        # target TOTAL must come from that table, not from the joined
+        # counts — a bucket holding only target grams is absent from
+        # the corpus counts and would silently undercount p̂_target's
+        # denominator after the left join
+        corpus_grams = _hashed_grams(docs, buckets, text_col, id_col)
+        tgt_counts = (
+            _hashed_grams(target, buckets, text_col, id_col)
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("_tc"))
+            .localCheckpoint(eager=False)
+        )
+        counts = (
+            corpus_grams.groupBy("b")
+            .agg(F.count(F.lit(1)).alias("_cc"))
+            .join(tgt_counts, "b", "left")
+            .localCheckpoint(eager=False)
+        )
+        totals = counts.agg(F.sum("_cc").alias("_ct")).crossJoin(
+            tgt_counts.agg(F.sum("_tc").alias("_tt"))
+        )
     s, b_count = float(smoothing), float(buckets)
     dist = (
-        cor_counts.join(tgt_counts, "b", "left")
-        .crossJoin(F.broadcast(tgt_total))
-        .crossJoin(F.broadcast(cor_total))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "b",
             F.round(

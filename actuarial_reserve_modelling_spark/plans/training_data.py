@@ -533,5 +533,5 @@ def l31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_importance_weights(
-        docs, docs.filter(F.col("source") == "src0"), buckets=4096
+        docs, target_pred=F.col("source") == "src0", buckets=4096
     )

@@ -365,3 +365,42 @@ def test_dsir_importance_weights_exact(spark):
     assert got[1][1] > got[4][1] and got[2][1] > got[4][1]
     # the near-target doc shares most grams with the target
     assert got[3][1] > got[4][1]
+
+
+def test_dsir_target_pred_matches_target_frame(spark):
+    """The single-scan in-corpus path (target_pred=) must produce the
+    identical output to passing the same docs as a target DataFrame;
+    passing both or neither is refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        dsir_importance_weights,
+    )
+
+    rows = [
+        (1, "spark table scan", "tgt"),
+        (2, "spark table merge", "tgt"),
+        (3, "spark table scan fast", "web"),
+        (4, "zebra yak quux", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    via_frame = {
+        (r["doc_id"], r["n_grams"], r["logw"])
+        for r in dsir_importance_weights(
+            docs, docs.filter("source = 'tgt'"), buckets=512
+        ).collect()
+    }
+    via_pred = {
+        (r["doc_id"], r["n_grams"], r["logw"])
+        for r in dsir_importance_weights(
+            docs, target_pred=F.col("source") == "tgt", buckets=512
+        ).collect()
+    }
+    assert via_frame == via_pred
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_importance_weights(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_importance_weights(
+            docs, docs.limit(1), target_pred=F.col("source") == "tgt"
+        )
