@@ -869,3 +869,31 @@ def test_repeated_span_removal_merging_and_edges(spark):
     assert got[3] == (8, 2, 6, "x1 x2")
     assert got[4] == (2, 0, 0, "short doc")
     assert got[5] == (0, 0, 0, "")
+
+
+def test_round7_ops_partition_invariant(spark):
+    """Round-7 operators are pure functions of content: repartitioning
+    the input must not change a single output row (the rerun/retry
+    idempotence contract every 100 TB pipeline stage needs)."""
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        repeated_span_removal,
+        segment_dedup,
+    )
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    shuffled = docs.repartition(13)
+    for op in (
+        lambda d: segment_dedup(d, seg_words=5, max_df=2),
+        lambda d: repeated_span_removal(d, span_words=5, min_count=2),
+        lambda d: dsir_importance_weights(
+            d, target_pred=F.col("source") == "src0", buckets=1024
+        ),
+    ):
+        a = sorted(map(tuple, op(docs).collect()))
+        b = sorted(map(tuple, op(shuffled).collect()))
+        assert a == b
