@@ -320,6 +320,89 @@ def resolve_n_centroids(
     return n_centroids
 
 
+def ivf_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_centroids: int | str = "auto",
+    nprobe: int = 4,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """IVF-partitioned pair stage for ``semantic_dedup`` at MODERATE
+    thresholds, where hyperplane LSH degenerates (its per-plane
+    collision curve only separates pairs at near-dup τ ≥ ~0.8 —
+    SemDeDup's working range of τ ≈ 0.3-0.6 needs a different blocking
+    geometry). Vectors are L2-NORMALIZED (cosine distance becomes
+    Euclidean: ‖â−b̂‖² = 2−2·cos) and soft-assigned to their ``nprobe``
+    nearest coarse centroids; candidate pairs are generated only within
+    shared inverted lists and verified with the exact cosine on the
+    original vectors. A pair is found iff the two vectors share ≥1 of
+    each's nprobe lists — raise ``nprobe`` (or ``n_centroids``) to
+    trade cost for recall; identical vectors always share ALL lists
+    (the stable-argsort assignment is deterministic), so exact
+    duplicates are found with probability 1 regardless of settings.
+
+    The 100 TB shape: centroid training is the √n-sized k-means of the
+    ANN path (``ivf_train_centroids``); assignment is one Arrow matmul
+    pass; lists bound the pair explosion the way LSH buckets do
+    (``max_bucket_size`` drops degenerate lists, logged semantics
+    identical to ``lsh_cosine_pairs``); the verify join is exact and
+    AQE-decided. Zero-norm vectors are excluded structurally (cosine
+    with anything is undefined — they can never reach any τ > 0).
+    """
+    sq = F.aggregate(
+        F.transform(vec_col, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nonzero = embeddings.filter(sq > 0)
+    # the division must be TOTAL even though zero vectors are filtered
+    # out: Catalyst's subexpression elimination is free to evaluate the
+    # projected transform inside the filter's codegen predicate, where
+    # ANSI mode turns x/0 into a task failure instead of a NULL the
+    # filter would have dropped anyway. greatest(sq, 1e-300) is exact
+    # for every surviving vector (real norms dwarf it) and makes the
+    # zero-vector evaluation defined.
+    unit = nonzero.select(
+        id_col,
+        F.transform(
+            vec_col,
+            lambda x: x.cast("double") / F.sqrt(F.greatest(sq, F.lit(1e-300))),
+        ).alias(vec_col),
+    )
+    centroids = ivf_train_centroids(
+        unit, n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(
+        unit, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    )
+    grouped = (
+        assigned.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    members = grouped.select("ids", F.posexplode("ids").alias("i", "v1"))
+    cand = (
+        members.select(
+            "v1",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids") - F.col("i") - 1)
+            ).alias("v2"),
+        )
+        .distinct()
+    )
+    a = nonzero.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
+    b = nonzero.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
+    return (
+        cand.join(a, "v1")
+        .join(b, "v2")
+        .select("v1", "v2", F.round(cosine("e1", "e2"), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_train_centroids(
     embeddings: DataFrame,
     n_centroids: int | str = 16,

@@ -1086,3 +1086,40 @@ def l32_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_span_removal(docs, span_words=8, min_count=2).select(
         "doc_id", "n_tokens", "n_spans", "n_masked", F.md5("cleaned").alias("cleaned_md5")
     )
+
+
+@register(
+    "l27c_semantic_dedup_ivf",
+    "L7,L3,L4 (SemDeDup over the IVF-blocked pair stage — moderate-τ scale path)",
+    oracle="""
+    SELECT vec_id, vec_id AS rep_id, CAST(1 AS INT) AS keep FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, vec_id AS rep_id, CAST(0 AS INT) AS keep
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+)
+def l27c_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup fed by the IVF-partitioned pair stage
+    (operators/similarity.py::ivf_cosine_pairs) — the blocking geometry
+    for SemDeDup's MODERATE working thresholds (τ ≈ 0.3-0.6), where
+    hyperplane LSH's collision curve stops separating pairs (l27b
+    covers the near-dup-τ LSH path). Hash-checkable by the same
+    planted-duplicate construction as l27b: identical vectors get
+    identical stable-argsort list assignments, so every planted pair
+    shares all its probed inverted lists deterministically — recall 1
+    by construction — and the corpus has no non-identical pairs at
+    τ=0.9. The general moderate-τ recall behavior (0.985 at τ=0.4,
+    nprobe=4 on uniform vectors) is pinned by the recall pytest."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ivf_cosine_pairs,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return semantic_dedup(
+        corpus, pairs=ivf_cosine_pairs(corpus, threshold=0.9, n_centroids=16, nprobe=4)
+    )

@@ -42,6 +42,7 @@ _ROUND7_FRONT = [
     #    real BMP/WAV codec decode, exact-sum oracle).
     "l27_semantic_dedup",
     "l27b_semantic_dedup_lsh",
+    "l27c_semantic_dedup_ivf",
     "l28_domain_mix",
     "l29_segment_dedup",
     "l30_media_decode",
@@ -95,7 +96,6 @@ _ROUND7_FRONT = [
     "a10_median_percentile",
     "a12_salted_aggregate",
     "a14_argmax_aggregates",
-    "f1b_string_funcs2",
 ]
 
 

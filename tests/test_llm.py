@@ -897,3 +897,53 @@ def test_round7_ops_partition_invariant(spark):
         a = sorted(map(tuple, op(docs).collect()))
         b = sorted(map(tuple, op(shuffled).collect()))
         assert a == b
+
+
+def test_ivf_cosine_pairs_recall_and_exact_dup_guarantee(spark):
+    """The moderate-threshold blocked pair stage: IVF soft-assignment
+    blocking must recover ~all true pairs at tau=0.4 (where hyperplane
+    LSH degenerates) with zero false positives (exact verify), and
+    exact duplicates must be found with probability 1 (identical
+    vectors share every probed list deterministically)."""
+    import numpy as np
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        cosine_pairs,
+        ivf_cosine_pairs,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {(r["v1"], r["v2"]) for r in cosine_pairs(emb, 0.4).collect()}
+    appr = {
+        (r["v1"], r["v2"])
+        for r in ivf_cosine_pairs(emb, 0.4, n_centroids=16, nprobe=4).collect()
+    }
+    assert appr <= exact, "exact verify admits no false positives"
+    assert len(exact) >= 50
+    recall = len(appr & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+    # planted exact duplicates are ALWAYS found, any settings
+    planted = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding", "label"
+    )
+    n_planted = planted.count()
+    both = emb.unionByName(planted)
+    got = {
+        (r["v1"], r["v2"])
+        for r in ivf_cosine_pairs(both, 0.99, n_centroids=16, nprobe=2).collect()
+    }
+    expect_planted = {
+        (r["vec_id"], r["vec_id"] + 500_000)
+        for r in emb.filter(F.col("vec_id") % 7 == 0).collect()
+    }
+    assert expect_planted <= got
+    assert len(expect_planted) == n_planted
+    # zero vectors are excluded structurally, not crashed on
+    import pandas as pd  # noqa: F401
+
+    zero = spark.createDataFrame(
+        [(900000, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+    ).unionByName(emb.select("vec_id", "embedding").limit(20))
+    assert ivf_cosine_pairs(zero, 0.4, n_centroids=4, nprobe=2).filter(
+        (F.col("v1") == 900000) | (F.col("v2") == 900000)
+    ).count() == 0
