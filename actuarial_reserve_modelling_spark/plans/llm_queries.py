@@ -1121,5 +1121,10 @@ def l27c_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(planted)
     return semantic_dedup(
-        corpus, pairs=ivf_cosine_pairs(corpus, threshold=0.9, n_centroids=16, nprobe=4)
+        corpus,
+        # bounded-list auto centroids + nprobe=2: planted recall is 1 at
+        # ANY nprobe (identical vectors share every probed list), and
+        # the lower probe keeps the verify stage at its linear budget;
+        # the moderate-τ nprobe=4 recall behavior is pytest-pinned
+        pairs=ivf_cosine_pairs(corpus, threshold=0.9, nprobe=2, n_iters=1),
     )

@@ -47,16 +47,20 @@ BAND2_BUDGET_SEC = 10.55
 
 # third band: the round-7 LLM-curation additions, gated the same way so
 # regressions in the new family are visible round over round. Budget =
-# 1.25× the idle-box cold sum at introduction (10.85 s: l29 1.42 +
-# l31 3.51 + l32 2.49 + l27b 3.43, measured after the single-pass
-# hyperplane-signature rewrite cut l27b from 12.1 s to 3.4 s).
+# 1.25× the cold sum at introduction (19.36 s: l29 1.22 + l31 2.70 +
+# l32 2.31 + l27b 3.42 + l27c 9.70). l27b reflects the single-pass
+# hyperplane-signature rewrite (12.1 s → 3.4 s); l27c's 9.7 s is
+# ~15 fixed-overhead Spark jobs (eager k-means + clustering rounds)
+# on 2,400 vectors, not data cost — it amortizes at scale, but the
+# gate keeps it from silently growing.
 BAND3 = [
     "l29_segment_dedup",
     "l31_dsir_weights",
     "l32_repeated_spans",
     "l27b_semantic_dedup_lsh",
+    "l27c_semantic_dedup_ivf",
 ]
-BAND3_BUDGET_SEC = 13.55
+BAND3_BUDGET_SEC = 24.2
 
 
 def _bench_queries(spark, sf_dir):
@@ -101,6 +105,7 @@ def _bench_queries(spark, sf_dir):
         "l31_dsir_weights": registry["l31_dsir_weights"].spark_fn,
         "l32_repeated_spans": registry["l32_repeated_spans"].spark_fn,
         "l27b_semantic_dedup_lsh": registry["l27b_semantic_dedup_lsh"].spark_fn,
+        "l27c_semantic_dedup_ivf": registry["l27c_semantic_dedup_ivf"].spark_fn,
     }
     return picks
 
