@@ -1090,7 +1090,8 @@ def semantic_dedup(
 
     Scale shape: the pair stage is pluggable via ``pairs`` (columns
     v1 < v2) — at 100 TB pass ``lsh_cosine_pairs`` output (hyperplane
-    blocking, near-dup thresholds) or an IVF-partitioned pair join so
+    blocking, near-dup thresholds τ ≥ ~0.8) or ``ivf_cosine_pairs``
+    (bounded-list IVF blocking, SemDeDup's moderate τ ≈ 0.3-0.6) so
     no all-pairs stage exists. The exact ``cosine_pairs`` baseline
     (O(n²) verify) must be opted into with ``exact=True`` — it is the
     correctness oracle path, not a corpus-scale default, so omitting
@@ -1124,4 +1125,62 @@ def semantic_dedup(
             .cast("int")
             .alias("keep"),
         )
+    )
+
+
+def lsh_cosine_dedup_against_index(
+    new_vecs: DataFrame,
+    sig_index: DataFrame,
+    vec_index: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    num_tables: int = 24,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Incremental embedding near-dup check — the vector analogue of
+    ``minhash_dedup_against_index``: (new_id, index_id, sim ≥ τ) pairs
+    between an ingest batch and a PERSISTED signature index, without
+    re-signing or re-scanning the existing corpus.
+
+    ``sig_index`` holds (id, table, sig) rows as written by
+    ``hyperplane_signatures_multi`` (same planes/tables/seed — the
+    plane matrices regenerate identically from the seed, so the index
+    never stores them); ``vec_index`` holds (id, vector) for the exact
+    verify. Asymmetric equi-join on (table, sig): no new×new or
+    index×index candidates are ever generated; the index side's
+    degenerate buckets (> ``max_bucket_size`` members within one
+    (table, sig)) are dropped before the join — the same skew guard,
+    with the same recall-recovery-through-other-tables argument, as
+    the MinHash form. Identical vectors collide in EVERY table
+    deterministically, so exact re-encounters are found with
+    probability 1.
+    """
+    new_sigs = hyperplane_signatures_multi(
+        new_vecs, num_planes, num_tables, seed, dim, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("new_id"), "table", "sig")
+    idx_sigs = sig_index.select(F.col(id_col).alias("index_id"), "table", "sig")
+    bucket_sizes = idx_sigs.groupBy("table", "sig").agg(F.count(F.lit(1)).alias("_n"))
+    idx_sigs = (
+        idx_sigs.join(bucket_sizes, ["table", "sig"])
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+    )
+    cand = (
+        new_sigs.join(idx_sigs, ["table", "sig"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    a = new_vecs.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("e1"))
+    b = vec_index.select(F.col(id_col).alias("index_id"), F.col(vec_col).alias("e2"))
+    return (
+        cand.join(a, "new_id")
+        .join(b, "index_id")
+        .select(
+            "new_id", "index_id", F.round(cosine("e1", "e2"), 6).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
     )

@@ -421,3 +421,47 @@ def t11_neardup_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_neardup_ingest(
         spark, batches, cache_key=f"neardup3_{sf_dir}", threshold=0.95
     )
+
+
+@register(
+    "t12_semantic_ingest_gate",
+    "T1,S7,L7,L3,D8 (continuous-ingest SEMANTIC dedup gate over embeddings)",
+    oracle="""
+    SELECT vec_id, CAST(vec_id % 3 AS INT) AS batch
+    FROM embeddings WHERE vec_id % 5 <> 0
+    UNION ALL
+    SELECT vec_id, CAST(vec_id % 3 AS INT) AS batch
+    FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 3 <> 2
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, CAST(0 AS INT) AS batch
+    FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 3 = 2
+    """,
+)
+def t12_semantic_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-tier continuous-ingest gate (streaming/pipeline.py
+    ::incremental_semantic_ingest): per micro-batch, within-batch
+    hyperplane-LSH clustering keeps cluster representatives, survivors
+    are verified against the PERSISTED signature+vector indexes
+    (asymmetric (table, sig) equi-join — no index self-join, no
+    re-signing of earlier batches), and only admitted vectors grow the
+    indexes. Hash-checkable by the planted-duplicate construction:
+    every 5th vector is planted as an exact duplicate (id + 100000),
+    identical vectors sign identically in every table (rejection with
+    probability 1 on re-encounter), and the corpus has no other pairs
+    at τ=0.9. Plants of vec_id%3=2 sources land in an EARLIER batch
+    (plant batch = (v%3+1)%3 = 0) than their source — so the oracle's
+    closed form has the plant admitted and the original rejected,
+    pinning the first-wins ordering semantics, not just the dedup."""
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_semantic_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    batches = [corpus.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    return incremental_semantic_ingest(
+        spark, batches, cache_key=f"sem_ingest3_{sf_dir}", threshold=0.9
+    )

@@ -587,3 +587,160 @@ def incremental_neardup_ingest(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+def incremental_semantic_ingest(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    cache_key: str,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    num_tables: int = 24,
+    seed: int = 42,
+    dim: int = 64,
+    state_partitions: int = 8,
+    compact_every: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest SEMANTIC dedup — the embedding-tier gate a
+    multimodal/RAG corpus runs alongside the text gate
+    (``incremental_neardup_ingest``): per arriving batch of
+    (vec_id, embedding),
+
+    1. **within-batch tier** — hyperplane-LSH pairs over the batch
+       (``lsh_cosine_pairs``), connected components
+       (``dedup_clusters``), keep each cluster's minimum id;
+    2. **cross-batch tier** — survivors checked AGAINST the persisted
+       signature index via the asymmetric (table, sig) equi-join
+       (``lsh_cosine_dedup_against_index``); any verified cosine ≥ τ
+       hit rejects;
+    3. admitted vectors append their (id, table, sig) signature rows
+       AND their (id, embedding) rows to the two persisted indexes, so
+       later batches dedup against them without re-signing earlier
+       data. Rejected vectors contribute NOTHING — the index stays
+       linear in the KEPT corpus.
+
+    Epoch-keyed overwrite sinks + pre-step retry hygiene make retried
+    micro-batches idempotent (the S7 pattern shared with the text
+    gates); ``compact_every`` folds fully committed epochs of both
+    indexes into few large files. Identical vectors sign identically
+    in every table, so exact re-encounters are rejected with
+    probability 1 — the property the registry oracle exploits.
+
+    Iterative CC inside + sequential batch dependence ⇒ not
+    SQL-expressible in general; the planted-duplicate registry query
+    (t12) carries the hash-grade driver evidence.
+
+    Returns admitted rows ``(vec_id, batch)``.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        hyperplane_signatures_multi,
+        lsh_cosine_dedup_against_index,
+        lsh_cosine_pairs,
+    )
+
+    work = tempfile.mkdtemp(prefix="arm_sem_ingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    sig_dir = os.path.join(work, "sig_index")
+    vec_dir = os.path.join(work, "vec_index")
+    out_dir = os.path.join(work, "admitted")
+    ckpt = os.path.join(work, "ckpt")
+    for d in (sig_dir, vec_dir, out_dir):
+        os.makedirs(d)
+
+    def _has_files(d: str) -> bool:
+        for _, _, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _step(batch_df: DataFrame, bid: int) -> None:
+        for d in (sig_dir, vec_dir, out_dir):
+            shutil.rmtree(os.path.join(d, f"e{bid}"), ignore_errors=True)
+        if compact_every and bid > 0 and bid % compact_every == 0:
+            from actuarial_reserve_modelling_spark.sources.sinks import (
+                compact_parquet_dir,
+            )
+
+            for d in (sig_dir, vec_dir):
+                if _has_files(d):
+                    compact_parquet_dir(spark, d, target_files=state_partitions)
+        vecs = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
+        # 1) within-batch semantic clustering → cluster representatives
+        pairs = (
+            lsh_cosine_pairs(
+                vecs,
+                threshold=threshold,
+                num_planes=num_planes,
+                num_tables=num_tables,
+                seed=seed,
+                dim=dim,
+            )
+            .select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
+            .localCheckpoint(eager=True)
+        )
+        if pairs.limit(1).count() > 0:
+            non_reps = (
+                dedup_clusters(pairs)
+                .filter(F.col("doc_id") != F.col("rep_id"))
+                .select(F.col("doc_id").alias("vec_id"))
+            )
+            vecs = vecs.join(non_reps, "vec_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+        # 2) cross-batch check vs the persisted indexes
+        if _has_files(sig_dir):
+            hits = (
+                lsh_cosine_dedup_against_index(
+                    vecs,
+                    spark.read.option("recursiveFileLookup", "true").parquet(sig_dir),
+                    spark.read.option("recursiveFileLookup", "true").parquet(vec_dir),
+                    threshold=threshold,
+                    num_planes=num_planes,
+                    num_tables=num_tables,
+                    seed=seed,
+                    dim=dim,
+                )
+                .select(F.col("new_id").alias("vec_id"))
+                .distinct()
+            )
+            admitted = vecs.join(hits, "vec_id", "left_anti")
+        else:
+            admitted = vecs
+        # 3) epoch-keyed sinks; index appends derive from the committed
+        # admitted sink (cheap re-read) so the dedup plan runs once
+        out_epoch = os.path.join(out_dir, f"e{bid}")
+        admitted.select("vec_id", "embedding").withColumn(
+            "batch", F.lit(bid).cast("int")
+        ).write.mode("overwrite").parquet(out_epoch)
+        committed = spark.read.parquet(out_epoch).select("vec_id", "embedding")
+        committed.write.mode("overwrite").parquet(os.path.join(vec_dir, f"e{bid}"))
+        hyperplane_signatures_multi(
+            committed, num_planes, num_tables, seed, dim
+        ).write.mode("overwrite").parquet(os.path.join(sig_dir, f"e{bid}"))
+
+    stream = staged_ordered_source(
+        spark, [b.select("vec_id", "embedding") for b in batches], cache_key
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_step)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .select("vec_id", "batch")
+    )

@@ -595,3 +595,46 @@ def test_compact_parquet_dir_crash_window_keeps_data(spark, tmp_path, monkeypatc
     back = spark.read.option("recursiveFileLookup", "true").parquet(d)
     vals = {r["v"] for r in back.select("v").distinct().collect()}
     assert vals == set(range(30))  # never empty, distinct absorbs the double
+
+
+def test_incremental_semantic_ingest_closed_form_and_compaction(spark):
+    """The embedding-tier ingest gate must match the planted-duplicate
+    closed form (including the ordering case where a plant arrives in an
+    EARLIER batch than its source and wins), and compacting the indexes
+    mid-stream must not change the admitted set."""
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_semantic_ingest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    batches = [corpus.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    got = {
+        (r["vec_id"], r["batch"])
+        for r in incremental_semantic_ingest(
+            spark, batches, cache_key="test_sem_ingest"
+        ).collect()
+    }
+    expect = set()
+    for v in (r["vec_id"] for r in emb.collect()):
+        if v % 5 != 0:
+            expect.add((v, v % 3))
+        elif v % 3 != 2:
+            expect.add((v, v % 3))       # source batch precedes its plant
+        else:
+            expect.add((v + 100000, 0))  # plant (batch 0) beats source (batch 2)
+    assert got == expect
+    got_compacted = {
+        (r["vec_id"], r["batch"])
+        for r in incremental_semantic_ingest(
+            spark, batches, cache_key="test_sem_ingest_c", compact_every=2
+        ).collect()
+    }
+    assert got_compacted == got

@@ -38,6 +38,7 @@ def main() -> None:
         segment_dedup,
     )
     from actuarial_reserve_modelling_spark.operators.similarity import (
+        ivf_cosine_pairs,
         lsh_cosine_pairs,
         semantic_dedup,
     )
@@ -88,6 +89,17 @@ def main() -> None:
                  emb2.filter(F.col("vec_id") % 5 == 0).select(
                      (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")),
              pairs=lsh_cosine_pairs(c2, threshold=0.9))),
+        ("semantic_dedup_ivf",
+         lambda: semantic_dedup(
+             c1 := emb1.unionByName(
+                 emb1.filter(F.col("vec_id") % 5 == 0).select(
+                     (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")),
+             pairs=ivf_cosine_pairs(c1, threshold=0.9, nprobe=2, n_iters=1)),
+         lambda: semantic_dedup(
+             c2 := emb2.unionByName(
+                 emb2.filter(F.col("vec_id") % 5 == 0).select(
+                     (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")),
+             pairs=ivf_cosine_pairs(c2, threshold=0.9, nprobe=2, n_iters=1))),
     ]:
         s1 = timed(one)
         s2 = timed(two)
