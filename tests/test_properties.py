@@ -407,3 +407,117 @@ def test_winnowing_equals_reference(spark, texts):
             for s in range(len(hs) - window + 1):
                 expected.add((i, min(hs[s : s + window])))
     assert got == expected
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=5),  # tiny vocab -> dense repeats
+            min_size=0,
+            max_size=18,
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    w=st.integers(min_value=2, max_value=4),
+)
+def test_repeated_span_removal_matches_python_reference(spark, docs, w):
+    """repeated_span_removal agrees with a direct pure-Python
+    implementation of the contract (overlapping w-token windows with
+    corpus occurrence count ≥ 2 mark ranges; overlapping marks merge;
+    kept tokens reassemble in order) on randomized tiny-vocab corpora
+    where repeats and overlaps are dense."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        repeated_span_removal,
+    )
+
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_masked"], r["cleaned"])
+        for r in repeated_span_removal(df, span_words=w, min_count=2).collect()
+    }
+
+    # reference
+    from collections import Counter
+
+    toks = {i: [x for x in t.split(" ") if x] for i, t in rows}
+    counts = Counter()
+    for i, ts in toks.items():
+        for s in range(len(ts) - w + 1):
+            counts[tuple(ts[s : s + w])] += 1
+    expect = {}
+    for i, ts in toks.items():
+        marks = [
+            (s + 1, s + 1 + w)  # 1-based [s, e)
+            for s in range(len(ts) - w + 1)
+            if counts[tuple(ts[s : s + w])] >= 2
+        ]
+        spans = []
+        for s, e in sorted(marks):
+            if spans and s <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        masked = set()
+        for s, e in spans:
+            masked.update(range(s, e))
+        kept = [t for j, t in enumerate(ts, start=1) if j not in masked]
+        expect[i] = (
+            len(ts),
+            len(spans),
+            sum(e - s for s, e in spans),
+            " ".join(kept),
+        )
+    assert got == expect
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=4),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    seg=st.integers(min_value=2, max_value=4),
+    max_df=st.integers(min_value=1, max_value=3),
+)
+def test_segment_dedup_matches_python_reference(spark, docs, seg, max_df):
+    """segment_dedup agrees with a direct pure-Python implementation
+    (disjoint seg-word windows; drop segments whose DISTINCT-document
+    frequency exceeds max_df; reassemble in order; token-less docs
+    return (0, 0, ''))."""
+    from actuarial_reserve_modelling_spark.operators.dedup import segment_dedup
+
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_dropped"], r["cleaned"])
+        for r in segment_dedup(df, seg_words=seg, max_df=max_df).collect()
+    }
+
+    toks = {i: [x for x in t.split(" ") if x] for i, t in rows}
+    seg_docs: dict[tuple, set] = {}
+    segs_of = {}
+    for i, ts in toks.items():
+        segs = [tuple(ts[s : s + seg]) for s in range(0, len(ts), seg)]
+        segs_of[i] = segs
+        for sg in segs:
+            seg_docs.setdefault(sg, set()).add(i)
+    expect = {}
+    for i, ts in toks.items():
+        segs = segs_of[i]
+        kept = [sg for sg in segs if len(seg_docs[sg]) <= max_df]
+        expect[i] = (
+            len(segs),
+            len(segs) - len(kept),
+            " ".join(" ".join(sg) for sg in kept),
+        )
+    assert got == expect
