@@ -463,3 +463,45 @@ def o9_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
     )
     return dataset_diff(oldv, newv, key_cols=["o_orderkey"])
+
+
+@register(
+    "s14_bucketed_colocated_join",
+    "S6,J2,A4 (bucketed-table co-located join — shuffle paid once at write time)",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def s14_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed managed tables
+    (sources/sinks.py::write_bucketed): customer and orders are both
+    persisted hash-bucketed AND sorted on the customer key, so the
+    subsequent join needs NO exchange and NO sort on either side — the
+    write-once/join-many layout for recurring fact⨝fact joins at
+    100 TB, where neither side broadcasts and an every-query shuffle
+    is the dominant cost. Correctness here is strategy-agnostic (the
+    oracle is the plain join aggregate); the exchange-free plan shape
+    is pinned by tests/test_relational.py::
+    test_bucketed_join_has_no_exchange."""
+    from actuarial_reserve_modelling_spark.sources.sinks import write_bucketed
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rsplit("sf", 1)[-1])
+    cust_t, ord_t = f"s14_cust_{tag}", f"s14_ord_{tag}"
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    write_bucketed(cust, cust_t, "c_custkey", buckets=8)
+    write_bucketed(orders, ord_t, "c_custkey", buckets=8)
+    return (
+        spark.table(cust_t)
+        .join(spark.table(ord_t), "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

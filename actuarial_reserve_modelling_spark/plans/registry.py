@@ -44,6 +44,7 @@ _ROUND7_FRONT = [
     "l27b_semantic_dedup_lsh",
     "l27c_semantic_dedup_ivf",
     "t12_semantic_ingest_gate",
+    "s14_bucketed_colocated_join",
     "l28_domain_mix",
     "l29_segment_dedup",
     "l30_media_decode",
@@ -95,7 +96,6 @@ _ROUND7_FRONT = [
     "a7c_grouping_sets",
     "a9_stats_aggregates",
     "a10_median_percentile",
-    "a12_salted_aggregate",
 ]
 
 

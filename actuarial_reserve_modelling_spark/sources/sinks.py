@@ -215,3 +215,41 @@ def dataset_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*key_cols, "change_type")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a managed parquet table hash-BUCKETED (and by
+    default sorted) on ``key`` — the co-located-join layout: two tables
+    bucketed on the same key with the same bucket count join WITHOUT
+    either side shuffling, because each bucket file pair is already
+    partition-aligned (and pre-sorted, so SortMergeJoin also skips its
+    sorts). This is the storage-layout answer to the 100 TB fact⨝fact
+    join: pay the shuffle ONCE at write time, amortized over every
+    subsequent join, instead of on every query. Rebuilds are idempotent
+    even across SESSIONS: with the default in-memory catalog a previous
+    process's managed-table directory survives in the warehouse while
+    the catalog entry does not, and ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS — so the stale local location is removed
+    along with any existing catalog entry before writing (persistent
+    metastores are handled by the DROP alone)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme in ("", "file"):
+        shutil.rmtree(
+            os.path.join(wh.path, table.rsplit(".", 1)[-1]), ignore_errors=True
+        )
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

@@ -304,3 +304,39 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed+sorted on the join key with equal bucket
+    counts must join with ZERO shuffle exchanges and both scans reading
+    bucketed (the write-once/join-many layout). Broadcast is disabled
+    for the check — it simulates the fact-x-fact case the layout exists
+    for, where neither side fits in memory."""
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.sources.sinks import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    write_bucketed(cust, "t_bkt_cust", "c_custkey", buckets=4)
+    write_bucketed(orders, "t_bkt_ord", "c_custkey", buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_bkt_cust").join(spark.table("t_bkt_ord"), "c_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+        # and the join is still CORRECT through the bucketed path
+        got = j.count()
+        expect = cust.join(orders, "c_custkey").count()
+        assert got == expect
+        # idempotent rebuild (same session): overwrite, not duplicate
+        write_bucketed(cust, "t_bkt_cust", "c_custkey", buckets=4)
+        assert spark.table("t_bkt_cust").count() == cust.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
