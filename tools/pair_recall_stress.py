@@ -1,0 +1,95 @@
+"""Recall-at-scale stress for the blocked PAIR stages (the l27b/l27c
+scale paths): plant perturbed near-duplicate pairs with KNOWN exact
+cosines in a corpus ~50-100x the bench's vector count, run
+lsh_cosine_pairs and ivf_cosine_pairs at tau=0.9, and report recall
+against the planted ground truth plus wall seconds.
+
+Ground truth needs no all-pairs oracle: each planted pair's cosine is
+computed exactly in numpy at construction (O(n) verifies), random
+64-d vectors have pairwise cosine far below 0.9 with overwhelming
+probability at these sizes, and both operators verify exactly — so
+found∩planted / planted IS the recall and false positives are
+impossible by construction.
+
+Usage: python tools/pair_recall_stress.py [n_base] (default 50000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    dim = 64
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n_base, dim))
+    # every 10th vector gets a perturbed copy; noise sized so cosines
+    # land around 0.93-0.99 (ground truth keeps only pairs >= tau)
+    src_idx = np.arange(0, n_base, 10)
+    noise = rng.standard_normal((len(src_idx), dim)) * 0.25
+    dup = base[src_idx] + noise
+    a, b = base[src_idx], dup
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    tau = 0.9
+    truth_mask = np.round(cos, 6) >= tau
+    truth = {
+        (int(i), int(n_base + k))
+        for k, i in enumerate(src_idx)
+        if truth_mask[k]
+    }
+
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ivf_cosine_pairs,
+        lsh_cosine_pairs,
+    )
+    from actuarial_reserve_modelling_spark.session import get_spark
+
+    spark = get_spark(app_name="pair-recall-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [
+        (int(n_base + k), [float(x) for x in v]) for k, v in enumerate(dup)
+    ]
+    emb = spark.createDataFrame(rows, schema).repartition(32).cache()
+    n_total = emb.count()
+
+    out = {"n_vectors": n_total, "n_true_pairs": len(truth), "tau": tau}
+    for name, fn in (
+        ("lsh_cosine_pairs", lambda: lsh_cosine_pairs(emb, threshold=tau)),
+        (
+            "ivf_cosine_pairs",
+            lambda: ivf_cosine_pairs(emb, threshold=tau, nprobe=4, n_iters=1),
+        ),
+    ):
+        t0 = time.time()
+        found = {(r["v1"], r["v2"]) for r in fn().collect()}
+        dt = round(time.time() - t0, 2)
+        extra = found - truth  # non-planted pairs that genuinely verify
+        recall = round(len(found & truth) / len(truth), 4) if truth else None
+        out[name] = {
+            "sec": dt,
+            "found": len(found),
+            "recall_vs_planted": recall,
+            "non_planted_verified": len(extra),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
