@@ -353,7 +353,7 @@ def ivf_cosine_pairs(
     with anything is undefined — they can never reach any τ > 0).
     """
     if n_centroids == "auto":
-        n_centroids = max(16, embeddings.count() // 64)
+        n_centroids = max(16, embeddings.count() // 16)
     sq = F.aggregate(
         F.transform(vec_col, lambda x: x * x),
         F.lit(0.0),
