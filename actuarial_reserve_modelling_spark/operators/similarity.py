@@ -344,11 +344,26 @@ def ivf_cosine_pairs(
     (the stable-argsort assignment is deterministic), so exact
     duplicates are found with probability 1 regardless of settings.
 
-    The 100 TB shape: centroid training is the √n-sized k-means of the
-    ANN path (``ivf_train_centroids``); assignment is one Arrow matmul
-    pass; lists bound the pair explosion the way LSH buckets do
-    (``max_bucket_size`` drops degenerate lists, logged semantics
-    identical to ``lsh_cosine_pairs``); the verify join is exact and
+    The 100 TB shape: centroid count follows the BOUNDED-LIST rule,
+    not the ANN √n rule — ``n_centroids="auto"`` resolves to
+    ``max(16, n//16)`` so the expected inverted-list size stays
+    ~16·nprobe at ANY corpus size and the verify stage is
+    O(n · nprobe² · list_size), LINEAR in n (√n centroids would give
+    √n-sized lists and an n^1.5 verify; a fixed k=16 measured 2.9M
+    candidates for 400 true pairs at just 2,400 vectors). The n//16
+    divisor was MEASURED, not guessed: at 55k vectors with 5k planted
+    near-dup pairs (tools/pair_recall_stress.py), target-64 lists gave
+    recall 1.0000 in 19.9 s where target-256 lists gave 0.9996 in
+    105 s — genuinely-near pairs share nearest centroids robustly even
+    under fine partitions. The moderate-τ caveat: on weakly-clustered
+    data at low thresholds, fine lists separate far-apart true pairs
+    more often — measured at τ=0.4 on uniform vectors: recall 0.92 at
+    nprobe=4, 1.0 at nprobe=8 — so raise ``nprobe`` (cost linear in
+    it) when mining SemDeDup's lower range on structure-less data.
+    Training is the ANN path's deterministic k-means
+    (``ivf_train_centroids``); assignment is one Arrow matmul pass;
+    ``max_bucket_size`` drops degenerate lists with the same logged
+    semantics as ``lsh_cosine_pairs``; the verify join is exact and
     AQE-decided. Zero-norm vectors are excluded structurally (cosine
     with anything is undefined — they can never reach any τ > 0).
     """
