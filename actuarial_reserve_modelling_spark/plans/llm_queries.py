@@ -1128,3 +1128,56 @@ def l27c_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the moderate-τ nprobe=4 recall behavior is pytest-pinned
         pairs=ivf_cosine_pairs(corpus, threshold=0.9, nprobe=2, n_iters=1),
     )
+
+
+_PLANTED_TOP1_ORACLE = """
+    SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
+           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 50 = 0
+    """
+
+
+@register(
+    "l3e_ann_lsh_top1_planted",
+    "L3 (hash-grade evidence for the LSH ANN path via planted twins)",
+    oracle=_PLANTED_TOP1_ORACLE,
+)
+def l3e_ann_lsh_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, hash-checkable slice of the LSH ANN top-k path
+    (the general-recall behavior stays rows-only in l3b): every 50th
+    vector is planted as an exact duplicate (id + 100000) and used as
+    a top-1 query. Identical vectors sign identically in every table,
+    so the twin is ALWAYS a candidate; its exact re-ranked sim is 1.0
+    while the corpus's max non-identical cosine is ~0.51 — rank 1 is
+    therefore the twin, deterministically, and the driver can
+    hash-compare the full output instead of counting rows."""
+    from actuarial_reserve_modelling_spark.operators.similarity import ann_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return ann_lsh_topk(corpus, planted, k=1)
+
+
+@register(
+    "l3f_ann_ivf_top1_planted",
+    "L3 (hash-grade evidence for the IVF ANN path via planted twins)",
+    oracle=_PLANTED_TOP1_ORACLE,
+)
+def l3f_ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF analogue of l3e: a planted twin lands in exactly its
+    source's cluster (stable-argsort assignment is deterministic on
+    identical vectors), every query probes its own nearest clusters
+    first, and the exact re-rank puts the sim-1.0 twin at rank 1 —
+    hash-grade driver evidence for the IVF scan-pruning path, with
+    general recall still covered by l3c's rows-only + pytest."""
+    from actuarial_reserve_modelling_spark.operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return ann_ivf_topk(corpus, planted, k=1, n_centroids=16, nprobe=4)

@@ -45,6 +45,8 @@ _ROUND7_FRONT = [
     "l27c_semantic_dedup_ivf",
     "t12_semantic_ingest_gate",
     "s14_bucketed_colocated_join",
+    "l3e_ann_lsh_top1_planted",
+    "l3f_ann_ivf_top1_planted",
     "l28_domain_mix",
     "l29_segment_dedup",
     "l30_media_decode",
@@ -92,14 +94,12 @@ _ROUND7_FRONT = [
     "w4_topk_per_group",
     "w9_sessionization",
     # 3) the oldest r4-era rows filling the remaining window slots.
-    #    ROUND-8 QUEUE (the 46 rows whose latest driver evidence is
+    #    ROUND-8 QUEUE (the 48 rows whose latest driver evidence is
     #    r4-era after this window; all pass tools/check_oracle on
     #    round-7 code — rotate them into _ROUND8_FRONT):
-    #    a10b a12 a13 a14 a15 a16 a17 a18, f1b f4c f5b f5c f7b f7c,
+    #    a7c a9 a10b a12 a13 a14 a15 a16 a17 a18, f1b f4c f5b f5c f7b f7c,
     #    j7, l11 l2d l5h l5i l6c l9, o5b o7, q7 q8 q9 q13 q15 q16 q17
     #    q20 q21, s2 s5b s5c s6 s7 s9 s10 s11, t5 t6, w5 w6 w7 w8.
-    "a7c_grouping_sets",
-    "a9_stats_aggregates",
     "a10_median_percentile",
 ]
 
