@@ -646,13 +646,13 @@ def l6d_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
     img AS (
-        SELECT doc_id, 'image/bmp' AS mime, [4, 4, 3] AS dims,
+        SELECT doc_id, 'image/bmp' AS mime, '4x4x3' AS dims,
                CAST(48 AS BIGINT) AS n_values,
                CAST(sum((doc_id * 7 + i * 13) % 256) AS DOUBLE) AS value_sum
         FROM ids, unnest(generate_series(0, 47)) AS t(i) GROUP BY doc_id
     ),
     aud AS (
-        SELECT doc_id, 'audio/wav' AS mime, [32] AS dims,
+        SELECT doc_id, 'audio/wav' AS mime, '32' AS dims,
                CAST(32 AS BIGINT) AS n_values,
                sum(((doc_id * 31 + i * 17) % 65536) - 32768) / 32768.0 AS value_sum
         FROM ids, unnest(generate_series(0, 31)) AS t(i) GROUP BY doc_id
@@ -706,7 +706,10 @@ def l30_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = spread_for_kernel(docs.select("doc_id")).mapInPandas(
         make_payloads, schema=MEDIA_SCHEMA
     )
-    return decode_features(media)
+    # Driver-hashability (determinism convention: every checked column is
+    # SCALAR): the decoded `dims array<int>` is stringified as '4x4x3' so
+    # the harness's pandas sort/hash canonicalizer never sees a list cell.
+    return decode_features(media).withColumn("dims", F.array_join("dims", "x"))
 
 
 @register(

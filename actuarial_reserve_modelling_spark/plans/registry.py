@@ -32,6 +32,72 @@ REGISTRY: dict[str, Query] = {}
 # every query that has never appeared in a driver CORRECTNESS_r*.json,
 # plus queries added or rewritten this round. Names not yet registered
 # are skipped (harmless); everything else keeps registration order.
+_ROUND8_FRONT = [
+    # 1) queries CHANGED in round 8 — they must re-earn driver evidence
+    #    on the new code/oracle:
+    #    - l30: `dims` is now stringified ('4x4x3') on both sides so the
+    #      driver's pandas canonicalizer never sees a list cell (the one
+    #      r7 err row).
+    #    - l27c: ivf_cosine_pairs' coarse quantizer rewritten to the
+    #      two-level (hierarchical) form — same bounded-list contract,
+    #      sub-quadratic assignment (VERDICT r7 "What's wrong" #2).
+    "l30_media_decode",
+    "l27c_semantic_dedup_ivf",
+    # 2) the 48 rows whose latest driver evidence is r4-era (VERDICT r7
+    #    "Next round" #2) — the LAST of the driver-evidence debt; after
+    #    this window every registry row's latest driver check is ≤4
+    #    rounds old. All pass tools/check_oracle on round-8 code.
+    "a7c_grouping_sets",
+    "a9_stats_aggregates",
+    "a10b_approx_percentile",
+    "a12_salted_aggregate",
+    "a13_bloom_filter",
+    "a14_argmax_aggregates",
+    "a15_regression_aggregates",
+    "a16_hll_sketch_union",
+    "a17_bit_aggregates",
+    "a18_count_if_mode",
+    "f1b_string_funcs2",
+    "f4c_month_grid",
+    "f5b_array_ops",
+    "f5c_explode_outer",
+    "f7b_json_typed",
+    "f7c_to_json",
+    "j7_salted_join",
+    "l11_rag_index_search",
+    "l2d_embedding_dedup",
+    "l5h_tfidf",
+    "l5i_bm25",
+    "l6c_frame_sample",
+    "l9_fuzzy_levenshtein",
+    "o5b_multiset_ops",
+    "o7_unpivot",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "s2_file_provenance",
+    "s5b_orc_roundtrip",
+    "s5c_jsonl_roundtrip",
+    "s6_partitioned_roundtrip",
+    "s7_resume_roundtrip",
+    "s9_json_roundtrip",
+    "s10_schema_evolution",
+    "s11_orc_roundtrip",
+    "t5_watermark_equivalence",
+    "t6_stream_dedup_equivalence",
+    "w5_range_frame",
+    "w6_distribution_ranks",
+    "w7_nth_value",
+    "w8_nulls_ordering",
+]
+
+# Round-7 window, kept for the audit trail (CORRECTNESS_r07 covers it).
 _ROUND7_FRONT = [
     # 1) queries ADDED or semantically CHANGED in round 7 — they must
     #    earn driver evidence for the new code/oracle: l27 (explicit
@@ -136,7 +202,7 @@ def load_all() -> dict[str, Query]:
         window_queries2,
     )
 
-    front = [n for n in _ROUND7_FRONT if n in REGISTRY]
+    front = [n for n in _ROUND8_FRONT if n in REGISTRY]
     seen = set(front)
     ordered = front + [n for n in REGISTRY if n not in seen]
     return {n: REGISTRY[n] for n in ordered}
