@@ -148,7 +148,7 @@ def hyperplane_signatures_multi(
     twelve; measured at sf0.1 it cut the LSH pair stage ~5×."""
     schema = T.StructType(
         [
-            T.StructField("vec_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("table", T.IntegerType()),
             T.StructField("sig", T.LongType()),
         ]
@@ -329,6 +329,7 @@ def ivf_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int = 100_000,
+    child_nprobe: int = 2,
 ) -> DataFrame:
     """IVF-partitioned pair stage for ``semantic_dedup`` at MODERATE
     thresholds, where hyperplane LSH degenerates (its per-plane
@@ -339,36 +340,67 @@ def ivf_cosine_pairs(
     nearest coarse centroids; candidate pairs are generated only within
     shared inverted lists and verified with the exact cosine on the
     original vectors. A pair is found iff the two vectors share ≥1 of
-    each's nprobe lists — raise ``nprobe`` (or ``n_centroids``) to
+    each's probed lists — raise ``nprobe`` (or ``n_centroids``) to
     trade cost for recall; identical vectors always share ALL lists
-    (the stable-argsort assignment is deterministic), so exact
-    duplicates are found with probability 1 regardless of settings.
+    (every assignment level is deterministic with stable tie-breaks),
+    so exact duplicates are found with probability 1 regardless of
+    settings.
 
-    The 100 TB shape: centroid count follows the BOUNDED-LIST rule,
-    not the ANN √n rule — ``n_centroids="auto"`` resolves to
-    ``max(16, n//16)`` so the expected inverted-list size stays
+    The 100 TB shape: the list-count target follows the BOUNDED-LIST
+    rule, not the ANN √n rule — ``n_centroids="auto"`` targets
+    ``k = max(16, n//16)`` final lists so the expected list size stays
     ~16·nprobe at ANY corpus size and the verify stage is
-    O(n · nprobe² · list_size), LINEAR in n (√n centroids would give
+    O(n · probes² · list_size), LINEAR in n (√n centroids would give
     √n-sized lists and an n^1.5 verify; a fixed k=16 measured 2.9M
-    candidates for 400 true pairs at just 2,400 vectors). The n//16
-    divisor was MEASURED, not guessed: at 55k vectors with 5k planted
-    near-dup pairs (tools/pair_recall_stress.py), target-64 lists gave
-    recall 1.0000 in 19.9 s where target-256 lists gave 0.9996 in
-    105 s — genuinely-near pairs share nearest centroids robustly even
-    under fine partitions. The moderate-τ caveat: on weakly-clustered
-    data at low thresholds, fine lists separate far-apart true pairs
-    more often — measured at τ=0.4 on uniform vectors: recall 0.92 at
-    nprobe=4, 1.0 at nprobe=8 — so raise ``nprobe`` (cost linear in
-    it) when mining SemDeDup's lower range on structure-less data.
-    Training is the ANN path's deterministic k-means
-    (``ivf_train_centroids``); assignment is one Arrow matmul pass;
-    ``max_bucket_size`` drops degenerate lists with the same logged
-    semantics as ``lsh_cosine_pairs``; the verify join is exact and
-    AQE-decided. Zero-norm vectors are excluded structurally (cosine
-    with anything is undefined — they can never reach any τ > 0).
+    candidates for 400 true pairs at just 2,400 vectors). A FLAT
+    quantizer cannot reach that k at scale: assignment against
+    k = n/16 centroids is O(n²·d/16) FLOPs, and the (k × d) centroid
+    matrix is O(n·d) driver/closure state — quadratic work, linear
+    driver memory (the r7 audit finding). The auto path therefore
+    builds its k lists with a TWO-LEVEL (hierarchical) coarse
+    quantizer:
+
+    * level 1 — ``k1 = max(4, ⌊√k⌋)`` super-centroids, trained with
+      the shared deterministic k-means (``ivf_train_centroids``) and
+      soft-assigned with ``nprobe`` probes. Assignment is O(n·√k·d);
+      driver/closure state is O(√k·d) doubles (a few MB even at 10⁹
+      vectors).
+    * level 2 — each super-list is shuffled to ONE task
+      (``groupBy(super).applyInPandas``) which trains its own local
+      children — membership-aware sizing keeps final lists at ~16
+      members whatever the probe counts — under the same determinism
+      rules (content-hash init, lowest-index tie-break, rows sorted by
+      id so float accumulation order is fixed) and soft-assigns its
+      members to ``min(child_nprobe, k2)`` of them. Summed over groups
+      that is O(n·nprobe·√k·d·child_nprobe/16) work, executor-
+      distributed, with NO child centroids on the driver. Final list
+      id = ``super·2³² + child``.
+
+    Versus the flat path, the hierarchy adds one (id, super, vec)
+    shuffle of n·nprobe rows — the price of distributing the fine
+    quantizer — and needs one super-list per task (~16·nprobe·√k
+    vectors ≈ 130 MB at n=10⁹/d=64/nprobe=2; a third level is the
+    mechanical escape hatch beyond that). Per-vector probe count rises
+    from nprobe to nprobe·child_nprobe (verify stays linear:
+    O(n·nprobe·child_nprobe·16) candidate dots); the recall table in
+    BASELINE.md prices that in (τ=0.9 planted pairs at 55k/110k/220k
+    vectors — tools/pair_recall_stress.py). The moderate-τ caveat carries over
+    from the flat geometry: on weakly-clustered data at low
+    thresholds, fine lists separate far-apart true pairs more often —
+    raise ``nprobe`` when mining SemDeDup's lower range on
+    structure-less data (the recall pytest pins that band).
+
+    An EXPLICIT integer ``n_centroids`` keeps the single-level flat
+    quantizer — assignment O(n·k·d), centroids driver-resident — the
+    right shape when the caller wants a small fixed k, with the
+    honest cost statement attached. ``max_bucket_size`` drops
+    degenerate lists with the same logged semantics as
+    ``lsh_cosine_pairs``; the verify join is exact and AQE-decided in
+    both shapes. Zero-norm vectors are excluded structurally (cosine
+    with anything is undefined — they can never reach any τ > 0);
+    auto-sizing counts the NONZERO corpus (the vectors actually
+    clustered), not the raw input.
     """
-    if n_centroids == "auto":
-        n_centroids = max(16, embeddings.count() // 16)
     sq = F.aggregate(
         F.transform(vec_col, lambda x: x * x),
         F.lit(0.0),
@@ -389,12 +421,22 @@ def ivf_cosine_pairs(
             lambda x: x.cast("double") / F.sqrt(F.greatest(sq, F.lit(1e-300))),
         ).alias(vec_col),
     )
-    centroids = ivf_train_centroids(
-        unit, n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
-    )
-    assigned = ivf_assign(
-        unit, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
-    )
+    if n_centroids == "auto":
+        assigned = _hierarchical_ivf_lists(
+            unit,
+            nprobe=nprobe,
+            n_iters=n_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            child_nprobe=child_nprobe,
+        )
+    else:
+        centroids = ivf_train_centroids(
+            unit, n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+        )
+        assigned = ivf_assign(
+            unit, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+        )
     grouped = (
         assigned.groupBy("cluster")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -436,6 +478,121 @@ def ivf_cosine_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def _stable_top_nprobe(d2: np.ndarray, m: int) -> np.ndarray:
+    """Indices of the ``m`` smallest entries per row of ``d2`` with the
+    stable-argsort TIE rule (equal distances -> lowest index wins), in
+    O(k) per row instead of argsort's O(k log k). The selected SET is
+    exactly what ``np.argsort(kind="stable")[:, :m]`` would return —
+    downstream consumers treat probe lists as sets — computed via
+    argpartition plus a per-row fix-up that only re-sorts rows whose
+    boundary value is tied (rare for float distances)."""
+    n, k = d2.shape
+    if m >= k:
+        return np.tile(np.arange(k, dtype=np.int64), (n, 1))
+    out = np.argpartition(d2, m - 1, axis=1)[:, :m]
+    kthv = np.take_along_axis(d2, out, axis=1).max(axis=1)
+    nbelow = (d2 < kthv[:, None]).sum(axis=1)
+    nties = (d2 == kthv[:, None]).sum(axis=1)
+    for i in np.nonzero(nbelow + nties > m)[0]:
+        out[i] = np.argsort(d2[i], kind="stable")[:m]
+    return out
+
+
+_FIB_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hierarchical_ivf_lists(
+    unit: DataFrame,
+    nprobe: int,
+    n_iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    leaf_target: int = 16,
+    child_nprobe: int = 2,
+) -> DataFrame:
+    """Two-level coarse quantizer for ``ivf_cosine_pairs``'s auto path:
+    (id, unit-vector) -> (id, composite list id ``super*2^32 + child``)
+    with ~``leaf_target`` members per final list in expectation. Level
+    1 is the shared driver-side k-means over ``k1 = max(4, isqrt(n //
+    leaf_target))`` super-centroids (O(n*sqrt(k)*d) assignment, O(sqrt
+    (k)*d) driver state); level 2 trains each super-list's children
+    INSIDE one executor task, so no per-child state ever reaches the
+    driver and total fine-assignment work stays sub-quadratic. See the
+    caller's docstring for the full cost model.
+
+    Each group sizes its children as ``k2 = g*child_nprobe //
+    leaf_target`` (g = group membership count), so the expected FINAL
+    list size stays ~leaf_target no matter how many probes feed it —
+    per-vector memberships are nprobe*child_nprobe, and the verify
+    stage costs O(n * nprobe * child_nprobe * leaf_target) candidate
+    dots. The first cut of this function kept k2 = g/leaf_target,
+    which let soft probing inflate lists to leaf_target*nprobe*
+    child_nprobe members — measured 4x the flat path's verify wall at
+    55k vectors; membership-aware sizing restored it.
+
+    Determinism (the planted-duplicate oracles depend on it): level-1
+    probes use the stable tie-break of ``ivf_assign``; level-2 sorts
+    the group by id before ANY float work (fixed accumulation order),
+    seeds children from the ``k2`` members with the lowest
+    Fibonacci-mixed id hash (content-derived like the global
+    xxhash64 init, uniform over the group, no dependence on Spark row
+    order), and breaks distance ties by lowest child index. Identical
+    vectors therefore receive identical super AND child sets, keeping
+    the exact-duplicate-probability-1 guarantee through both levels.
+    """
+    import math
+
+    n = unit.count()
+    k_target = max(16, n // leaf_target)
+    k1 = max(4, math.isqrt(k_target))
+    super_cent = ivf_train_centroids(
+        unit, k1, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    sup = ivf_assign(
+        unit, super_cent, id_col=id_col, vec_col=vec_col, nprobe=min(nprobe, k1)
+    )
+    members = sup.withColumnRenamed("cluster", "_super").join(
+        unit.select(id_col, vec_col), id_col
+    )
+    child_probe = child_nprobe
+    iters = n_iters
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("cluster", T.LongType())]
+    )
+
+    def children(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = np.asarray(pdf[id_col], dtype=np.int64)
+        sup_id = np.int64(pdf["_super"].iloc[0]) << np.int64(32)
+        size = len(ids)
+        k2 = max(1, size * child_nprobe // leaf_target)
+        if k2 == 1 or size < 2:
+            return pd.DataFrame({id_col: ids, "cluster": np.full(size, sup_id)})
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        h = ids.astype(np.uint64) * _FIB_MIX  # wraps mod 2^64: cheap uniform mix
+        cent = vecs[np.lexsort((ids, h))[:k2]].copy()
+        for _ in range(iters):
+            d2 = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
+            a = d2.argmin(axis=1)  # first occurrence -> lowest index
+            sums = np.zeros_like(cent)
+            counts = np.zeros(k2)
+            np.add.at(sums, a, vecs)
+            np.add.at(counts, a, 1)
+            nonempty = counts > 0  # empty children keep their centroid
+            cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        d2 = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
+        m = min(child_probe, k2)
+        probes = _stable_top_nprobe(d2, m)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(ids, m),
+                "cluster": sup_id + probes.astype(np.int64).ravel(),
+            }
+        )
+
+    return members.groupBy("_super").applyInPandas(children, schema=schema)
 
 
 def ivf_train_centroids(
@@ -521,10 +678,11 @@ def ivf_assign(
             )
             # ||v-c||² = ||v||² - 2 v·c + ||c||²; ||v||² constant per row
             d2 = cent_sq[None, :] - 2.0 * (vecs @ cent.T)
-            order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            # O(k) selection with the same tie rule as stable argsort
+            order = _stable_top_nprobe(d2, nprobe)
             yield pd.DataFrame(
                 {
-                    id_col: np.repeat(np.asarray(pdf[id_col]), nprobe),
+                    id_col: np.repeat(np.asarray(pdf[id_col]), order.shape[1]),
                     "cluster": order.astype(np.int32).ravel(),
                 }
             )

@@ -39,6 +39,31 @@ from actuarial_reserve_modelling_spark.operators.textstats import (
 )
 from actuarial_reserve_modelling_spark.plans.registry import register
 
+PLANT_OFFSET = 100_000
+
+
+def plant_twins(emb: DataFrame, modulus: int, id_col: str = "vec_id") -> DataFrame:
+    """Exact-duplicate copies of every ``modulus``-th vector, shifted by
+    ``PLANT_OFFSET`` — the shared construction behind the planted-twin
+    hash oracles (l4b/l27/l27b/l27c/l3e/l3f/t12). The oracle SQL
+    hardcodes the same ``+ 100000``, so at a scale factor whose real
+    ids reach the offset the plants would silently ALIAS real vectors
+    and the oracles would mismatch confusingly; assert the assumption
+    loudly instead (one column-pruned max scan). t12 additionally
+    relies on ``PLANT_OFFSET % 3 == 1`` for its batch math — change
+    the offset only together with every oracle string."""
+    mx = emb.agg(F.max(id_col).alias("m")).first()["m"]
+    if mx is not None and mx >= PLANT_OFFSET:
+        raise ValueError(
+            f"planted-twin oracles assume max({id_col}) < {PLANT_OFFSET}, "
+            f"got {mx}: raise PLANT_OFFSET and every hardcoded '+ 100000' "
+            "oracle together"
+        )
+    return emb.filter(F.col(id_col) % modulus == 0).select(
+        (F.col(id_col) + PLANT_OFFSET).alias(id_col),
+        *[c for c in emb.columns if c != id_col],
+    )
+
 # Shared CTE: distinct non-empty whitespace tokens, mirrored by
 # operators.dedup.TOKENS on the Spark side.
 _WORDS_CTE = """
@@ -242,9 +267,7 @@ def l4b_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )
+    planted = plant_twins(emb, 5)
     return lsh_cosine_pairs(emb.unionByName(planted), threshold=0.9)
 
 
@@ -959,9 +982,7 @@ def l27b_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )
+    planted = plant_twins(emb, 5)
     corpus = emb.unionByName(planted)
     return semantic_dedup(corpus, pairs=lsh_cosine_pairs(corpus, threshold=0.9))
 
@@ -1119,9 +1140,7 @@ def l27c_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )
+    planted = plant_twins(emb, 5)
     corpus = emb.unionByName(planted)
     return semantic_dedup(
         corpus,
@@ -1157,9 +1176,7 @@ def l3e_ann_lsh_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from actuarial_reserve_modelling_spark.operators.similarity import ann_lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )
+    planted = plant_twins(emb, 50)
     corpus = emb.unionByName(planted)
     return ann_lsh_topk(corpus, planted, k=1)
 
@@ -1179,8 +1196,6 @@ def l3f_ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from actuarial_reserve_modelling_spark.operators.similarity import ann_ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )
+    planted = plant_twins(emb, 50)
     corpus = emb.unionByName(planted)
     return ann_ivf_topk(corpus, planted, k=1, n_centroids=16, nprobe=4)

@@ -456,10 +456,10 @@ def t12_semantic_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_semantic_ingest,
     )
 
+    from actuarial_reserve_modelling_spark.plans.llm_queries import plant_twins
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )
+    planted = plant_twins(emb, 5)  # asserts max(vec_id) < the 100000 offset
     corpus = emb.unionByName(planted)
     batches = [corpus.filter(F.col("vec_id") % 3 == i) for i in range(3)]
     return incremental_semantic_ingest(

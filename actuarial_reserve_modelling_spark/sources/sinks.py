@@ -237,18 +237,43 @@ def write_bucketed(
     the catalog entry does not, and ``saveAsTable`` then fails with
     LOCATION_ALREADY_EXISTS — so the stale local location is removed
     along with any existing catalog entry before writing (persistent
-    metastores are handled by the DROP alone)."""
+    metastores are handled by the DROP alone). The location is taken
+    from the CATALOG when the table is registered (qualified names'
+    managed layout is ``warehouse/<db>.db/<tbl>``, NOT
+    ``warehouse/<tbl>`` — guessing from the name could delete an
+    unrelated default-database table's data), falls back to the
+    managed-layout rule only for catalog-less stale directories, and
+    never deletes anything OUTSIDE the warehouse dir (an external
+    table's data must survive its DROP)."""
     import os
     import shutil
     from urllib.parse import urlparse
 
     spark = df.sparkSession
+    loc = None
+    if spark.catalog.tableExists(table):
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        loc = next(
+            (r["data_type"] for r in rows if r["col_name"] == "Location"), None
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
     if wh.scheme in ("", "file"):
-        shutil.rmtree(
-            os.path.join(wh.path, table.rsplit(".", 1)[-1]), ignore_errors=True
-        )
+        if loc is not None:
+            p = urlparse(loc)
+            target = p.path if p.scheme in ("", "file") else None
+        else:
+            parts = table.rsplit(".", 1)
+            target = (
+                os.path.join(wh.path, f"{parts[0]}.db", parts[1])
+                if len(parts) == 2
+                else os.path.join(wh.path, parts[0])
+            )
+        wh_real = os.path.realpath(wh.path)
+        if target is not None and os.path.realpath(target).startswith(
+            wh_real + os.sep
+        ):
+            shutil.rmtree(target, ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

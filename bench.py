@@ -110,6 +110,66 @@ def _bench_queries(spark, sf_dir):
     return picks
 
 
+def _pair_recall_canary(spark) -> dict:
+    """Planted-pair recall canary (VERDICT r7 #4): band 3 TIMES the
+    l27b/l27c pair paths but nothing gated their RECALL round over
+    round — the r6 ANN lesson is that recall decays silently as vector
+    density grows under fixed settings. Same construction as
+    tools/pair_recall_stress.py at a bench-friendly size: every 10th
+    of 10k random 64-d vectors gets a perturbed near-duplicate with an
+    exactly-known cosine, both pair stages run at τ=0.9, and since
+    both verify exactly (false positives impossible by construction),
+    found∩planted / planted IS the recall. Gate: ≥ 0.999 per path,
+    failing CLOSED on errors."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ivf_cosine_pairs,
+        lsh_cosine_pairs,
+    )
+
+    n_base, dim = 10_000, 64
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n_base, dim))
+    src = np.arange(0, n_base, 10)
+    dup = base[src] + rng.standard_normal((len(src), dim)) * 0.25
+    cos = (base[src] * dup).sum(1) / (
+        np.linalg.norm(base[src], axis=1) * np.linalg.norm(dup, axis=1)
+    )
+    truth = {
+        (int(i), int(n_base + k))
+        for k, i in enumerate(src)
+        if np.round(cos[k], 6) >= 0.9
+    }
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(int(n_base + k), [float(x) for x in v]) for k, v in enumerate(dup)]
+    emb = spark.createDataFrame(rows, schema).repartition(32).cache()
+    emb.count()
+    out = {}
+    for name, fn in (
+        ("lsh_cosine_pairs", lambda: lsh_cosine_pairs(emb, threshold=0.9)),
+        (
+            "ivf_cosine_pairs",
+            lambda: ivf_cosine_pairs(emb, threshold=0.9, nprobe=4, n_iters=1),
+        ),
+    ):
+        try:
+            found = {(r["v1"], r["v2"]) for r in fn().collect()}
+            recall = round(len(found & truth) / len(truth), 4)
+            out[name] = {"recall": recall, "ok": recall >= 0.999}
+        except Exception:
+            out[name] = {"recall": None, "ok": False, "error": traceback.format_exc()}
+    emb.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from actuarial_reserve_modelling_spark.session import get_spark
@@ -164,6 +224,9 @@ def main() -> None:
                 break
             target[name] = round(time.time() - t0, 3)
 
+    recall = _pair_recall_canary(spark)
+    recall_ok = all(v.get("ok") for v in recall.values())
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     headline = [n for n in all_names[:HEADLINE_N] if n in timings]
     band2 = [q for q in BAND2 if q in timings]
@@ -198,6 +261,8 @@ def main() -> None:
                 "value3_ok": band3_complete
                 and (BAND3_BUDGET_SEC is None or band3_total <= BAND3_BUDGET_SEC),
                 "value3_complete": band3_complete,
+                "recall": recall,
+                "recall_ok": recall_ok,
                 "errors": errors,
                 "loadavg_1m_5m_15m": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],

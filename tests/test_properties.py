@@ -521,3 +521,37 @@ def test_segment_dedup_matches_python_reference(spark, docs, seg, max_df):
             " ".join(" ".join(sg) for sg in kept),
         )
     assert got == expect
+
+
+def test_registry_outputs_are_driver_canonicalizable(spark):
+    """Driver-harness compat gate (VERDICT r7 #6): the driver
+    canonicalizes every checked query's output in pandas — sort_values
+    over ALL columns, then an order-insensitive value hash — which
+    CRASHES on non-scalar cells (r7's one red row: l30's
+    ``dims array<int>`` hit ``TypeError: unhashable type: 'list'``).
+    Non-scalar cells are exactly the Array/Map/Struct columns, so the
+    schema is a complete static witness: build every registry query's
+    plan at sf0.001 and assert each output field is atomic. Catches
+    the whole bug class pre-driver without executing 186 queries."""
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.plans.registry import load_all
+    from tests.conftest import SF_SMOKE
+
+    bad: dict[str, list[str]] = {}
+    failed: dict[str, str] = {}
+    for name, q in load_all().items():
+        try:
+            schema = q.spark_fn(spark, SF_SMOKE).schema
+        except Exception as e:  # building the plan must not crash either
+            failed[name] = repr(e)
+            continue
+        nonscalar = [
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if nonscalar:
+            bad[name] = nonscalar
+    assert not failed, f"query builders crashed at sf0.001: {failed}"
+    assert not bad, f"non-scalar (driver-uncanonicalizable) output columns: {bad}"
