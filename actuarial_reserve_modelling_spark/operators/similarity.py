@@ -106,7 +106,7 @@ def hyperplane_signatures(
     planes). Plane matrix is seeded and regenerated identically in every
     task — no driver-side state to ship."""
     schema = T.StructType(
-        [T.StructField("vec_id", T.LongType()), T.StructField("sig", T.LongType())]
+        [T.StructField(id_col, T.LongType()), T.StructField("sig", T.LongType())]
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,11 +114,11 @@ def hyperplane_signatures(
         for pdf in batches:
             vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             if len(vecs) == 0:
-                yield pd.DataFrame({"vec_id": [], "sig": []})
+                yield pd.DataFrame({id_col: [], "sig": []})
                 continue
             bits = (vecs @ planes) > 0
             sig = bits @ (1 << np.arange(num_planes, dtype=np.int64))
-            yield pd.DataFrame({"vec_id": pdf[id_col], "sig": sig})
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
@@ -167,14 +167,14 @@ def hyperplane_signatures_multi(
         for pdf in batches:
             n = len(pdf)
             if n == 0:
-                yield pd.DataFrame({"vec_id": [], "table": [], "sig": []})
+                yield pd.DataFrame({id_col: [], "table": [], "sig": []})
                 continue
             vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             bits = (vecs @ planes) > 0  # (n, tables * planes)
             sig = bits.reshape(n, num_tables, num_planes) @ weights  # (n, tables)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(np.asarray(pdf[id_col], dtype=np.int64), num_tables),
+                    id_col: np.repeat(np.asarray(pdf[id_col], dtype=np.int64), num_tables),
                     "table": np.tile(tables, n),
                     "sig": sig.reshape(-1),
                 }

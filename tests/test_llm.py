@@ -947,3 +947,44 @@ def test_ivf_cosine_pairs_recall_and_exact_dup_guarantee(spark):
     assert ivf_cosine_pairs(zero, 0.4, n_centroids=4, nprobe=2).filter(
         (F.col("v1") == 900000) | (F.col("v2") == 900000)
     ).count() == 0
+
+
+def test_lsh_index_dedup_custom_id_col(spark):
+    """ADVICE r7: ``hyperplane_signatures_multi`` hardcoded ``vec_id``
+    in its output schema, so ``lsh_cosine_dedup_against_index`` threw
+    AnalysisException for any non-default ``id_col`` — a latent break
+    in the incremental-index API. Drive the whole path under renamed
+    id/vector columns: one exact re-encounter must be found with
+    probability 1, one novel vector must pass."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        hyperplane_signatures_multi,
+        lsh_cosine_dedup_against_index,
+    )
+
+    rng = np.random.default_rng(3)
+    idx_vecs = [(int(i), [float(x) for x in rng.standard_normal(64)]) for i in range(8)]
+    schema = T.StructType(
+        [
+            T.StructField("doc_key", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    vec_index = spark.createDataFrame(idx_vecs, schema)
+    sig_index = hyperplane_signatures_multi(
+        vec_index, num_planes=12, num_tables=24, id_col="doc_key", vec_col="vec"
+    )
+    assert sig_index.columns == ["doc_key", "table", "sig"]
+    new = spark.createDataFrame(
+        [(100, idx_vecs[3][1]), (101, [float(x) for x in rng.standard_normal(64)])],
+        schema,
+    )
+    hits = {
+        (r["new_id"], r["index_id"], r["sim"])
+        for r in lsh_cosine_dedup_against_index(
+            new, sig_index, vec_index, threshold=0.9, id_col="doc_key", vec_col="vec"
+        ).collect()
+    }
+    assert hits == {(100, 3, 1.0)}
