@@ -503,6 +503,30 @@ def _stable_top_nprobe(d2: np.ndarray, m: int) -> np.ndarray:
 _FIB_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _local_kmeans(vecs: np.ndarray, ids: np.ndarray, k2: int, iters: int) -> np.ndarray:
+    """Deterministic IN-TASK Lloyd's k-means over one group's vectors:
+    the executor-side analogue of ``ivf_train_centroids`` with the same
+    determinism rules — content-derived init (the ``k2`` members with
+    the lowest Fibonacci-mixed id hash: uniform over the group, no
+    dependence on Spark row order), distance ties broken by lowest
+    centroid index (``argmin`` first-occurrence), empty clusters keep
+    their centroid, and callers pre-sort rows by id so float
+    accumulation order is fixed. Returns the (k2, d) centroid matrix;
+    assign with ``_stable_top_nprobe``."""
+    h = ids.astype(np.uint64) * _FIB_MIX  # wraps mod 2^64: cheap uniform mix
+    cent = vecs[np.lexsort((ids, h))[:k2]].copy()
+    for _ in range(iters):
+        d2 = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
+        a = d2.argmin(axis=1)  # first occurrence -> lowest index
+        sums = np.zeros_like(cent)
+        counts = np.zeros(k2)
+        np.add.at(sums, a, vecs)
+        np.add.at(counts, a, 1)
+        nonempty = counts > 0  # empty children keep their centroid
+        cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cent
+
+
 def _hierarchical_ivf_lists(
     unit: DataFrame,
     nprobe: int,
@@ -571,17 +595,7 @@ def _hierarchical_ivf_lists(
         if k2 == 1 or size < 2:
             return pd.DataFrame({id_col: ids, "cluster": np.full(size, sup_id)})
         vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        h = ids.astype(np.uint64) * _FIB_MIX  # wraps mod 2^64: cheap uniform mix
-        cent = vecs[np.lexsort((ids, h))[:k2]].copy()
-        for _ in range(iters):
-            d2 = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
-            a = d2.argmin(axis=1)  # first occurrence -> lowest index
-            sums = np.zeros_like(cent)
-            counts = np.zeros(k2)
-            np.add.at(sums, a, vecs)
-            np.add.at(counts, a, 1)
-            nonempty = counts > 0  # empty children keep their centroid
-            cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cent = _local_kmeans(vecs, ids, k2, iters)
         d2 = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
         m = min(child_probe, k2)
         probes = _stable_top_nprobe(d2, m)
@@ -809,6 +823,22 @@ def ann_ivf_topk_indexed(
         .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()
     )
+    return _rerank_topk(cand, embeddings, queries, k, id_col=id_col, vec_col=vec_col)
+
+
+def _rerank_topk(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared exact-cosine re-rank tail of every blocked ANN path:
+    (query_id, neighbor_id) candidates → full-width vectors joined back
+    (queries broadcast per the bounded-query contract; the corpus side
+    is the unbounded one and joins shuffled/AQE) → 6-dp rounded sim →
+    top-k per query with ties broken by neighbor id."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     scored = (
@@ -821,6 +851,220 @@ def ann_ivf_topk_indexed(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ivf_hier_build(
+    embeddings: DataFrame,
+    n_lists: int | str = "auto",
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Build a TWO-LEVEL IVF index (the FAISS inverted-multi-index
+    shape) for ANN top-k at scales where the flat √n quantizer stops
+    being honest. The flat ``ann_ivf_topk`` trains k = √n centroids on
+    the driver: at 10⁹ vectors that is O(n^1.5·d) assignment FLOPs per
+    k-means pass and a 16 MB matrix in every task closure — workable
+    but already the dominant build cost, and every constant-factor is
+    paid n_iters+1 times. Here level 1 trains only ``k1 = ⌈√k⌉ ≈
+    n^(1/4)`` super-centroids with the shared driver-side k-means
+    (O(n·n^(1/4)·d) per pass, O(n^(1/4)·d) driver state), hard-assigns
+    the corpus, and each super-list trains its own children in ONE
+    executor task (``_local_kmeans``, the same determinism rules),
+    sizing ``k2 = members // (n // k)`` so the total child count tracks
+    the √n list rule. Total level-2 training work is O(n·n^(1/4)·d) —
+    the quartic-root factor replaces the flat path's square root at
+    every stage.
+
+    Returns ``(index, super_centroids)`` where ``index`` is ONE
+    localCheckpointed DataFrame carrying both outputs of the build
+    pass (recomputing lineage would retrain k-means per downstream
+    reference):
+
+    * member rows — (vec_id, super, child, centroid=NULL): the
+      inverted lists, in production persisted partitioned by
+      (super, child);
+    * centroid rows — (vec_id=NULL, super, child, centroid): the child
+      centroids AS ROWS, never driver state — query routing joins them
+      by probed super, so the O(√n·d) fine-quantizer state that the
+      flat path ships in every task closure stays distributed.
+
+    Split with ``F.col(id_col).isNotNull()`` / ``isNull()``; query with
+    ``ann_ivf_hier_topk_indexed``. Identical vectors receive identical
+    (super, child) assignments at both levels (hard level-1 assign,
+    deterministic child training and argmin), which is what makes the
+    planted-twin hash oracle possible for this path."""
+    import math
+
+    n = embeddings.count()
+    if n_lists == "auto":
+        n_lists = max(16, math.isqrt(n))
+    k1 = max(4, math.isqrt(n_lists))
+    leaf = max(1, n // n_lists)
+    super_cent = ivf_train_centroids(
+        embeddings, k1, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    sup = ivf_assign(embeddings, super_cent, id_col=id_col, vec_col=vec_col)
+    members = sup.withColumnRenamed("cluster", "_super").join(
+        embeddings.select(id_col, vec_col), id_col
+    )
+    iters = n_iters
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("super", T.IntegerType()),
+            T.StructField("child", T.IntegerType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = np.asarray(pdf[id_col], dtype=np.int64)
+        sup_id = int(pdf["_super"].iloc[0])
+        size = len(ids)
+        k2 = max(1, size // leaf)
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        if k2 == 1:
+            cent = vecs.mean(axis=0, keepdims=True) if size else vecs
+            assign = np.zeros(size, dtype=np.int64)
+        else:
+            cent = _local_kmeans(vecs, ids, k2, iters)
+            d2 = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
+            assign = d2.argmin(axis=1)  # hard, lowest-index ties
+        member_rows = pd.DataFrame(
+            {
+                id_col: pd.array(ids, dtype="Int64"),
+                "super": np.full(size, sup_id, dtype=np.int32),
+                "child": assign.astype(np.int32),
+                "centroid": [None] * size,
+            }
+        )
+        cent_rows = pd.DataFrame(
+            {
+                id_col: pd.array([None] * len(cent), dtype="Int64"),
+                "super": np.full(len(cent), sup_id, dtype=np.int32),
+                "child": np.arange(len(cent), dtype=np.int32),
+                "centroid": [list(c) for c in cent],
+            }
+        )
+        return pd.concat([member_rows, cent_rows], ignore_index=True)
+
+    index = members.groupBy("_super").applyInPandas(build, schema=schema)
+    # one materialization: downstream splits this frame twice (lists +
+    # centroid table) and Spark would otherwise re-run the whole build
+    # — including k-means training — once per reference
+    return index.localCheckpoint(eager=False), super_cent
+
+
+def ann_ivf_hier_topk_indexed(
+    index: DataFrame,
+    super_cent: np.ndarray,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe_super: int = 4,
+    child_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted two-level IVF index (``ivf_hier_build``).
+    Routing: each query soft-assigns to its ``nprobe_super`` nearest
+    super-centroids (the tiny driver-side matrix, the SAME
+    ``ivf_assign`` kernel the build used for its hard assignment),
+    joins the probed supers' child-centroid ROWS (≈ n^(1/4) rows per
+    probed super instead of the flat path's √n distance computations),
+    and keeps its ``child_probe`` nearest children PER probed super —
+    ranked inside a kernel with the same numpy distance expression and
+    the same lowest-index tie rule as the build's member assignment.
+    The members of those nprobe_super·child_probe lists are then
+    exact-re-ranked; per-query scanned fraction ≈
+    nprobe_super·child_probe/√n of the corpus.
+
+    A query identical to an indexed vector retrieves it with
+    probability 1: the query's top-1 super is the member's hard-
+    assigned super (identical distance rows through the identical
+    kernel), and within that super its rank-1 child is the member's
+    child — per-super ranking (not a global cut across supers) is what
+    makes the twin's child immune to crowding-out by other probed
+    supers' children."""
+    probes = ivf_assign(
+        queries, super_cent, id_col=id_col, vec_col=vec_col, nprobe=nprobe_super
+    ).select(F.col(id_col).alias("query_id"), F.col("cluster").alias("super"))
+    cents = index.filter(F.col(id_col).isNull()).select("super", "child", "centroid")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    routing = (
+        cents.join(F.broadcast(probes), "super")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "super", "child", "centroid", "qvec")
+    )
+    m = child_probe
+    route_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("super", T.IntegerType()),
+            T.StructField("child", T.IntegerType()),
+        ]
+    )
+
+    def route(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one (query, probed super) group: rank this super's children
+        # for this query with the build kernel's arithmetic
+        pdf = pdf.sort_values("child", kind="mergesort").reset_index(drop=True)
+        cent = np.array([np.asarray(c, dtype=np.float64) for c in pdf["centroid"]])
+        qv = np.asarray(pdf["qvec"].iloc[0], dtype=np.float64)[None, :]
+        d2 = (cent * cent).sum(1)[None, :] - 2.0 * (qv @ cent.T)
+        keep = _stable_top_nprobe(d2, min(m, len(cent)))[0]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(keep), np.int64(pdf["query_id"].iloc[0])),
+                "super": np.full(len(keep), np.int32(pdf["super"].iloc[0])),
+                "child": pdf["child"].to_numpy(dtype=np.int32)[keep],
+            }
+        )
+
+    probed_children = routing.groupBy("query_id", "super").applyInPandas(
+        route, schema=route_schema
+    )
+    lists = index.filter(F.col(id_col).isNotNull()).select(id_col, "super", "child")
+    cand = (
+        lists.join(F.broadcast(probed_children), ["super", "child"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    return _rerank_topk(cand, embeddings, queries, k, id_col=id_col, vec_col=vec_col)
+
+
+def ann_ivf_hier_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int | str = "auto",
+    nprobe_super: int = 4,
+    child_probe: int = 2,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build-and-query convenience over ``ivf_hier_build`` +
+    ``ann_ivf_hier_topk_indexed`` — the one-shot form mirroring
+    ``ann_ivf_topk``. Production keeps the built index and calls the
+    indexed form per query batch."""
+    index, super_cent = ivf_hier_build(
+        embeddings, n_lists=n_lists, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    return ann_ivf_hier_topk_indexed(
+        index,
+        super_cent,
+        embeddings,
+        queries,
+        k=k,
+        nprobe_super=nprobe_super,
+        child_probe=child_probe,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 

@@ -1199,3 +1199,32 @@ def l3f_ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = plant_twins(emb, 50)
     corpus = emb.unionByName(planted)
     return ann_ivf_topk(corpus, planted, k=1, n_centroids=16, nprobe=4)
+
+
+@register(
+    "l3g_ann_ivf_hier_top1_planted",
+    "L3 (hash-grade evidence for the two-level hierarchical IVF index via planted twins)",
+    oracle=_PLANTED_TOP1_ORACLE,
+)
+def l3g_ann_ivf_hier_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l3f's construction over the r8 HIERARCHICAL index
+    (operators/similarity.py::ivf_hier_build +
+    ann_ivf_hier_topk_indexed): a planted twin hard-assigns to exactly
+    its source's (super, child) list at build, the twin-query's top-1
+    probed super is that same super (identical distance rows through
+    the identical ``ivf_assign`` kernel) and its rank-1 child WITHIN it
+    is the member's child (per-super ranking with the build kernel's
+    own arithmetic — immune to crowding-out by other supers' children),
+    so the sim-1.0 twin reaches the exact re-rank and rank 1 with
+    probability 1. Hash-grade driver evidence for the quartic-root
+    quantizer path; general recall is pinned by the pytest (0.99 @5 on
+    clustered vectors). Added r8 → queued for the round-9 driver
+    window; local evidence: tools/check_oracle sf0.01 + sf0.1."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = plant_twins(emb, 50)
+    corpus = emb.unionByName(planted)
+    return ann_ivf_hier_topk(corpus, planted, k=1)

@@ -47,6 +47,11 @@ _ROUND8_FRONT = [
     #    "Next round" #2) — the LAST of the driver-evidence debt; after
     #    this window every registry row's latest driver check is ≤4
     #    rounds old. All pass tools/check_oracle on round-8 code.
+    #    ROUND-9 QUEUE: l3g_ann_ivf_hier_top1_planted (NEW in r8 — the
+    #    hierarchical ANN index's planted-twin slice; hash-green
+    #    locally at sf0.01 AND sf0.1) must lead _ROUND9_FRONT, then
+    #    backfill with the rows whose evidence is oldest (the r5-era
+    #    family) — no debt remains after this window lands.
     "a7c_grouping_sets",
     "a9_stats_aggregates",
     "a10b_approx_percentile",

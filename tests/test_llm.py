@@ -988,3 +988,76 @@ def test_lsh_index_dedup_custom_id_col(spark):
         ).collect()
     }
     assert hits == {(100, 3, 1.0)}
+
+
+def test_ivf_hier_topk_planted_recall_determinism_and_index_shape(spark):
+    """The two-level (hierarchical) IVF index (r8,
+    operators/similarity.py::ivf_hier_build): (1) exact twins are
+    retrieved at rank 1 with probability 1 (hard super assign through
+    the shared kernel + per-super child ranking with the build's own
+    arithmetic — the l3g oracle's contract); (2) recall vs exact top-k
+    on CLUSTERED vectors stays high at default probes; (3) the build
+    is deterministic end-to-end; (4) the index frame splits into
+    member rows and child-centroid rows whose child ids are consistent
+    and whose total child count tracks the sqrt-n list rule."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk,
+        ivf_hier_build,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((12, 64)) * 3
+    pts = np.concatenate([c + rng.standard_normal((80, 64)) * 0.3 for c in centers])
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)], schema
+    )
+    twins = emb.filter(F.col("vec_id") % 60 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    res1 = sorted(
+        tuple(r) for r in ann_ivf_hier_topk(corpus, twins, k=1).collect()
+    )
+    assert {(r[0], r[1], r[3]) for r in res1} == {
+        (100000 + s, s, 1.0) for s in range(0, len(pts), 60)
+    }
+    res2 = sorted(
+        tuple(r) for r in ann_ivf_hier_topk(corpus, twins, k=1).collect()
+    )
+    assert res1 == res2
+    # general recall on clustered data
+    from actuarial_reserve_modelling_spark.operators.similarity import cosine_topk
+
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_hier_topk(emb, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"hier-IVF recall {recall:.2f} too low"
+    # index shape: members reference existing children; child count
+    # tracks the sqrt-n rule within 2x either way
+    index, _ = ivf_hier_build(emb)
+    members = index.filter(F.col("vec_id").isNotNull())
+    cents = index.filter(F.col("vec_id").isNull())
+    n = emb.count()
+    n_children = cents.count()
+    assert n_children <= 2 * max(16, int(n**0.5))
+    assert members.count() == n
+    dangling = members.join(
+        cents.select("super", "child"), ["super", "child"], "left_anti"
+    )
+    assert dangling.count() == 0
