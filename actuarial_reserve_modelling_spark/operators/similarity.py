@@ -775,6 +775,13 @@ def ann_ivf_topk(
     ``nprobe="auto"`` then tracks it at max(8, n_centroids // 8) so the
     probed fraction of lists stays fixed as the corpus grows instead of
     silently shrinking.
+
+    Honest cost statement for the flat quantizer: training/assignment
+    is O(n·√n·d) FLOPs per pass and the (√n × d) centroid matrix rides
+    in every task closure (~16 MB at 10⁹ vectors, d=64) — acceptable
+    into the 10⁷ range, but beyond it prefer ``ann_ivf_hier_topk``:
+    same probe contract, O(n^(5/4)·d) build, no fine-quantizer state
+    on the driver (cost table in BASELINE.md).
     """
     n_centroids = resolve_n_centroids(embeddings, n_centroids, id_col=id_col)
     if nprobe == "auto":

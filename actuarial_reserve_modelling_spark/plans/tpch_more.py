@@ -531,7 +531,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_partkey, p_brand, s_name, n_name,
            round(s_acctbal, 2) AS s_acctbal,
-           round(supplycost, 4) AS supplycost
+           CAST(floor(supplycost * 10000) AS BIGINT) AS supplycost_e4
     FROM pc
     WHERE supplycost = (SELECT min(supplycost) FROM pc i
                         WHERE i.p_partkey = pc.p_partkey)
@@ -577,7 +577,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             F.round("s_acctbal", 2).alias("s_acctbal"),
-            F.round("supplycost", 4).alias("supplycost"),
+            # floor of the SAME IEEE double scaled by 1e4 on both
+            # engines — boundary-free, unlike round(x, 4), whose
+            # half-way cases split Spark's exact-decimal HALF_UP from
+            # DuckDB's scaled-float rounding (one 4th-decimal flip
+            # surfaced at sf0.1; see BASELINE.md round-8 notes)
+            F.floor(F.col("supplycost") * 10000).alias("supplycost_e4"),
         )
     )
 
