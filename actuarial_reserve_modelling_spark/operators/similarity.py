@@ -503,6 +503,14 @@ def _stable_top_nprobe(d2: np.ndarray, m: int) -> np.ndarray:
 _FIB_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+# per-task group-size bound for the hierarchical quantizers: one
+# super-list of <= _GROUP_CAP (id, 64-d double vector) rows is ~134 MB
+# materialized in a single applyInPandas task — safely inside an
+# executor budget while keeping the forced super count's driver state
+# negligible (see call sites)
+_GROUP_CAP = 262_144
+
+
 def _local_kmeans(vecs: np.ndarray, ids: np.ndarray, k2: int, iters: int) -> np.ndarray:
     """Deterministic IN-TASK Lloyd's k-means over one group's vectors:
     the executor-side analogue of ``ivf_train_centroids`` with the same
@@ -570,7 +578,13 @@ def _hierarchical_ivf_lists(
 
     n = unit.count()
     k_target = max(16, n // leaf_target)
-    k1 = max(4, math.isqrt(k_target))
+    # same group-memory cap as ivf_hier_build: level-1 soft assignment
+    # puts n*nprobe memberships into k1 groups, and one group is one
+    # level-2 task — isqrt(k_target) ~ sqrt(n)/4 already keeps expected
+    # groups at ~4*nprobe*sqrt(n) rows (253k at 10^9, nprobe=2, right
+    # at the cap), so the cap term only binds for large nprobe or
+    # beyond-10^9 corpora
+    k1 = max(4, math.isqrt(k_target), (n * nprobe) // _GROUP_CAP)
     super_cent = ivf_train_centroids(
         unit, k1, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
@@ -907,7 +921,18 @@ def ivf_hier_build(
     n = embeddings.count()
     if n_lists == "auto":
         n_lists = max(16, math.isqrt(n))
-    k1 = max(4, math.isqrt(n_lists))
+    # Super count balances THREE constraints: enough supers for the
+    # hierarchy (sqrt of the list target), driver state O(k1*d), and —
+    # the binding one at 10^9 rows — per-TASK group memory: one
+    # super-list is materialized per level-2 task, so without a cap the
+    # expected group is n/k1 = O(n^(3/4)) rows (~2.9 GB at 10^9, d=64).
+    # _GROUP_CAP rows (~134 MB) bounds that; the extra supers it forces
+    # keep driver state tiny (n/262k centroids = ~2 MB at 10^9) and only
+    # deepen the hierarchy's fan-out. Below the cap (every test/bench
+    # scale) the term is 0 and sizing is unchanged. A third level is the
+    # escape hatch past ~10^11 rows, where even capped-k1 driver state
+    # grows linearly with its 4e-6 constant.
+    k1 = max(4, math.isqrt(n_lists), n // _GROUP_CAP)
     leaf = max(1, n // n_lists)
     super_cent = ivf_train_centroids(
         embeddings, k1, n_iters=n_iters, id_col=id_col, vec_col=vec_col
