@@ -641,12 +641,24 @@ def ivf_train_centroids(
     (``resolve_n_centroids``).
 
     Determinism notes: init is order-free (keyed by hash(id), ties by
-    id); assignment breaks distance ties by centroid index; the
-    per-cluster mean uses DECIMAL(30,8)-quantized sums so reduction
-    order cannot perturb the result. Centroids are (k × d) doubles —
-    driver-resident, broadcast into the assignment kernel's closure;
-    training touches the corpus ``n_iters + 1`` times, all scans, no
-    shuffle wider than (cluster, dim) pairs.
+    id); assignment breaks distance ties by centroid index; per-cluster
+    means come from 1e-8-quantized INT64 element sums (quantize each
+    element, sum exactly — integer addition commutes, so reduction
+    order cannot perturb the result; the dsir nano-unit convention).
+    Centroids are (k × d) doubles — driver-resident, broadcast into
+    the kernel's closure.
+
+    The 100 TB shape (r8): each iteration is ONE fused Arrow pass —
+    assign-and-partial-sum inside the kernel — shuffling at most
+    tasks·k·(d+1) tiny partial rows. The original formulation shuffled
+    the assignment back into a join with the corpus and posexploded
+    n·d (cluster, dim, x) rows per iteration — a 64× data
+    amplification through the shuffle at d=64, paid n_iters times;
+    training now touches the corpus ``n_iters + 1`` times as pure
+    scans with map-side aggregation. Partials are int64 per task
+    (per-task cluster mass bounds them far under 2⁶³) and
+    decimal(38,0) across tasks, so cross-task totals cannot silently
+    overflow either.
     """
     n_centroids = resolve_n_centroids(embeddings, n_centroids, id_col=id_col)
     init_rows = (
@@ -656,25 +668,54 @@ def ivf_train_centroids(
         .collect()
     )
     centroids = np.array([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    part_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
     for _ in range(n_iters):
-        assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
-        means = (
-            assigned.join(embeddings.select(id_col, vec_col), id_col)
-            .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("double").cast("decimal(30,8)"))
-                    / F.count(F.lit(1))
+        cent = np.ascontiguousarray(centroids, dtype=np.float64)
+        cent_sq = (cent * cent).sum(axis=1)
+        k, d = cent.shape
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums = np.zeros((k, d), dtype=np.int64)
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )
-                .cast("double")
-                .alias("m")
-            )
+                d2 = cent_sq[None, :] - 2.0 * (vecs @ cent.T)
+                a = d2.argmin(axis=1)  # first occurrence -> lowest index
+                np.add.at(sums, a, np.round(vecs * 1e8).astype(np.int64))
+                np.add.at(counts, a, 1)
+            nz = np.nonzero(counts)[0]
+            cl = np.repeat(nz, d + 1).astype(np.int32)
+            dims = np.tile(np.arange(-1, d, dtype=np.int32), len(nz))
+            vals = np.concatenate(
+                [np.concatenate(([counts[c]], sums[c])) for c in nz]
+            ) if len(nz) else np.array([], dtype=np.int64)
+            yield pd.DataFrame({"cluster": cl, "dim": dims, "s": vals})
+
+        rows = (
+            spread_for_kernel(embeddings.select(id_col, vec_col))
+            .mapInPandas(partials, schema=part_schema)
+            .groupBy("cluster", "dim")
+            .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
             .collect()
         )
+        counts = {r["cluster"]: int(r["s"]) for r in rows if r["dim"] == -1}
         new_centroids = centroids.copy()  # empty clusters keep their centroid
-        for r in means:
-            new_centroids[r["cluster"], r["dim"]] = r["m"]
+        for r in rows:
+            if r["dim"] >= 0:
+                c = r["cluster"]
+                new_centroids[c, r["dim"]] = (float(r["s"]) / 1e8) / counts[c]
         centroids = new_centroids
     return centroids
 
