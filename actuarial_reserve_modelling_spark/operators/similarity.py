@@ -1176,37 +1176,105 @@ def pq_train_codebooks(
 ) -> np.ndarray:
     """Train PQ codebooks: split the d dims into ``m_subspaces``
     contiguous subspaces and run the deterministic k-means quantizer
-    (ivf_train_centroids — same data-derived init, tie-break, and
-    decimal-exact mean rules) on each subspace's sub-vectors.
+    on each subspace's sub-vectors — ALL subspaces fused into one
+    kernel pass per iteration (the hyperplane_signatures_multi move
+    applied to training): each batch is reshaped (n, m, d/m) once and
+    every subspace's assignment + 1e-8-quantized int64 partial sums
+    come out of that single read, so the corpus is scanned
+    ``n_iters + 1`` times TOTAL instead of ``m·(n_iters+1)`` (24 scans
+    at the defaults — at 100 TB the scan count IS the training cost).
+    Init is the shared content-hash rule: the ``n_codes`` lowest
+    xxhash64(id) vectors, collected once and sliced per subspace —
+    identical ids (the ordering never looks at the vector), hence
+    identical books, to the per-subspace formulation. Same argmin
+    lowest-index tie rule, same order-free quantized means, same
+    decimal(38,0) cross-task overflow guard as ``ivf_train_centroids``.
 
     Returns (m, n_codes, d/m) float64. Codebooks total
     m · n_codes · d/m = n_codes · d doubles — driver-resident and
-    broadcast, like IVF centroids; training is m small k-means over
-    column slices (JVM-side ``slice``, no Python until the kernel).
+    broadcast, like IVF centroids.
     """
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     if dim % m_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     ds = dim // m_subspaces
+    m = m_subspaces
+    init_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    full = np.array([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    books = np.ascontiguousarray(
+        full.reshape(len(full), m, ds).transpose(1, 0, 2)
+    )  # (m, n_codes, ds)
+    part_schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    def _train(j: int) -> np.ndarray:
-        sub = embeddings.select(
-            F.col(id_col), F.slice(vec_col, j * ds + 1, ds).alias(vec_col)
+    for _ in range(n_iters):
+        bk = books.copy()
+        bk_sq = (bk * bk).sum(axis=2)  # (m, n_codes)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums = np.zeros((m, n_codes, ds), dtype=np.int64)
+            counts = np.zeros((m, n_codes), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                ).reshape(len(pdf), m, ds)
+                for j in range(m):
+                    sv = vecs[:, j, :]
+                    d2 = bk_sq[j][None, :] - 2.0 * (sv @ bk[j].T)
+                    a = d2.argmin(axis=1)  # first occurrence -> lowest index
+                    np.add.at(sums[j], a, np.round(sv * 1e8).astype(np.int64))
+                    np.add.at(counts[j], a, 1)
+            subs, cls, dims, vals = [], [], [], []
+            for j in range(m):
+                for c in np.nonzero(counts[j])[0]:
+                    subs.extend([j] * (ds + 1))
+                    cls.extend([c] * (ds + 1))
+                    dims.extend(range(-1, ds))
+                    vals.append(counts[j, c])
+                    vals.extend(sums[j, c])
+            yield pd.DataFrame(
+                {
+                    "sub": np.asarray(subs, dtype=np.int32),
+                    "cluster": np.asarray(cls, dtype=np.int32),
+                    "dim": np.asarray(dims, dtype=np.int32),
+                    "s": np.asarray(vals, dtype=np.int64),
+                }
+            )
+
+        rows = (
+            spread_for_kernel(embeddings.select(id_col, vec_col))
+            .mapInPandas(partials, schema=part_schema)
+            .groupBy("sub", "cluster", "dim")
+            .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+            .collect()
         )
-        return ivf_train_centroids(
-            sub, n_centroids=n_codes, n_iters=n_iters, id_col=id_col, vec_col=vec_col
-        )
-
-    # the m per-subspace k-means are independent deterministic job
-    # chains — submit them concurrently (Spark's scheduler interleaves
-    # jobs fine); results are identical to the sequential loop, wall
-    # time is the slowest chain instead of the sum
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=m_subspaces) as ex:
-        books = list(ex.map(_train, range(m_subspaces)))
-    return np.stack(books)
+        counts = {
+            (r["sub"], r["cluster"]): int(r["s"]) for r in rows if r["dim"] == -1
+        }
+        new_books = books.copy()  # empty codes keep their centroid
+        for r in rows:
+            if r["dim"] >= 0:
+                key = (r["sub"], r["cluster"])
+                new_books[r["sub"], r["cluster"], r["dim"]] = (
+                    float(r["s"]) / 1e8
+                ) / counts[key]
+        books = new_books
+    return books
 
 
 def pq_encode(
