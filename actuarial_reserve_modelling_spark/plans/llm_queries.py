@@ -1228,3 +1228,66 @@ def l3g_ann_ivf_hier_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     planted = plant_twins(emb, 50)
     corpus = emb.unionByName(planted)
     return ann_ivf_hier_topk(corpus, planted, k=1)
+
+
+@register(
+    "l3h_ann_pq_top1_planted",
+    "L3 (hash-grade evidence for the PQ/ADC ANN path via planted twins)",
+    oracle=_PLANTED_TOP1_ORACLE,
+)
+def l3h_ann_pq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ analogue of l3e/l3f — the last ANN family member without
+    a hash-grade driver row. A planted twin encodes to EXACTLY its
+    source's m-byte code word (pq_encode is deterministic on identical
+    vectors), so the source's ADC score for the twin-query is the
+    maximal q·quant(q) while every non-code-sharing vector scores
+    q·quant(y) ≈ cos(q,y) ≤ ~0.51; the exact re-rank then pins sim 1.0
+    at rank 1. Unlike l3e/l3f the shortlist guarantee is EMPIRICAL,
+    not structural: coarse 16-code-per-subspace codebooks can assign
+    other clustered vectors the same code word, and ADC ties break by
+    ascending id — so the source could in principle be crowded out of
+    a small shortlist by lower-id code-sharers. rerank=32 (a 32-row
+    exact window per query, still O(1)) makes that impossible at both
+    checked scales; everything is deterministic end to end, so the
+    local sf0.01/sf0.1 verification transfers exactly to the driver.
+    General PQ recall stays rows-only in l3d."""
+    from actuarial_reserve_modelling_spark.operators.similarity import ann_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = plant_twins(emb, 50)
+    corpus = emb.unionByName(planted)
+    return ann_pq_topk(corpus, planted, k=1, m_subspaces=8, n_codes=16, rerank=32)
+
+
+@register(
+    "l3i_ann_ivfpq_top1_planted",
+    "L3 (hash-grade evidence for the IVF-PQ composite via planted twins)",
+    oracle=_PLANTED_TOP1_ORACLE,
+)
+def l3i_ann_ivfpq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l3h's construction over the IVF-PQ composite (the production
+    ANN shape, rows-only in l26): the twin hard-assigns to its
+    source's coarse list (identical ``ivf_assign`` arithmetic), its
+    RESIDUAL against that list's centroid is identical to the
+    source's and therefore encodes to the same code word, and the
+    twin-query's nearest probed list is its own — so the source is
+    always scanned and scores the maximal q·c + q·quant(r). The same
+    empirical shortlist caveat as l3h applies (code-word sharing
+    within a dense list), handled the same way: rerank=32 exact
+    window, deterministic end to end, verified at sf0.01 AND sf0.1
+    before entering the driver queue."""
+    from actuarial_reserve_modelling_spark.operators.similarity import ann_ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = plant_twins(emb, 50)
+    corpus = emb.unionByName(planted)
+    return ann_ivfpq_topk(
+        corpus,
+        planted,
+        k=1,
+        n_centroids=16,
+        nprobe=4,
+        m_subspaces=8,
+        n_codes=16,
+        rerank=32,
+    )

@@ -48,12 +48,17 @@ _ROUND8_FRONT = [
     #    this window every registry row's latest driver check is ≤4
     #    rounds old. All pass tools/check_oracle on round-8 code.
     #    ROUND-9 QUEUE: l3g_ann_ivf_hier_top1_planted (NEW in r8 — the
-    #    hierarchical ANN index's planted-twin slice) and
+    #    hierarchical ANN index's planted-twin slice),
     #    q2_min_cost_supplier (supplycost output hardened from
     #    round(,4) to boundary-free floor(x*1e4) after a half-way
-    #    rounding flip at sf0.1) must lead _ROUND9_FRONT — both
-    #    hash-green locally at sf0.01 AND sf0.1 — then backfill with
-    #    the rows whose evidence is oldest (the r5-era family).
+    #    rounding flip at sf0.1), and l3h_ann_pq_top1_planted /
+    #    l3i_ann_ivfpq_top1_planted (NEW in r8 — hash-grade slices for
+    #    the PQ and IVF-PQ paths, completing the ANN family), and
+    #    a13b_bloom_join_exactness (NEW in r8 — the bloom sketch's
+    #    no-false-negative identity as a hash oracle) must lead
+    #    _ROUND9_FRONT — all hash-green locally at sf0.01 AND sf0.1 —
+    #    then backfill with the rows whose evidence is oldest (the
+    #    r5-era family).
     "a7c_grouping_sets",
     "a9_stats_aggregates",
     "a10b_approx_percentile",

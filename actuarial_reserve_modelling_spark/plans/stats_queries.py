@@ -333,6 +333,47 @@ def a13_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(true_hits.agg(F.count(F.lit(1)).alias("n_true")))
 
 
+@register(
+    "a13b_bloom_join_exactness",
+    "A6 (sketch family), J3 (hash-grade no-false-negative slice)",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_true_hits
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def a13b_bloom_join_exactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-grade slice of a13's bloom pre-filter: a Bloom filter has
+    NO false negatives, so bloom-prefilter → exact semi-join must
+    equal the plain semi-join row for row — an engine-independent
+    identity DuckDB can state without knowing xxhash64. This pins the
+    sketch plumbing end to end (a member's own bucket is always in the
+    set, so no true hit is dropped map-side), while a13 keeps the
+    rows-only view of the false-positive rate. 100 TB shape: the
+    broadcast sketch prunes the fact scan before the shuffle — the
+    whole point of the operator — and the final agg is |priorities|
+    rows."""
+    nbits = 65536
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = cust.agg(
+        F.collect_set(F.pmod(F.xxhash64("c_custkey"), F.lit(nbits))).alias("buckets")
+    )
+    filtered = orders.join(F.broadcast(sketch)).filter(
+        F.array_contains("buckets", F.pmod(F.xxhash64("o_custkey"), F.lit(nbits)))
+    )
+    exact = cust.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    true_hits = filtered.join(exact, "o_custkey", "left_semi")
+    return true_hits.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_true_hits")
+    )
+
+
 @register("o6_tablesample", "O3 (sampling)", oracle=None)
 def o6_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling — deterministic within Spark (seed
