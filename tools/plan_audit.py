@@ -132,6 +132,12 @@ ALLOWED: dict[str, Allow] = {
         # summary aggregates (n_bloom_pass x n_true)
         max_occurrences=3,
     ),
+    "a13b_bloom_join_exactness": Allow(
+        "BroadcastNestedLoopJoin",
+        "one-row bloom-filter aggregate broadcast to the probe side (a13's sketch shape; no final crossJoin here)",
+        probe=_a13_sketch,
+        max_rows=1,
+    ),
     "q20_excess_shipments": Allow(
         "BroadcastNestedLoopJoin",
         "one-row total-quantity scalar broadcast (decorrelated Q20 threshold)",
