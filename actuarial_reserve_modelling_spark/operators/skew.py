@@ -11,11 +11,14 @@ explicit forms for when you know the skew ahead of time:
   spread over ``num_salts`` reducers instead of one.
 * ``salted_join`` — replicate the small side per salt and burst the big
   side's hot keys: equivalent join output, no single monster partition.
+* ``salted_topk`` — two-phase top-k per group for hot keys: Spark's own
+  WindowGroupLimit already bounds the rank window's sort memory, but the
+  whole group still shuffles to ONE reducer; salting splits it first.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,3 +66,54 @@ def salted_join(
     )
     out = big_s.join(small_s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: list[str],
+    order: list[Column],
+    k: int,
+    num_salts: int = 16,
+    salt_cols: list[str] | None = None,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Two-phase skew-safe top-k per group — identical output to
+    ``row_number() OVER (PARTITION BY keys ORDER BY order) <= k``
+    PROVIDED ``order`` is a total order within each group (ties broken
+    by a unique column); with ties unresolved either form is free to
+    pick any of the tied rows and the equivalence (and the oracle
+    check) breaks.
+
+    Why not just the plain window: Spark inserts WindowGroupLimit on a
+    ``row_number() <= k`` filter, which caps the SORT (each map task and
+    each reducer keeps only k rows per group before/after the exchange)
+    — but the exchange still hashes on ``keys`` alone, so a hot key's
+    surviving rows (k per upstream map partition — at 100 TB that is
+    k × hundreds of thousands of map tasks) all land on ONE reducer's
+    sort. Phase 1 here partitions by (keys, salt) instead, spreading
+    that merge across ``num_salts`` reducers; phase 2 re-ranks the
+    ≤ num_salts·k survivors per key — a trivially small window.
+
+    The salt is a CONTENT hash (``xxhash64`` of ``salt_cols``, default:
+    every column) rather than ``rand()``: a retried phase-1 task
+    re-derives the same salt for every row, so speculative execution
+    and partial stage retries cannot route a row to two different
+    sub-groups (with exactly-k semantics that would double-count it);
+    rand()-salting is only safe for algebraic aggregates like
+    ``salted_aggregate`` where a row's sub-group choice never changes
+    the merged result.
+    """
+    salt_src = [F.col(c) for c in (salt_cols or df.columns)]
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(num_salts))
+    )
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )

@@ -183,3 +183,44 @@ def w12_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "w13_salted_topk",
+    "W4,A12-family (skew-safe two-phase top-k)",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w13_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe top-3 orders per customer via operators/skew.py::
+    salted_topk — the two-phase form whose phase-1 exchange hashes on
+    (key, salt) so a hot customer's surviving rows spread over
+    num_salts reducers instead of one (WindowGroupLimit bounds each
+    phase's sort to k rows per group on both sides of its exchange).
+    The oracle is the PLAIN single-window answer: (o_totalprice DESC,
+    o_orderkey) is a total order within each customer, so the salted
+    plan must reproduce it row for row — the equivalence claim under
+    test."""
+    from actuarial_reserve_modelling_spark.operators.skew import salted_topk
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = salted_topk(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey"],
+        order=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+        num_salts=8,
+        salt_cols=["o_orderkey"],
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )

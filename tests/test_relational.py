@@ -340,3 +340,33 @@ def test_bucketed_join_has_no_exchange(spark):
         assert spark.table("t_bkt_cust").count() == cust.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_topk_equals_plain_window_on_skewed_input(spark):
+    """salted_topk must reproduce the plain rank-window answer row for
+    row when the order is total — including on the skew shape it
+    exists for (one key holding most of the rows), and its phase-1
+    exchange must hash on (key, salt) with a WindowGroupLimit on each
+    side of both exchanges."""
+    from pyspark.sql import Window
+
+    from actuarial_reserve_modelling_spark.operators.skew import salted_topk
+
+    # hot key 0 has 5000 rows; 50 cold keys have 10 each
+    rows = [(0, i, float((i * 37) % 991)) for i in range(5000)]
+    rows += [(k, 10_000 + k * 10 + j, float(j * k)) for k in range(1, 51) for j in range(10)]
+    df = spark.createDataFrame(rows, "key int, id long, score double")
+
+    order = [F.col("score").desc(), F.col("id")]
+    got = salted_topk(df, keys=["key"], order=order, k=5, num_salts=8, salt_cols=["id"])
+    w = Window.partitionBy("key").orderBy(*order)
+    want = (
+        df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    )
+    got_rows = {tuple(r) for r in got.select("key", "id", "score", "rn").collect()}
+    want_rows = {tuple(r) for r in want.select("key", "id", "score", "rn").collect()}
+    assert got_rows == want_rows and len(want_rows) == 51 * 5
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final, both phases
+    assert "_salt" in plan.split("Window ")[0] or "_salt" in plan
