@@ -106,42 +106,60 @@ def _signatures_from_hashed(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        # mapInArrow (r8): the token lists arrive as an Arrow ListArray
+        # whose flat values buffer IS the concatenated form this kernel
+        # always wanted — the pandas version re-built it per batch from
+        # n per-row Python lists (~1 s per 200k rows of pure conversion
+        # before any hashing; see operators/arrowkit.py). Arithmetic is
+        # unchanged bit for bit, so signatures — and every hash-compared
+        # pair set downstream — are identical.
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import (
+            int_col,
+            ragged_values,
+            rows_to_list_array,
+        )
+
         # keep the (num_hashes × chunk_tokens) work matrix under ~512 MB
         chunk_token_budget = max(1, (1 << 26) // num_hashes)
 
-        for pdf in batches:
-            n = len(pdf)
-            tok_lists = [np.asarray(t, dtype=np.int64) for t in pdf["htok"]]
-            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+        for batch in batches:
+            ids = int_col(batch.column("doc_id"))
+            values, lens, _ = ragged_values(batch.column("htok"))
+            ends = np.cumsum(lens)
+            n = len(ids)
             sig_rows = np.zeros((n, num_hashes), dtype=np.int64)
-            # chunked batch vectorization: concatenate token hashes for a
-            # run of docs, broadcast all hash functions over the flat
-            # array, segment-minimize with minimum.reduceat — one numpy
-            # dispatch per chunk instead of one per document
+            # chunked batch vectorization: one flat-slice of token hashes
+            # per run of docs, broadcast all hash functions over it,
+            # segment-minimize with minimum.reduceat — one numpy dispatch
+            # per chunk instead of one per document
             start = 0
             while start < n:
                 end, tot = start, 0
                 while end < n and (end == start or tot + lens[end] <= chunk_token_budget):
                     tot += lens[end]
                     end += 1
-                nonempty = [i for i in range(start, end) if lens[i] > 0]
-                if nonempty:
-                    base = np.concatenate([tok_lists[i] for i in nonempty]).view(
-                        np.uint64
-                    )
-                    bounds = np.concatenate(
-                        ([0], np.cumsum(lens[nonempty])[:-1])
-                    ).astype(np.int64)
+                nonempty = np.nonzero(lens[start:end])[0] + start
+                if len(nonempty):
+                    lo = ends[start - 1] if start else 0
+                    # empty rows contribute nothing to the values buffer,
+                    # so the chunk's tokens are one contiguous slice
+                    base = values[lo : ends[end - 1]].view(np.uint64)
+                    bounds = (ends[nonempty] - lens[nonempty] - lo).astype(np.int64)
                     m = a[:, None] * base[None, :] + b[:, None]  # (k, tot)
                     mins = np.minimum.reduceat(m, bounds, axis=1)  # (k, docs)
                     sig_rows[nonempty, :] = mins.T.view(np.int64)
                 start = end
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": list(sig_rows)})
+            yield pa.record_batch(
+                [pa.array(ids, type=pa.int64()), rows_to_list_array(sig_rows, pa.int64())],
+                names=["doc_id", "sig"],
+            )
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    return spread_for_kernel(hashed).mapInPandas(kernel, schema=schema)
+    return spread_for_kernel(hashed).mapInArrow(kernel, schema=schema)
 
 
 def lsh_candidate_pairs(

@@ -109,20 +109,26 @@ def hyperplane_signatures(
         [T.StructField(id_col, T.LongType()), T.StructField("sig", T.LongType())]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import fixed_vecs, int_col
+
         planes = np.random.default_rng(seed).standard_normal((dim, num_planes))
-        for pdf in batches:
-            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if len(vecs) == 0:
-                yield pd.DataFrame({id_col: [], "sig": []})
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
+            vecs = fixed_vecs(batch.column(vec_col), d=dim)
             bits = (vecs @ planes) > 0
             sig = bits @ (1 << np.arange(num_planes, dtype=np.int64))
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sig})
+            yield pa.record_batch(
+                [pa.array(int_col(batch.column(id_col))), pa.array(sig)],
+                names=[id_col, "sig"],
+            )
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    return spread_for_kernel(embeddings.select(id_col, vec_col)).mapInPandas(
+    return spread_for_kernel(embeddings.select(id_col, vec_col)).mapInArrow(
         kernel, schema=schema
     )
 
@@ -154,7 +160,11 @@ def hyperplane_signatures_multi(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import fixed_vecs, int_col
+
         planes = np.concatenate(
             [
                 np.random.default_rng(seed + t).standard_normal((dim, num_planes))
@@ -164,25 +174,25 @@ def hyperplane_signatures_multi(
         )  # (dim, tables * planes)
         weights = 1 << np.arange(num_planes, dtype=np.int64)
         tables = np.arange(num_tables, dtype=np.int32)
-        for pdf in batches:
-            n = len(pdf)
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
-                yield pd.DataFrame({id_col: [], "table": [], "sig": []})
                 continue
-            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            vecs = fixed_vecs(batch.column(vec_col), d=dim)
             bits = (vecs @ planes) > 0  # (n, tables * planes)
             sig = bits.reshape(n, num_tables, num_planes) @ weights  # (n, tables)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(np.asarray(pdf[id_col], dtype=np.int64), num_tables),
-                    "table": np.tile(tables, n),
-                    "sig": sig.reshape(-1),
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(int_col(batch.column(id_col)), num_tables)),
+                    pa.array(np.tile(tables, n), type=pa.int32()),
+                    pa.array(sig.reshape(-1)),
+                ],
+                names=[id_col, "table", "sig"],
             )
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    return spread_for_kernel(embeddings.select(id_col, vec_col)).mapInPandas(
+    return spread_for_kernel(embeddings.select(id_col, vec_col)).mapInArrow(
         kernel, schema=schema
     )
 
@@ -682,15 +692,17 @@ def ivf_train_centroids(
         cent_sq = (cent * cent).sum(axis=1)
         k, d = cent.shape
 
-        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def partials(batches):
+            import pyarrow as pa
+
+            from actuarial_reserve_modelling_spark.operators.arrowkit import fixed_vecs
+
             sums = np.zeros((k, d), dtype=np.int64)
             counts = np.zeros(k, dtype=np.int64)
-            for pdf in batches:
-                if len(pdf) == 0:
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
-                vecs = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
+                vecs = fixed_vecs(batch.column(vec_col), d=d)
                 d2 = cent_sq[None, :] - 2.0 * (vecs @ cent.T)
                 a = d2.argmin(axis=1)  # first occurrence -> lowest index
                 np.add.at(sums, a, np.round(vecs * 1e8).astype(np.int64))
@@ -701,11 +713,18 @@ def ivf_train_centroids(
             vals = np.concatenate(
                 [np.concatenate(([counts[c]], sums[c])) for c in nz]
             ) if len(nz) else np.array([], dtype=np.int64)
-            yield pd.DataFrame({"cluster": cl, "dim": dims, "s": vals})
+            yield pa.record_batch(
+                [
+                    pa.array(cl, type=pa.int32()),
+                    pa.array(dims, type=pa.int32()),
+                    pa.array(vals.astype(np.int64)),
+                ],
+                names=["cluster", "dim", "s"],
+            )
 
         rows = (
             spread_for_kernel(embeddings.select(id_col, vec_col))
-            .mapInPandas(partials, schema=part_schema)
+            .mapInArrow(partials, schema=part_schema)
             .groupBy("cluster", "dim")
             .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
             .collect()
@@ -737,28 +756,30 @@ def ivf_assign(
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
     cent_sq = (cent * cent).sum(axis=1)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({id_col: [], "cluster": []})
+    def kernel(batches):
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import fixed_vecs, int_col
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            vecs = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
+            vecs = fixed_vecs(batch.column(vec_col), d=cent.shape[1])
             # ||v-c||² = ||v||² - 2 v·c + ||c||²; ||v||² constant per row
             d2 = cent_sq[None, :] - 2.0 * (vecs @ cent.T)
             # O(k) selection with the same tie rule as stable argsort
             order = _stable_top_nprobe(d2, nprobe)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(np.asarray(pdf[id_col]), order.shape[1]),
-                    "cluster": order.astype(np.int32).ravel(),
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(int_col(batch.column(id_col)), order.shape[1])),
+                    pa.array(order.astype(np.int32).ravel(), type=pa.int32()),
+                ],
+                names=[id_col, "cluster"],
             )
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    return spread_for_kernel(embeddings.select(id_col, vec_col)).mapInPandas(
+    return spread_for_kernel(embeddings.select(id_col, vec_col)).mapInArrow(
         kernel, schema=schema
     )
 
@@ -782,23 +803,31 @@ def _ivf_residuals(
     )
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({id_col: [], "cluster": [], vec_col: []})
+    def kernel(batches):
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import (
+            fixed_vecs,
+            int_col,
+            rows_to_list_array,
+        )
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            clusters = np.asarray(pdf["cluster"], dtype=np.int64)
+            vecs = fixed_vecs(batch.column(vec_col), d=cent.shape[1])
+            clusters = int_col(batch.column("cluster"))
             res = vecs - cent[clusters]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "cluster": pdf["cluster"],
-                    vec_col: list(res),
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(int_col(batch.column(id_col))),
+                    pa.array(clusters.astype(np.int32), type=pa.int32()),
+                    rows_to_list_array(res, pa.float64()),
+                ],
+                names=[id_col, "cluster", vec_col],
             )
 
-    return with_cluster.select(id_col, "cluster", vec_col).mapInPandas(
+    return with_cluster.select(id_col, "cluster", vec_col).mapInArrow(
         kernel, schema=schema
     )
 
@@ -1224,15 +1253,19 @@ def pq_train_codebooks(
         bk = books.copy()
         bk_sq = (bk * bk).sum(axis=2)  # (m, n_codes)
 
-        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def partials(batches):
+            import pyarrow as pa
+
+            from actuarial_reserve_modelling_spark.operators.arrowkit import fixed_vecs
+
             sums = np.zeros((m, n_codes, ds), dtype=np.int64)
             counts = np.zeros((m, n_codes), dtype=np.int64)
-            for pdf in batches:
-                if len(pdf) == 0:
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
-                vecs = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                ).reshape(len(pdf), m, ds)
+                vecs = fixed_vecs(batch.column(vec_col), d=m * ds).reshape(
+                    batch.num_rows, m, ds
+                )
                 for j in range(m):
                     sv = vecs[:, j, :]
                     d2 = bk_sq[j][None, :] - 2.0 * (sv @ bk[j].T)
@@ -1247,18 +1280,19 @@ def pq_train_codebooks(
                     dims.extend(range(-1, ds))
                     vals.append(counts[j, c])
                     vals.extend(sums[j, c])
-            yield pd.DataFrame(
-                {
-                    "sub": np.asarray(subs, dtype=np.int32),
-                    "cluster": np.asarray(cls, dtype=np.int32),
-                    "dim": np.asarray(dims, dtype=np.int32),
-                    "s": np.asarray(vals, dtype=np.int64),
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(np.asarray(subs, dtype=np.int32), type=pa.int32()),
+                    pa.array(np.asarray(cls, dtype=np.int32), type=pa.int32()),
+                    pa.array(np.asarray(dims, dtype=np.int32), type=pa.int32()),
+                    pa.array(np.asarray(vals, dtype=np.int64)),
+                ],
+                names=["sub", "cluster", "dim", "s"],
             )
 
         rows = (
             spread_for_kernel(embeddings.select(id_col, vec_col))
-            .mapInPandas(partials, schema=part_schema)
+            .mapInArrow(partials, schema=part_schema)
             .groupBy("sub", "cluster", "dim")
             .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
             .collect()
@@ -1300,23 +1334,36 @@ def pq_encode(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame({id_col: [], "codes": []})
+    def kernel(batches):
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import (
+            fixed_vecs,
+            int_col,
+            rows_to_list_array,
+        )
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            n = len(vecs)
+            vecs = fixed_vecs(batch.column(vec_col), d=m * ds)
+            n = batch.num_rows
             codes = np.empty((n, m), dtype=np.int32)
             for j in range(m):
                 sub = vecs[:, j * ds : (j + 1) * ds]
                 d2 = books_sq[j][None, :] - 2.0 * (sub @ books[j].T)
                 codes[:, j] = np.argmin(d2, axis=1)  # first minimum = lowest idx
-            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+            yield pa.record_batch(
+                [
+                    pa.array(int_col(batch.column(id_col))),
+                    rows_to_list_array(codes, pa.int32()),
+                ],
+                names=[id_col, "codes"],
+            )
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    return spread_for_kernel(embeddings.select(id_col, vec_col)).mapInPandas(
+    return spread_for_kernel(embeddings.select(id_col, vec_col)).mapInArrow(
         kernel, schema=schema
     )
 
@@ -1389,25 +1436,20 @@ def ann_pq_topk(
     nq = len(q_rows)
     top_r = rerank * k
 
-    def adc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
-                "adc": pd.Series([], dtype="float64"),
-            }
-        )
+    def adc_kernel(batches):
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import fixed_vecs, int_col
+
         if nq == 0:
-            yield empty
             return
         luts = [q_mat[:, j * ds : (j + 1) * ds] @ books[j].T for j in range(m)]
-        for pdf in batches:
-            n = len(pdf)
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
-                yield empty
                 continue
-            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            cds = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            nid = int_col(batch.column("neighbor_id"))
+            cds = fixed_vecs(batch.column("codes"), d=m, dtype=np.int64)
             # pre-sort columns by neighbor_id so the stable argsort below
             # breaks adc ties by ascending id — the same total order the
             # downstream window uses
@@ -1424,19 +1466,20 @@ def ann_pq_topk(
             rows_n = nid[top].ravel()
             rows_a = np.take_along_axis(adc, top, axis=1).ravel()
             keep = np.isfinite(rows_a)
-            yield pd.DataFrame(
-                {
-                    "query_id": rows_q[keep],
-                    "neighbor_id": rows_n[keep],
-                    "adc": rows_a[keep],
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(rows_q[keep]),
+                    pa.array(rows_n[keep]),
+                    pa.array(rows_a[keep], type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "adc"],
             )
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
     scored = spread_for_kernel(
         codes.select(F.col(id_col).alias("neighbor_id"), "codes")
-    ).mapInPandas(adc_kernel, schema=out_schema)
+    ).mapInArrow(adc_kernel, schema=out_schema)
     w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
     cand = (
         scored.withColumn("r", F.row_number().over(w_adc))
@@ -1560,26 +1603,21 @@ def ann_ivfpq_topk(
         ]
     )
 
-    def adc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
-                "adc": pd.Series([], dtype="float64"),
-            }
-        )
+    def adc_kernel(batches):
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import fixed_vecs, int_col
+
         if nq == 0:
-            yield empty
             return
         luts = [q_mat[:, j * ds : (j + 1) * ds] @ books_c[j].T for j in range(m)]
-        for pdf in batches:
-            n = len(pdf)
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
-                yield empty
                 continue
-            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            cl = pdf["cluster"].to_numpy(dtype=np.int64)
-            cds = np.array([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            nid = int_col(batch.column("neighbor_id"))
+            cl = int_col(batch.column("cluster"))
+            cds = fixed_vecs(batch.column("codes"), d=m, dtype=np.int64)
             ordn = np.argsort(nid, kind="stable")
             nid, cl, cds = nid[ordn], cl[ordn], cds[ordn]
             adc = qc_offset[:, cl]  # (nq, n): q·centroid of each row's list
@@ -1593,12 +1631,13 @@ def ann_ivfpq_topk(
             rows_n = nid[top].ravel()
             rows_a = np.take_along_axis(adc, top, axis=1).ravel()
             keep = np.isfinite(rows_a)
-            yield pd.DataFrame(
-                {
-                    "query_id": rows_q[keep],
-                    "neighbor_id": rows_n[keep],
-                    "adc": rows_a[keep],
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(rows_q[keep]),
+                    pa.array(rows_n[keep]),
+                    pa.array(rows_a[keep], type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "adc"],
             )
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
@@ -1606,7 +1645,7 @@ def ann_ivfpq_topk(
     scan = codes.filter(F.col("cluster").isin(probed_clusters)).select(
         F.col(id_col).alias("neighbor_id"), "cluster", "codes"
     )
-    scored = spread_for_kernel(scan).mapInPandas(adc_kernel, schema=out_schema)
+    scored = spread_for_kernel(scan).mapInArrow(adc_kernel, schema=out_schema)
     w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), "neighbor_id")
     cand = (
         scored.withColumn("r", F.row_number().over(w_adc))
