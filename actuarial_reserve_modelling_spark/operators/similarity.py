@@ -84,12 +84,29 @@ def cosine_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """L4: all pairs with cosine ≥ threshold (exact self-join form —
-    correctness baseline; use ann_lsh blocking at scale)."""
-    a = embeddings.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
-    b = embeddings.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
+    correctness baseline; use ann_lsh blocking at scale). Self-dots are
+    precomputed per VECTOR (bit-identical restructuring of cosine();
+    see lsh_cosine_pairs) so the n² pair stage runs one interpreted
+    dot per pair, not three."""
+    a = embeddings.select(
+        F.col(id_col).alias("v1"),
+        F.col(vec_col).alias("e1"),
+        dot(vec_col, vec_col).alias("daa"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("v2"),
+        F.col(vec_col).alias("e2"),
+        dot(vec_col, vec_col).alias("dbb"),
+    )
     return (
         a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
-        .select("v1", "v2", F.round(cosine("e1", "e2"), 6).alias("sim"))
+        .select(
+            "v1",
+            "v2",
+            F.round(
+                dot("e1", "e2") / F.sqrt(F.col("daa") * F.col("dbb")), 6
+            ).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 
@@ -294,8 +311,23 @@ def lsh_cosine_pairs(
         )
         .distinct()
     )
-    a = embeddings.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
-    b = embeddings.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
+    # self-dots precomputed ONCE per vector (n rows) instead of twice per
+    # candidate pair: sim = dot(e1,e2)/sqrt(daa·dbb) runs ONE interpreted
+    # higher-order dot per pair instead of three. BIT-IDENTICAL to
+    # cosine(): dot(a,a) yields the same double wherever it's evaluated
+    # and the sqrt(daa*dbb) operand order is unchanged — unlike the
+    # n1*n2 norm-product form ivf_cosine_pairs uses (1-ulp different),
+    # this keeps the hash-compared l4-family sims exact.
+    a = embeddings.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("e1"),
+        dot("embedding", "embedding").alias("daa"),
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("e2"),
+        dot("embedding", "embedding").alias("dbb"),
+    )
     # no broadcast hint on the embeddings table: this is the 100 TB pair
     # path, so the build side is unbounded — AQE promotes to broadcast at
     # runtime only when the table actually fits (the hint would force an
@@ -303,7 +335,13 @@ def lsh_cosine_pairs(
     return (
         cand.join(a, "v1")
         .join(b, "v2")
-        .select("v1", "v2", F.round(cosine("e1", "e2"), 6).alias("sim"))
+        .select(
+            "v1",
+            "v2",
+            F.round(
+                dot("e1", "e2") / F.sqrt(F.col("daa") * F.col("dbb")), 6
+            ).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 
@@ -610,27 +648,41 @@ def _hierarchical_ivf_lists(
         [T.StructField(id_col, T.LongType()), T.StructField("cluster", T.LongType())]
     )
 
-    def children(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        ids = np.asarray(pdf[id_col], dtype=np.int64)
-        sup_id = np.int64(pdf["_super"].iloc[0]) << np.int64(32)
+    def children(table):
+        # applyInArrow (r8): ids/vectors come straight off the Arrow
+        # buffers (the pandas form paid a per-row list loop over up to
+        # _GROUP_CAP rows per group). Row order inside the group is
+        # pinned the same way — ascending id (ids are unique, so any
+        # stable/unstable sort agrees) — before any float work, so
+        # _local_kmeans sees the identical accumulation order and every
+        # assignment is bit-identical to the pandas form.
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import fixed_vecs, int_col
+
+        ids = int_col(table.column(id_col))
+        order = np.argsort(ids)
+        ids = ids[order]
+        sup_id = np.int64(int_col(table.column("_super"))[0]) << np.int64(32)
         size = len(ids)
         k2 = max(1, size * child_nprobe // leaf_target)
         if k2 == 1 or size < 2:
-            return pd.DataFrame({id_col: ids, "cluster": np.full(size, sup_id)})
-        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            return pa.table(
+                {id_col: pa.array(ids), "cluster": pa.array(np.full(size, sup_id))}
+            )
+        vecs = fixed_vecs(table.column(vec_col))[order]
         cent = _local_kmeans(vecs, ids, k2, iters)
         d2 = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
         m = min(child_probe, k2)
         probes = _stable_top_nprobe(d2, m)
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: np.repeat(ids, m),
-                "cluster": sup_id + probes.astype(np.int64).ravel(),
+                id_col: pa.array(np.repeat(ids, m)),
+                "cluster": pa.array(sup_id + probes.astype(np.int64).ravel()),
             }
         )
 
-    return members.groupBy("_super").applyInPandas(children, schema=schema)
+    return members.groupBy("_super").applyInArrow(children, schema=schema)
 
 
 def ivf_train_centroids(
@@ -1021,13 +1073,26 @@ def ivf_hier_build(
         ]
     )
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        ids = np.asarray(pdf[id_col], dtype=np.int64)
-        sup_id = int(pdf["_super"].iloc[0])
+    def build(table):
+        # applyInArrow (r8): same sort-by-unique-id row pinning as the
+        # pandas form, vectors straight off the Arrow buffers. Member
+        # rows carry a NULL centroid and centroid rows a NULL id — the
+        # two validity masks express that directly.
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import (
+            fixed_vecs,
+            int_col,
+            rows_to_list_array,
+        )
+
+        ids = int_col(table.column(id_col))
+        order = np.argsort(ids)
+        ids = ids[order]
+        sup_id = int(int_col(table.column("_super"))[0])
         size = len(ids)
         k2 = max(1, size // leaf)
-        vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        vecs = fixed_vecs(table.column(vec_col))[order]
         if k2 == 1:
             cent = vecs.mean(axis=0, keepdims=True) if size else vecs
             assign = np.zeros(size, dtype=np.int64)
@@ -1035,25 +1100,32 @@ def ivf_hier_build(
             cent = _local_kmeans(vecs, ids, k2, iters)
             d2 = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
             assign = d2.argmin(axis=1)  # hard, lowest-index ties
-        member_rows = pd.DataFrame(
+        nc = len(cent)
+        id_arr = pa.array(
+            np.concatenate([ids, np.zeros(nc, dtype=np.int64)]),
+            mask=np.concatenate([np.zeros(size, bool), np.ones(nc, bool)]),
+        )
+        cent_list = rows_to_list_array(cent, pa.float64())
+        centroid_arr = pa.concat_arrays(
+            [pa.nulls(size, type=pa.list_(pa.float64())), cent_list]
+        )
+        return pa.table(
             {
-                id_col: pd.array(ids, dtype="Int64"),
-                "super": np.full(size, sup_id, dtype=np.int32),
-                "child": assign.astype(np.int32),
-                "centroid": [None] * size,
+                id_col: id_arr,
+                "super": pa.array(
+                    np.full(size + nc, sup_id, dtype=np.int32), type=pa.int32()
+                ),
+                "child": pa.array(
+                    np.concatenate(
+                        [assign.astype(np.int32), np.arange(nc, dtype=np.int32)]
+                    ),
+                    type=pa.int32(),
+                ),
+                "centroid": centroid_arr,
             }
         )
-        cent_rows = pd.DataFrame(
-            {
-                id_col: pd.array([None] * len(cent), dtype="Int64"),
-                "super": np.full(len(cent), sup_id, dtype=np.int32),
-                "child": np.arange(len(cent), dtype=np.int32),
-                "centroid": [list(c) for c in cent],
-            }
-        )
-        return pd.concat([member_rows, cent_rows], ignore_index=True)
 
-    index = members.groupBy("_super").applyInPandas(build, schema=schema)
+    index = members.groupBy("_super").applyInArrow(build, schema=schema)
     # one materialization: downstream splits this frame twice (lists +
     # centroid table) and Spark would otherwise re-run the whole build
     # — including k-means training — once per reference
