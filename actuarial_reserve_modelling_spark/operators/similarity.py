@@ -41,6 +41,19 @@ def cosine(a: str, b: str):
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def cosine_from_sq(a: str, b: str, asq: str, bsq: str):
+    """``cosine()`` with the self-dots precomputed per ROW and carried
+    as columns: one interpreted higher-order dot per scored pair
+    instead of three. BIT-IDENTICAL to ``cosine()`` — ``dot(x, x)``
+    yields the same double wherever it is evaluated and the
+    ``sqrt(asq·bsq)`` operand order matches ``sqrt(dot·dot)`` — so
+    every hash-compared ``sim`` is unchanged. Spark evaluates
+    zip_with/aggregate OUTSIDE codegen, so on a join producing P
+    scored pairs this trades 3P interpreted dots for P + the two
+    sides' row counts."""
+    return dot(a, b) / F.sqrt(F.col(asq) * F.col(bsq))
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -55,10 +68,14 @@ def cosine_topk(
     engines; ties broken by neighbor id. Excludes self-matches.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        dot(vec_col, vec_col).alias("dqq"),
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        dot(vec_col, vec_col).alias("dcc"),
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -66,7 +83,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("qvec", "cvec"), 6).alias("sim"),
+            F.round(cosine_from_sq("qvec", "cvec", "dqq", "dcc"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
@@ -245,12 +262,24 @@ def ann_lsh_topk(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
-    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        dot("embedding", "embedding").alias("dqq"),
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        dot("embedding", "embedding").alias("dcc"),
+    )
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", F.round(cosine("qvec", "cvec"), 6).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_from_sq("qvec", "cvec", "dqq", "dcc"), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -982,12 +1011,24 @@ def _rerank_topk(
     (queries broadcast per the bounded-query contract; the corpus side
     is the unbounded one and joins shuffled/AQE) → 6-dp rounded sim →
     top-k per query with ties broken by neighbor id."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        dot(vec_col, vec_col).alias("dqq"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        dot(vec_col, vec_col).alias("dcc"),
+    )
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", F.round(cosine("qvec", "cvec"), 6).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_from_sq("qvec", "cvec", "dqq", "dcc"), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -1558,11 +1599,26 @@ def ann_pq_topk(
         .filter(F.col("r") <= rerank * k)
         .select("query_id", "neighbor_id")
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        dot(vec_col, vec_col).alias("dcc"),
+    )
+    # corpus self-dot precomputed per row (bit-identical cosine()
+    # restructuring — see cosine_from_sq); the query side stays inline:
+    # it is the bounded, broadcast side, not worth a column
     exact = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", F.round(cosine("qvec", "cvec"), 6).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot("qvec", "cvec")
+                / F.sqrt(dot("qvec", "qvec") * F.col("dcc")),
+                6,
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -1724,11 +1780,26 @@ def ann_ivfpq_topk(
         .filter(F.col("r") <= top_r)
         .select("query_id", "neighbor_id")
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        dot(vec_col, vec_col).alias("dcc"),
+    )
+    # corpus self-dot precomputed per row (bit-identical cosine()
+    # restructuring — see cosine_from_sq); the query side stays inline:
+    # it is the bounded, broadcast side, not worth a column
     exact = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", F.round(cosine("qvec", "cvec"), 6).alias("sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot("qvec", "cvec")
+                / F.sqrt(dot("qvec", "qvec") * F.col("dcc")),
+                6,
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
@@ -1843,13 +1914,23 @@ def lsh_cosine_dedup_against_index(
         .select("new_id", "index_id")
         .distinct()
     )
-    a = new_vecs.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("e1"))
-    b = vec_index.select(F.col(id_col).alias("index_id"), F.col(vec_col).alias("e2"))
+    a = new_vecs.select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("e1"),
+        dot(vec_col, vec_col).alias("daa"),
+    )
+    b = vec_index.select(
+        F.col(id_col).alias("index_id"),
+        F.col(vec_col).alias("e2"),
+        dot(vec_col, vec_col).alias("dbb"),
+    )
     return (
         cand.join(a, "new_id")
         .join(b, "index_id")
         .select(
-            "new_id", "index_id", F.round(cosine("e1", "e2"), 6).alias("sim")
+            "new_id",
+            "index_id",
+            F.round(cosine_from_sq("e1", "e2", "daa", "dbb"), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
