@@ -1061,3 +1061,39 @@ def test_ivf_hier_topk_planted_recall_determinism_and_index_shape(spark):
         cents.select("super", "child"), ["super", "child"], "left_anti"
     )
     assert dangling.count() == 0
+
+
+def test_arrowkit_respects_slices_and_chunks():
+    """The zero-copy helpers must read ONLY their own rows when Spark
+    hands the kernel a SLICED batch (Arrow slices on the
+    maxRecordsPerBatch boundary share the parent's values buffer — a
+    naive .values read would see the neighbor rows' elements) and must
+    accept chunked columns."""
+    import numpy as np
+    import pyarrow as pa
+
+    from actuarial_reserve_modelling_spark.operators.arrowkit import (
+        fixed_vecs,
+        int_col,
+        ragged_values,
+        rows_to_list_array,
+    )
+
+    full = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]])
+    sliced = full.slice(1, 2)  # rows [3,4],[5,6] — values buffer shared
+    assert np.array_equal(fixed_vecs(sliced), np.array([[3.0, 4.0], [5.0, 6.0]]))
+
+    rag = pa.array([[1, 2, 3], [], [4], [5, 6]], type=pa.list_(pa.int64()))
+    vals, lens, bounds = ragged_values(rag.slice(1, 3))  # [], [4], [5,6]
+    assert np.array_equal(vals, [4, 5, 6])
+    assert np.array_equal(lens, [0, 1, 2])
+    assert np.array_equal(bounds, [0, 1])  # starts of the NON-EMPTY rows
+
+    chunked = pa.chunked_array([full.slice(0, 2), full.slice(2, 2)])
+    assert np.array_equal(fixed_vecs(chunked), fixed_vecs(full))
+
+    ids = pa.chunked_array([pa.array([7, 8]), pa.array([9])])
+    assert np.array_equal(int_col(ids), [7, 8, 9])
+
+    back = rows_to_list_array(np.array([[1, 2], [3, 4]]), pa.int64())
+    assert back.to_pylist() == [[1, 2], [3, 4]]
