@@ -713,3 +713,51 @@ def dsir_importance_weights(
             F.round(F.coalesce("_s", F.lit(0)) / 1e9, 6).alias("logw"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style overlapping document chunking: the order-preserving
+    whitespace token stream cut into windows of ``chunk_tokens``
+    starting every ``stride`` tokens (``stride < chunk_tokens`` ⇒
+    overlapping windows; the last window of a document may be short).
+    Emits (id, chunk_id, n_chunk_tokens, chunk_md5) — the digest, not
+    the chunk text, so downstream chunk-level dedup/indexing shuffles
+    16-byte hashes (join back by (id, chunk_id) when the text is
+    needed).
+
+    Entirely JVM expressions inside whole-stage codegen — split →
+    sequence → posexplode → slice → md5 — so it is a narrow map over
+    the corpus scan: no shuffle, no Python, embarrassingly parallel at
+    any corpus size. Token-less documents produce no chunks (the
+    sequence guard matters: ``sequence(0, -1, s)`` DESCENDS in Spark
+    SQL — the l17 _PAIRS_EXPR lesson).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("_toks"),
+    )
+    starts = F.expr(
+        f"case when size(_toks) > 0 then sequence(0, size(_toks) - 1, {stride}) "
+        "else cast(array() as array<int>) end"
+    )
+    return (
+        toks.select(F.col(id_col), "_toks", F.posexplode(starts).alias("chunk_id", "_s"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.least(F.lit(chunk_tokens), F.size("_toks") - F.col("_s"))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(F.slice("_toks", F.col("_s") + 1, chunk_tokens), " ")
+            ).alias("chunk_md5"),
+        )
+    )

@@ -55,9 +55,10 @@ _ROUND8_FRONT = [
     #    l3i_ann_ivfpq_top1_planted (NEW in r8 — hash-grade slices for
     #    the PQ and IVF-PQ paths, completing the ANN family), and
     #    a13b_bloom_join_exactness (NEW in r8 — the bloom sketch's
-    #    no-false-negative identity as a hash oracle), and
-    #    w13_salted_topk (NEW in r8 — skew-safe two-phase top-k whose
-    #    oracle is the plain single-window answer) must lead
+    #    no-false-negative identity as a hash oracle), w13_salted_topk
+    #    (NEW in r8 — skew-safe two-phase top-k whose oracle is the
+    #    plain single-window answer), and l33_document_chunking (NEW
+    #    in r8 — RAG-style overlapping chunking, zero-shuffle) must lead
     #    _ROUND9_FRONT — all hash-green locally at sf0.01 AND sf0.1 —
     #    then backfill with the rows whose evidence is oldest (the
     #    r5-era family).

@@ -535,3 +535,36 @@ def l31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         docs, target_pred=F.col("source") == "src0", buckets=4096
     )
+
+
+@register(
+    "l33_document_chunking",
+    "D3,L5 (RAG-style overlapping chunking; narrow map)",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_id,
+           CAST(least(64, len(toks) - start) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def l33_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows every 48 tokens over the
+    order-preserving whitespace token stream (operators/traindata.py::
+    chunk_documents) — the retrieval-corpus prep step between cleaning
+    and embedding. Pure codegen expressions, zero shuffles; the oracle
+    reproduces the identical windows with DuckDB's 1-based inclusive
+    list slicing (toks[s+1 : s+64] ≡ Spark slice(toks, s+1, 64))."""
+    from actuarial_reserve_modelling_spark.operators.traindata import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48)

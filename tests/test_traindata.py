@@ -404,3 +404,32 @@ def test_dsir_target_pred_matches_target_frame(spark):
         dsir_importance_weights(
             docs, docs.limit(1), target_pred=F.col("source") == "tgt"
         )
+
+
+def test_chunk_documents_edges(spark):
+    """Overlap math, short-tail chunks, token-less docs, and the
+    order-preserving (non-distinct) token stream."""
+    from actuarial_reserve_modelling_spark.operators.traindata import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # 5 tokens, chunk=3 stride=2 -> starts 0,2,4
+            (2, ""),            # no chunks
+            (3, "  "),          # no chunks (empty tokens filtered)
+            (4, "x x x"),       # repeated tokens preserved
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=3, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(r["chunk_id"] for r in by_doc[1]) == [0, 1, 2]
+    assert {r["chunk_id"]: r["n_chunk_tokens"] for r in by_doc[1]} == {0: 3, 1: 3, 2: 1}
+    assert 2 not in by_doc and 3 not in by_doc
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    got = {r["chunk_id"]: r["chunk_md5"] for r in by_doc[1]}
+    assert got == {0: md5("a b c"), 1: md5("c d e"), 2: md5("e")}
+    assert {r["chunk_md5"] for r in by_doc[4]} == {md5("x x x"), md5("x")}
