@@ -539,7 +539,7 @@ def l31_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l33_document_chunking",
-    "D3,L5 (RAG-style overlapping chunking; narrow map)",
+    "D11,D3 (RAG-style overlapping chunking; narrow map)",
     oracle="""
     WITH t AS (
         SELECT doc_id,

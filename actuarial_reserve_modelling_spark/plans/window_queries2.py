@@ -187,7 +187,7 @@ def w12_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w13_salted_topk",
-    "W4,A12-family (skew-safe two-phase top-k)",
+    "W5,W4 (skew-safe two-phase top-k; joins the A12/J7 salting family)",
     oracle="""
     SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
