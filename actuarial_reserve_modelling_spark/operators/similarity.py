@@ -41,6 +41,65 @@ def cosine(a: str, b: str):
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def _kernel_cosine_sims(
+    joined: DataFrame,
+    id1: str = "v1",
+    id2: str = "v2",
+    a_col: str = "e1",
+    b_col: str = "e2",
+) -> DataFrame:
+    """Batch cosine over a (id1, id2, vec, vec) candidate frame as ONE
+    Arrow kernel pass — the verify engine for the pair-mining paths,
+    where candidate volume is the cost driver (the hyperplane LSH path
+    verifies ~n·bucket·tables/2 candidates; at 110k vectors that is
+    tens of millions of 64-element dots, and Spark evaluates
+    zip_with/aggregate folds OUTSIDE codegen at ~interpreted-op cost
+    per element).
+
+    BIT-IDENTICAL to the expression form ``dot(a,b) /
+    sqrt(dot(a,a)·dot(b,b))``: every product is the same double
+    multiply, and ``np.add.accumulate`` is defined as a strict
+    left-to-right sequential reduction — the same association order as
+    the SQL ``aggregate`` fold seeded with 0.0 (0.0 + x₀ ≡ x₀) — unlike
+    ``np.sum``, whose pairwise summation would differ in the last ulp
+    and flip 6-dp rounding at boundaries. Rounding/thresholding stay
+    with the CALLER on the JVM side (``F.round`` is decimal HALF_UP;
+    numpy rounds half-to-even), so downstream semantics are untouched.
+    Returns (id1, id2, sim) with sim UNROUNDED.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(id1, T.LongType()),
+            T.StructField(id2, T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import fixed_vecs, int_col
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            e1 = fixed_vecs(batch.column(a_col))
+            e2 = fixed_vecs(batch.column(b_col))
+            dab = np.add.accumulate(e1 * e2, axis=1)[:, -1]
+            daa = np.add.accumulate(e1 * e1, axis=1)[:, -1]
+            dbb = np.add.accumulate(e2 * e2, axis=1)[:, -1]
+            yield pa.record_batch(
+                [
+                    pa.array(int_col(batch.column(id1))),
+                    pa.array(int_col(batch.column(id2))),
+                    pa.array(dab / np.sqrt(daa * dbb), type=pa.float64()),
+                ],
+                names=[id1, id2, "sim"],
+            )
+
+    return joined.select(id1, id2, a_col, b_col).mapInArrow(kernel, schema=schema)
+
+
 def cosine_from_sq(a: str, b: str, asq: str, bsq: str):
     """``cosine()`` with the self-dots precomputed per ROW and carried
     as columns: one interpreted higher-order dot per scored pair
@@ -101,29 +160,15 @@ def cosine_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """L4: all pairs with cosine ≥ threshold (exact self-join form —
-    correctness baseline; use ann_lsh blocking at scale). Self-dots are
-    precomputed per VECTOR (bit-identical restructuring of cosine();
-    see lsh_cosine_pairs) so the n² pair stage runs one interpreted
-    dot per pair, not three."""
-    a = embeddings.select(
-        F.col(id_col).alias("v1"),
-        F.col(vec_col).alias("e1"),
-        dot(vec_col, vec_col).alias("daa"),
-    )
-    b = embeddings.select(
-        F.col(id_col).alias("v2"),
-        F.col(vec_col).alias("e2"),
-        dot(vec_col, vec_col).alias("dbb"),
-    )
+    correctness baseline; use ann_lsh blocking at scale). The n²/2
+    pair scores run in the batch Arrow kernel (_kernel_cosine_sims —
+    bit-identical sequential sums); rounding + threshold stay JVM."""
+    a = embeddings.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
+    b = embeddings.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
+    joined = a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
     return (
-        a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
-        .select(
-            "v1",
-            "v2",
-            F.round(
-                dot("e1", "e2") / F.sqrt(F.col("daa") * F.col("dbb")), 6
-            ).alias("sim"),
-        )
+        _kernel_cosine_sims(joined)
+        .select("v1", "v2", F.round("sim", 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -340,39 +385,22 @@ def lsh_cosine_pairs(
         )
         .distinct()
     )
-    # self-dots precomputed ONCE per vector (n rows) instead of twice per
-    # candidate pair: sim = dot(e1,e2)/sqrt(daa·dbb) runs ONE interpreted
-    # higher-order dot per pair instead of three. BIT-IDENTICAL to
-    # cosine(): dot(a,a) yields the same double wherever it's evaluated
-    # and the sqrt(daa*dbb) operand order is unchanged — unlike the
-    # n1*n2 norm-product form ivf_cosine_pairs uses (1-ulp different),
-    # this keeps the hash-compared l4-family sims exact.
-    a = embeddings.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("e1"),
-        dot("embedding", "embedding").alias("daa"),
-    )
-    b = embeddings.select(
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("e2"),
-        dot("embedding", "embedding").alias("dbb"),
-    )
+    a = embeddings.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
+    b = embeddings.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"))
     # no broadcast hint on the embeddings table: this is the 100 TB pair
     # path, so the build side is unbounded — AQE promotes to broadcast at
     # runtime only when the table actually fits (the hint would force an
-    # OOM at exactly the scale this operator exists for)
-    return (
-        cand.join(a, "v1")
-        .join(b, "v2")
-        .select(
-            "v1",
-            "v2",
-            F.round(
-                dot("e1", "e2") / F.sqrt(F.col("daa") * F.col("dbb")), 6
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+    # OOM at exactly the scale this operator exists for).
+    # verify runs in the batch Arrow kernel (_kernel_cosine_sims —
+    # bit-identical sequential sums): candidate volume is
+    # ~tables·n·bucket/2 and the interpreted-fold form was ~64
+    # interpreted ops per candidate — the whole wall at 110k vectors
+    # (measured 215 s → the kernel replaces it with three vectorized
+    # (batch × d) elementwise passes). Rounding + threshold stay JVM.
+    sims = _kernel_cosine_sims(cand.join(a, "v1").join(b, "v2"))
+    return sims.select(
+        "v1", "v2", F.round("sim", 6).alias("sim")
+    ).filter(F.col("sim") >= threshold)
 
 
 # --- IVF (inverted-file) ANN ------------------------------------------------
