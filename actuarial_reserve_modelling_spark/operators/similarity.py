@@ -364,6 +364,19 @@ def lsh_cosine_pairs(
     old defaults, with ~8× fewer candidates. Bucket-size cap +
     member-set dedup mirror the MinHash-LSH design (operators/dedup.py
     lsh_candidate_pairs).
+
+    Honest candidate-mass statement (measured at 110k uniform
+    vectors): candidates ≈ tables·n·bucket/2 with bucket = n/2^planes
+    — QUADRATIC in n for fixed planes on structure-less data, and
+    plane/table auto-scaling cannot beat the LSH ρ-exponent (raising
+    planes forces recall-compensating table counts that restore the
+    same mass). This operator's domain is therefore dup-heavy near-dup
+    corpora at τ ≥ ~0.8, where true pairs dominate the candidate set;
+    for bulk pair mining on weakly-clustered data use
+    ``ivf_cosine_pairs`` (bounded lists — linear verify by
+    construction). The verify itself runs in the batch Arrow kernel
+    (``_kernel_cosine_sims``), so the per-candidate cost is a
+    vectorized multiply-accumulate, not an interpreted fold.
     """
     # one corpus scan + one Arrow stage for all tables' signatures (the
     # per-table-kernel formulation read the corpus num_tables times —
