@@ -1955,23 +1955,14 @@ def lsh_cosine_dedup_against_index(
         .select("new_id", "index_id")
         .distinct()
     )
-    a = new_vecs.select(
-        F.col(id_col).alias("new_id"),
-        F.col(vec_col).alias("e1"),
-        dot(vec_col, vec_col).alias("daa"),
+    a = new_vecs.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("e1"))
+    b = vec_index.select(F.col(id_col).alias("index_id"), F.col(vec_col).alias("e2"))
+    # batch Arrow kernel verify (bit-identical sequential sums); the
+    # corpus-side index never broadcasts — the candidate join is
+    # AQE-decided like the other pair paths
+    sims = _kernel_cosine_sims(
+        cand.join(a, "new_id").join(b, "index_id"), id1="new_id", id2="index_id"
     )
-    b = vec_index.select(
-        F.col(id_col).alias("index_id"),
-        F.col(vec_col).alias("e2"),
-        dot(vec_col, vec_col).alias("dbb"),
-    )
-    return (
-        cand.join(a, "new_id")
-        .join(b, "index_id")
-        .select(
-            "new_id",
-            "index_id",
-            F.round(cosine_from_sq("e1", "e2", "daa", "dbb"), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+    return sims.select(
+        "new_id", "index_id", F.round("sim", 6).alias("sim")
+    ).filter(F.col("sim") >= threshold)
