@@ -14,7 +14,6 @@ the SQL oracle.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
