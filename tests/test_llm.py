@@ -1097,3 +1097,24 @@ def test_arrowkit_respects_slices_and_chunks():
 
     back = rows_to_list_array(np.array([[1, 2], [3, 4]]), pa.int64())
     assert back.to_pylist() == [[1, 2], [3, 4]]
+
+
+def test_kernel_cosine_verify_partition_invariant(spark):
+    """The batch Arrow verify (_kernel_cosine_sims) must be invariant
+    to partitioning: sims are per-row sequential sums, so shuffle
+    layout cannot perturb any value — the property the hash oracles
+    rely on."""
+    from actuarial_reserve_modelling_spark.plans.registry import load_all
+
+    from .conftest import SF_SMOKE
+
+    reg = load_all()
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(tuple(r) for r in reg["l4_cosine_pairs"].spark_fn(spark, SF_SMOKE).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "31")
+        b = sorted(tuple(r) for r in reg["l4_cosine_pairs"].spark_fn(spark, SF_SMOKE).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b and len(a) > 0
