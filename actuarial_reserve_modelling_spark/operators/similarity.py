@@ -569,32 +569,18 @@ def ivf_cosine_pairs(
         )
         .distinct()
     )
-    # verify with per-vector norms precomputed ONCE (n rows) instead of
-    # three interpreted higher-order dot products per candidate pair —
-    # Spark evaluates zip_with/aggregate outside codegen, so at ~64·3
-    # interpreted ops per pair the naive form was the largest stage
-    # (5.4 s of an 8 s run at 306k candidates). sim here is
-    # dot/(‖a‖·‖b‖) — mathematically identical to the shared cosine()
-    # and within 1 ulp numerically; callers that need the oracle-pinned
-    # sqrt(daa·dbb) form (the hash-compared l4 family) use
-    # ``cosine_pairs``; l27c's oracle compares keep flags, never sims.
-    norm = F.sqrt(sq)
-    a = nonzero.select(
-        F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"), norm.alias("n1")
-    )
-    b = nonzero.select(
-        F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"), norm.alias("n2")
-    )
-    return (
-        cand.join(a, "v1")
-        .join(b, "v2")
-        .select(
-            "v1",
-            "v2",
-            F.round(dot("e1", "e2") / (F.col("n1") * F.col("n2")), 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+    # verify in the batch Arrow kernel (_kernel_cosine_sims): sim is
+    # dot/sqrt(daa·dbb) with strict sequential sums — the same form as
+    # every other pair path since the kernel unification (the earlier
+    # interpreted norm-product form was within 1 ulp of this; l27c's
+    # oracle compares keep flags, never sims, and the recall gates
+    # re-held on the kernel form). Rounding + threshold stay JVM.
+    a = nonzero.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
+    b = nonzero.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
+    sims = _kernel_cosine_sims(cand.join(a, "v1").join(b, "v2"))
+    return sims.select(
+        "v1", "v2", F.round("sim", 6).alias("sim")
+    ).filter(F.col("sim") >= threshold)
 
 
 def _stable_top_nprobe(d2: np.ndarray, m: int) -> np.ndarray:
