@@ -28,6 +28,11 @@ import numpy as np  # noqa: E402
 
 def main() -> None:
     n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    # optional path filter ("lsh" / "ivf"): at >=220k UNIFORM vectors the
+    # LSH path's quadratic candidate mass spills past this box's disk
+    # (the docstring's domain statement made concrete) — the IVF path
+    # must stay runnable standalone at the sizes that prove its scaling
+    only = sys.argv[2] if len(sys.argv) > 2 else None
     dim = 64
     rng = np.random.default_rng(7)
     base = rng.standard_normal((n_base, dim))
@@ -77,6 +82,8 @@ def main() -> None:
             lambda: ivf_cosine_pairs(emb, threshold=tau, nprobe=4, n_iters=1),
         ),
     ):
+        if only and only not in name:
+            continue
         t0 = time.time()
         found = {(r["v1"], r["v2"]) for r in fn().collect()}
         dt = round(time.time() - t0, 2)
