@@ -1,15 +1,23 @@
 """Similarity search over embedding columns (SURVEY §2.10 L3/L4).
 
 Brute-force cosine is the exact baseline: query-set × corpus with the
-query side broadcast, dot products as JVM higher-order functions
-(zip_with + aggregate over doubles — no Python in the loop). At 100 TB
-the corpus side streams through executors once per query batch;
-cost is O(|Q|·|C|·d) FLOPs but zero shuffle beyond the final top-k.
+query side broadcast. At 100 TB the corpus side streams through
+executors once per query batch; cost is O(|Q|·|C|·d) FLOPs but zero
+shuffle beyond the final top-k.
 
 The scale path is LSH bucketing (random hyperplanes): signatures are
 O(n), candidates come from bucket joins, and exact cosine re-ranks only
 candidates. Approximate by construction → checked by a recall test, not
 the SQL oracle.
+
+Kernel strategy (r8): signature/assignment/training/ADC kernels run on
+``mapInArrow``/``applyInArrow`` with zero-copy list-column ingestion
+(``operators/arrowkit.py``); bulk pair VERIFY runs in the batch kernel
+``_kernel_cosine_sims`` whose sequential sums are bit-identical to the
+SQL ``aggregate`` fold, with rounding/thresholding kept JVM-side. Small
+scored joins (top-k reranks against a bounded query batch) stay as
+single interpreted dots with per-row precomputed self-dots
+(``cosine_from_sq``) — there the join, not the dot, is the cost.
 """
 
 from __future__ import annotations
