@@ -44,16 +44,26 @@ def _plain(col: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 def fixed_vecs(col, d: int | None = None, dtype=np.float64) -> np.ndarray:
     """(n, d) matrix view of a list column with equal-length rows.
-    ``d`` is inferred from the first row when omitted. Rows are assumed
-    non-null (all vector columns here are built that way); a ragged row
-    surfaces as a reshape error rather than silent corruption."""
+    ``d`` is inferred from the FIRST row's length when omitted (not
+    ``len(flat)//n``, which a ragged column whose total element count
+    happens to divide by n would satisfy while shifting row data across
+    rows). Rows are assumed non-null (all vector columns here are built
+    that way); any ragged row — whether or not the totals divide — now
+    fails the ``n*d`` check loudly instead of mis-reshaping."""
     arr = _plain(col)
     n = len(arr)
     if n == 0:
         return np.empty((0, d or 0), dtype=dtype)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
     if d is None:
-        d = len(flat) // n
+        import pyarrow.compute as pc
+
+        d = pc.list_value_length(arr)[0].as_py()
+    if len(flat) != n * d:
+        raise ValueError(
+            f"fixed_vecs expects uniform rows of length {d}, "
+            f"got {len(flat)} elements over {n} rows"
+        )
     return flat.reshape(n, d)
 
 

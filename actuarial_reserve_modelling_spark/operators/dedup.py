@@ -124,6 +124,8 @@ def _signatures_from_hashed(
         chunk_token_budget = max(1, (1 << 26) // num_hashes)
 
         for batch in batches:
+            if batch.num_rows == 0:  # same guard as the similarity kernels
+                continue
             ids = int_col(batch.column("doc_id"))
             values, lens, _ = ragged_values(batch.column("htok"))
             ends = np.cumsum(lens)

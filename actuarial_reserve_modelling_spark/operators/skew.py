@@ -102,7 +102,22 @@ def salted_topk(
     rand()-salting is only safe for algebraic aggregates like
     ``salted_aggregate`` where a row's sub-group choice never changes
     the merged result.
+
+    Content-salting caveat: FULLY DUPLICATED rows of a hot key (every
+    salt_col equal) hash to ONE salt, so a hot key whose mass is a few
+    distinct row-values still lands on few sub-groups — the split is
+    defeated exactly on duplicate-heavy hot keys. That is inherent to
+    deterministic salting (any retry-stable function of row content
+    maps equal rows together); for such inputs collapse duplicates
+    first (count-weight them) or accept the plain window.
     """
+    if rank_col in ("_salt", "_rn1"):
+        raise ValueError(f"rank_col {rank_col!r} collides with an internal column")
+    for c in {"_salt", "_rn1", rank_col} & set(df.columns):
+        raise ValueError(
+            f"salted_topk column {c!r} collides with an input column — "
+            "rename the input (or pass a different rank_col)"
+        )
     salt_src = [F.col(c) for c in (salt_cols or df.columns)]
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(num_salts))

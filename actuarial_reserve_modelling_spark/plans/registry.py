@@ -32,6 +32,70 @@ REGISTRY: dict[str, Query] = {}
 # every query that has never appeared in a driver CORRECTNESS_r*.json,
 # plus queries added or rewritten this round. Names not yet registered
 # are skipped (harmless); everything else keeps registration order.
+_ROUND9_FRONT = [
+    # 1) queries ADDED in round 8 (no driver row yet — VERDICT r8 task
+    #    #1) or CHANGED in round 9, leading the window so every SURVEY
+    #    row is driver-evidenced after this round:
+    #    - l3g/l27c: re-earn evidence on the r9 digest-collapse + hard
+    #      group-cap rewrite of the hierarchical quantizers.
+    #    - l11b: NEW — planted hash oracle through the RAG composite
+    #      (VERDICT r8 task #3), retiring l11's no_oracle status.
+    #    - w13/l33/a13b/l3h/l3i/q2: r8 additions queued by VERDICT.
+    "l3g_ann_ivf_hier_top1_planted",
+    "l3h_ann_pq_top1_planted",
+    "l3i_ann_ivfpq_top1_planted",
+    "a13b_bloom_join_exactness",
+    "w13_salted_topk",
+    "l33_document_chunking",
+    "q2_min_cost_supplier",
+    "l27c_semantic_dedup_ivf",
+    "l11b_rag_top1_planted",
+    # 2) backfill: the rows whose latest driver evidence is oldest
+    #    (r5/r6-era — VERDICT r8 task #1 backfill list), oldest first.
+    "l12_train_test_split",
+    "l13_stratified_sample",
+    "l14_sequence_packing",
+    "l15_vocab_topk",
+    "l16_decontamination",
+    "l5j_repetition",
+    "l17_bpe_merges",
+    "l21_bpe_encode",
+    "l22_shuffle_shards",
+    "l23_weighted_sample",
+    "l24_token_budget_select",
+    "t9_stateful_counters",
+    "t10_incremental_ingest_dedup",
+    "w12_scd2_dimension",
+    "a10_median_percentile",
+    "u2d_grouped_agg_udf",
+    "j4_range_join",
+    "j5b_asof_tolerance",
+    "p2_project_prune",
+    "p3_p6_compound_filter",
+    "p4_string_predicates",
+    "p5_anti_join",
+    "s3_parquet_scan_count",
+    "l18_incremental_exact_dedup",
+    "l19_incremental_minhash_dedup",
+    "l20_pii_scrub",
+    "l2_minhash_lsh_dedup",
+    "l2b_simhash_pairs",
+    "l2c_ngram_jaccard",
+    "l4_cosine_pairs",
+    "l4b_lsh_cosine_pairs",
+    "l1_exact_dedup",
+    "l16b_decontaminate_flag",
+    "u2_scalar_udf",
+    "u2b_builtin_expression",
+    "u2c_segment_reserves",
+    "u3_grouped_map",
+    "u4_table_function",
+    "l5_text_stats",
+    "l5b_token_counts",
+    "l5c_quality_scores",
+]
+
+# Round-8 window, kept for the audit trail (CORRECTNESS_r08 covers it).
 _ROUND8_FRONT = [
     # 1) queries CHANGED in round 8 — they must re-earn driver evidence
     #    on the new code/oracle:
@@ -217,7 +281,7 @@ def load_all() -> dict[str, Query]:
         window_queries2,
     )
 
-    front = [n for n in _ROUND8_FRONT if n in REGISTRY]
+    front = [n for n in _ROUND9_FRONT if n in REGISTRY]
     seen = set(front)
     ordered = front + [n for n in REGISTRY if n not in seen]
     return {n: REGISTRY[n] for n in ordered}

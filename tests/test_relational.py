@@ -370,3 +370,44 @@ def test_salted_topk_equals_plain_window_on_skewed_input(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 4  # partial+final, both phases
     assert "_salt" in plan.split("Window ")[0] or "_salt" in plan
+
+
+def test_salted_topk_rejects_colliding_column_names(spark):
+    """Inputs that already carry the internal working columns (or the
+    rank column) must fail loudly instead of producing wrong ranks
+    (ADVICE r8)."""
+    import pytest
+
+    from actuarial_reserve_modelling_spark.operators.skew import salted_topk
+
+    base = spark.createDataFrame([(1, 2, 0.5)], "key int, id long, score double")
+    order = [F.col("score").desc(), F.col("id")]
+    for bad in ("_salt", "_rn1", "rn"):
+        df = base.withColumn(bad, F.lit(1))
+        with pytest.raises(ValueError, match="collides"):
+            salted_topk(df, keys=["key"], order=order, k=1)
+    with pytest.raises(ValueError, match="collides"):
+        salted_topk(base, keys=["key"], order=order, k=1, rank_col="_salt")
+    # a non-default rank_col frees up 'rn' as an input column
+    ok = salted_topk(
+        base.withColumn("rn", F.lit(9)), keys=["key"], order=order, k=1, rank_col="r2"
+    )
+    assert ok.columns.count("r2") == 1 and ok.count() == 1
+
+
+def test_fixed_vecs_rejects_ragged_rows():
+    """A ragged list column whose total element count divides evenly by
+    the row count must raise, not silently mis-reshape (ADVICE r8)."""
+    import pyarrow as pa
+    import pytest
+
+    from actuarial_reserve_modelling_spark.operators.arrowkit import fixed_vecs
+
+    # 2 rows, 6 elements total: len(flat)//n == 3 but rows are 2 and 4
+    ragged = pa.array([[1.0, 2.0], [3.0, 4.0, 5.0, 6.0]])
+    with pytest.raises(ValueError, match="uniform rows"):
+        fixed_vecs(ragged)
+    with pytest.raises(ValueError, match="uniform rows"):
+        fixed_vecs(ragged, d=2)
+    uniform = pa.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    assert fixed_vecs(uniform).shape == (2, 3)
