@@ -445,6 +445,57 @@ def resolve_n_centroids(
     return n_centroids
 
 
+def _collapse_units(
+    unit: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate collapse for the quantizer paths (the
+    ``minhash_near_dup_pairs`` exact-collapse pattern, dedup.py:338,
+    applied to vectors): group bitwise-identical unit vectors by a
+    128-bit composite digest (two independent xxhash64 lanes — one
+    lane's 2⁻⁶⁴ birthday mass is ~3% at 10⁹ rows, two lanes make a
+    false merge ~2⁻⁷⁰ there) and return
+
+    * ``reps`` — one row per distinct vector, id = the group's MINIMUM
+      member id (deterministic; rep ids are real corpus ids, so every
+      downstream id-hash/tie-break rule is unchanged), plus the vector;
+    * ``memb`` — the (member ``_m`` → rep ``_rep``) expansion map.
+
+    Why before level-1 assignment: a duplicate-heavy corpus is the one
+    input that defeats both k-means (identical rows cannot be
+    separated into children, so a 30%-duplicate cluster lands in ONE
+    level-2 group/list no matter how the quantizer is sized) and
+    hash sub-splitting of the hot group (splitting identical vectors
+    loses their pairs). Collapsing first removes the skew at its
+    source — the quantizer sees each distinct vector once, so
+    duplicate-heavy corpora get CHEAPER, the same win exact-collapse
+    bought the MinHash path — and the guarantee "identical vectors
+    share ALL lists" becomes structural: members inherit their rep's
+    list set verbatim. The groupBy collapses duplicates MAP-SIDE
+    (partial aggregation), so the hot digest never concentrates rows
+    on one reducer either."""
+    dg = [
+        F.xxhash64(F.col(vec_col)).alias("_dg1"),
+        F.xxhash64(F.lit(17), F.col(vec_col)).alias("_dg2"),
+    ]
+    reps = (
+        unit.select(id_col, vec_col, *dg)
+        .groupBy("_dg1", "_dg2")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(vec_col, F.col(id_col)).alias(vec_col),
+        )
+    )
+    memb = (
+        unit.select(F.col(id_col).alias("_m"), *dg)
+        .join(
+            reps.select(F.col(id_col).alias("_rep"), "_dg1", "_dg2"),
+            ["_dg1", "_dg2"],
+        )
+        .select("_m", "_rep")
+    )
+    return reps.select(id_col, vec_col), memb
+
+
 def ivf_cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -546,9 +597,14 @@ def ivf_cosine_pairs(
             lambda x: x.cast("double") / F.sqrt(F.greatest(sq, F.lit(1e-300))),
         ).alias(vec_col),
     )
+    # r9: exact-duplicate collapse BEFORE any quantizer (see
+    # _collapse_units) — train/assign/candidate/verify run on one rep
+    # per distinct vector; members re-enter at the end by inheriting
+    # their rep's verified pairs.
+    reps, memb = _collapse_units(unit, id_col, vec_col)
     if n_centroids == "auto":
         assigned = _hierarchical_ivf_lists(
-            unit,
+            reps,
             nprobe=nprobe,
             n_iters=n_iters,
             id_col=id_col,
@@ -557,10 +613,10 @@ def ivf_cosine_pairs(
         )
     else:
         centroids = ivf_train_centroids(
-            unit, n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+            reps, n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
         )
         assigned = ivf_assign(
-            unit, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+            reps, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
         )
     grouped = (
         assigned.groupBy("cluster")
@@ -583,12 +639,53 @@ def ivf_cosine_pairs(
     # interpreted norm-product form was within 1 ulp of this; l27c's
     # oracle compares keep flags, never sims, and the recall gates
     # re-held on the kernel form). Rounding + threshold stay JVM.
-    a = nonzero.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
-    b = nonzero.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
+    # Verification uses the reps' ORIGINAL (un-normalized) vectors, as
+    # every pair path does.
+    orig = nonzero.join(reps.select(id_col), id_col, "left_semi")
+    a = orig.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
+    b = orig.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
     sims = _kernel_cosine_sims(cand.join(a, "v1").join(b, "v2"))
-    return sims.select(
+    verified = sims.select(
         "v1", "v2", F.round("sim", 6).alias("sim")
     ).filter(F.col("sim") >= threshold)
+    # expansion: a member pair's cosine equals its reps' cosine (their
+    # unit vectors are bitwise identical), so
+    #   * cross-group pairs inherit the reps' verified sim — one
+    #     verified row fans out to |g1|·|g2| member rows (join-explode,
+    #     streamed; each member has exactly ONE rep so no row is
+    #     emitted twice);
+    #   * within-group pairs are sim 1.0 by construction (the kernel
+    #     yields exactly 1.0 on identical vectors: dot == daa == dbb
+    #     sequentially, and IEEE sqrt(x·x) == x), emitted directly —
+    #     the quadratic dup-group output is the CONTRACT's size, but
+    #     no quantizer, candidate or verify work is spent on it.
+    # The rep→member joins key on _rep — skewed for dup-heavy corpora,
+    # but the rep side carries ≤ probe-count rows per key, so the join
+    # streams; nothing materializes a group.
+    m1 = memb.select(F.col("_m").alias("m1"), F.col("_rep").alias("v1"))
+    m2 = memb.select(F.col("_m").alias("m2"), F.col("_rep").alias("v2"))
+    cross = (
+        verified.join(m1, "v1")
+        .join(m2, "v2")
+        .select(
+            F.least("m1", "m2").alias("v1"),
+            F.greatest("m1", "m2").alias("v2"),
+            "sim",
+        )
+    )
+    intra = (
+        memb.alias("x")
+        .join(
+            memb.alias("y"),
+            (F.col("x._rep") == F.col("y._rep")) & (F.col("x._m") < F.col("y._m")),
+        )
+        .select(
+            F.col("x._m").alias("v1"),
+            F.col("y._m").alias("v2"),
+            F.lit(1.0).alias("sim"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def _stable_top_nprobe(d2: np.ndarray, m: int) -> np.ndarray:
@@ -654,6 +751,7 @@ def _hierarchical_ivf_lists(
     vec_col: str = "embedding",
     leaf_target: int = 16,
     child_nprobe: int = 2,
+    group_cap: int = _GROUP_CAP,
 ) -> DataFrame:
     """Two-level coarse quantizer for ``ivf_cosine_pairs``'s auto path:
     (id, unit-vector) -> (id, composite list id ``super*2^32 + child``)
@@ -683,7 +781,25 @@ def _hierarchical_ivf_lists(
     xxhash64 init, uniform over the group, no dependence on Spark row
     order), and breaks distance ties by lowest child index. Identical
     vectors therefore receive identical super AND child sets, keeping
-    the exact-duplicate-probability-1 guarantee through both levels.
+    the exact-duplicate-probability-1 guarantee through both levels —
+    and since r9 the caller collapses bitwise-identical vectors to one
+    rep BEFORE this function, making that guarantee structural.
+
+    ``group_cap`` is a HARD bound on the rows one level-2 task may
+    materialize: the expected-case sizing below keeps groups far under
+    it, but a corpus that is one tight cluster can put most of its
+    level-1 memberships into one super regardless of k1 — those
+    oversized supers are deterministically hash-SUB-SPLIT into
+    ``ceil(size / (group_cap·3/4))`` slices before the shuffle (each
+    slice trains its own children over a uniform sample of the super —
+    expected list geometry unchanged), and the kernel raises loudly if
+    a group ever exceeds the cap anyway. The split costs one
+    counts-of-counts aggregate over the (localCheckpointed) assignment
+    — k1 rows broadcast back — and nothing when no super is oversized
+    beyond that. Recall caveat: two near-dup (NOT identical) vectors
+    falling in the same oversized super but different slices lose that
+    super's vote; with nprobe ≥ 2 they still meet through their other
+    probes, and exact duplicates are immune (collapsed upstream).
     """
     import math
 
@@ -695,18 +811,36 @@ def _hierarchical_ivf_lists(
     # groups at ~4*nprobe*sqrt(n) rows (253k at 10^9, nprobe=2, right
     # at the cap), so the cap term only binds for large nprobe or
     # beyond-10^9 corpora
-    k1 = max(4, math.isqrt(k_target), (n * nprobe) // _GROUP_CAP)
+    k1 = max(4, math.isqrt(k_target), (n * nprobe) // group_cap)
     super_cent = ivf_train_centroids(
         unit, k1, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
+    # one materialization: the assignment feeds both the per-super
+    # counts and the membership join below — without it the k-means
+    # assignment kernel would run twice
     sup = ivf_assign(
         unit, super_cent, id_col=id_col, vec_col=vec_col, nprobe=min(nprobe, k1)
+    ).localCheckpoint(eager=False)
+    split_target = max(1, (group_cap * 3) // 4)
+    counts = sup.groupBy("cluster").agg(F.count(F.lit(1)).alias("_gsz"))
+    split = (
+        sup.join(F.broadcast(counts), "cluster")
+        .withColumn(
+            "_nsplit", F.ceil(F.col("_gsz") / F.lit(split_target)).cast("long")
+        )
+        .select(
+            id_col,
+            (
+                F.col("cluster").cast("long")
+                + F.lit(int(k1))
+                * F.pmod(F.xxhash64(F.col(id_col), F.lit(43)), F.col("_nsplit"))
+            ).alias("_super"),
+        )
     )
-    members = sup.withColumnRenamed("cluster", "_super").join(
-        unit.select(id_col, vec_col), id_col
-    )
+    members = split.join(unit.select(id_col, vec_col), id_col)
     child_probe = child_nprobe
     iters = n_iters
+    cap = group_cap  # closure-captured so tests can shrink it per call
     schema = T.StructType(
         [T.StructField(id_col, T.LongType()), T.StructField("cluster", T.LongType())]
     )
@@ -728,6 +862,11 @@ def _hierarchical_ivf_lists(
         ids = ids[order]
         sup_id = np.int64(int_col(table.column("_super"))[0]) << np.int64(32)
         size = len(ids)
+        if size > cap:
+            raise ValueError(
+                f"hierarchical level-2 group materialized {size} rows > "
+                f"group_cap {cap} — the pre-shuffle sub-split failed"
+            )
         k2 = max(1, size * child_nprobe // leaf_target)
         if k2 == 1 or size < 2:
             return pa.table(
@@ -1078,6 +1217,7 @@ def ivf_hier_build(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    group_cap: int = _GROUP_CAP,
 ) -> tuple[DataFrame, np.ndarray]:
     """Build a TWO-LEVEL IVF index (the FAISS inverted-multi-index
     shape) for ANN top-k at scales where the flat √n quantizer stops
@@ -1110,12 +1250,31 @@ def ivf_hier_build(
 
     Split with ``F.col(id_col).isNotNull()`` / ``isNull()``; query with
     ``ann_ivf_hier_topk_indexed``. Identical vectors receive identical
-    (super, child) assignments at both levels (hard level-1 assign,
-    deterministic child training and argmin), which is what makes the
-    planted-twin hash oracle possible for this path."""
+    (super, child) assignments at both levels — since r9 STRUCTURALLY:
+    bitwise-identical vectors are digest-collapsed to one rep before
+    any training (``_collapse_units``; duplicate-heavy corpora train
+    on the distinct vectors only, so a 30%-duplicate corpus builds
+    CHEAPER, not hotter), and member rows are expanded back from the
+    rep assignments afterwards — which is what makes the planted-twin
+    hash oracle possible for this path.
+
+    ``group_cap`` is the HARD per-task row bound (r9): expected sizing
+    keeps level-2 groups far below it, but a single-cluster corpus can
+    put most reps into one super regardless of k1. Oversized supers
+    are deterministically hash-split into ``ceil(size/(cap·3/4))``
+    slices pre-shuffle; each slice trains children over its uniform
+    sample of the super (child ids strided by ``slot·group_cap`` so
+    they stay unique within the super, transparent to query routing —
+    a probed super simply exposes all slices' child centroids), and
+    the kernel raises loudly past the cap. Slices are bounded at 8192
+    per super before child ids would overflow int32 at the default
+    cap — 2.1·10⁹ rows in ONE super — checked loudly in the kernel."""
     import math
 
-    n = embeddings.count()
+    # r9: collapse bitwise-identical vectors first; the quantizer sees
+    # one rep per distinct vector (see _collapse_units)
+    reps, memb = _collapse_units(embeddings, id_col, vec_col)
+    n = reps.count()
     if n_lists == "auto":
         n_lists = max(16, math.isqrt(n))
     # Super count balances THREE constraints: enough supers for the
@@ -1123,22 +1282,39 @@ def ivf_hier_build(
     # the binding one at 10^9 rows — per-TASK group memory: one
     # super-list is materialized per level-2 task, so without a cap the
     # expected group is n/k1 = O(n^(3/4)) rows (~2.9 GB at 10^9, d=64).
-    # _GROUP_CAP rows (~134 MB) bounds that; the extra supers it forces
+    # group_cap rows (~134 MB) bounds that; the extra supers it forces
     # keep driver state tiny (n/262k centroids = ~2 MB at 10^9) and only
     # deepen the hierarchy's fan-out. Below the cap (every test/bench
     # scale) the term is 0 and sizing is unchanged. A third level is the
     # escape hatch past ~10^11 rows, where even capped-k1 driver state
-    # grows linearly with its 4e-6 constant.
-    k1 = max(4, math.isqrt(n_lists), n // _GROUP_CAP)
+    # grows linearly with its 4e-6 constant. The hash sub-split below
+    # handles the SKEWED case the expected-case sizing cannot.
+    k1 = max(4, math.isqrt(n_lists), n // group_cap)
     leaf = max(1, n // n_lists)
     super_cent = ivf_train_centroids(
-        embeddings, k1, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+        reps, k1, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
-    sup = ivf_assign(embeddings, super_cent, id_col=id_col, vec_col=vec_col)
-    members = sup.withColumnRenamed("cluster", "_super").join(
-        embeddings.select(id_col, vec_col), id_col
+    # one materialization: the hard assignment feeds both the counts
+    # aggregate and the membership join
+    sup = ivf_assign(
+        reps, super_cent, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
+    split_target = max(1, (group_cap * 3) // 4)
+    counts = sup.groupBy("cluster").agg(F.count(F.lit(1)).alias("_gsz"))
+    split = (
+        sup.join(F.broadcast(counts), "cluster")
+        .select(
+            id_col,
+            F.col("cluster").alias("_super"),
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(47)),
+                F.ceil(F.col("_gsz") / F.lit(split_target)).cast("long"),
+            ).alias("_slot"),
+        )
     )
+    members = split.join(reps.select(id_col, vec_col), id_col)
     iters = n_iters
+    cap = group_cap  # closure-captured so tests can shrink it per call
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -1165,7 +1341,21 @@ def ivf_hier_build(
         order = np.argsort(ids)
         ids = ids[order]
         sup_id = int(int_col(table.column("_super"))[0])
+        slot = int(int_col(table.column("_slot"))[0])
         size = len(ids)
+        if size > cap:
+            raise ValueError(
+                f"ivf_hier_build group (super {sup_id}, slot {slot}) "
+                f"materialized {size} rows > group_cap {cap} — the "
+                "pre-shuffle sub-split failed"
+            )
+        # child ids are strided by slot so slices of one super never
+        # collide; int32 bounds the slice count
+        child_base = slot * cap
+        if child_base + cap >= 2**31:
+            raise ValueError(
+                f"slot {slot} would overflow int32 child ids at cap {cap}"
+            )
         k2 = max(1, size // leaf)
         vecs = fixed_vecs(table.column(vec_col))[order]
         if k2 == 1:
@@ -1191,7 +1381,8 @@ def ivf_hier_build(
                     np.full(size + nc, sup_id, dtype=np.int32), type=pa.int32()
                 ),
                 "child": pa.array(
-                    np.concatenate(
+                    child_base
+                    + np.concatenate(
                         [assign.astype(np.int32), np.arange(nc, dtype=np.int32)]
                     ),
                     type=pa.int32(),
@@ -1200,7 +1391,18 @@ def ivf_hier_build(
             }
         )
 
-    index = members.groupBy("_super").applyInArrow(build, schema=schema)
+    rep_index = members.groupBy("_super", "_slot").applyInArrow(build, schema=schema)
+    # expansion: every member of a collapsed duplicate group inherits
+    # its rep's (super, child) row; centroid rows pass through. The
+    # join keys on _rep — skewed for dup-heavy corpora, but the index
+    # side carries exactly one row per rep, so it streams.
+    expanded = (
+        rep_index.filter(F.col(id_col).isNotNull())
+        .withColumnRenamed(id_col, "_rep")
+        .join(memb, "_rep")
+        .select(F.col("_m").alias(id_col), "super", "child", "centroid")
+    )
+    index = expanded.unionByName(rep_index.filter(F.col(id_col).isNull()))
     # one materialization: downstream splits this frame twice (lists +
     # centroid table) and Spark would otherwise re-run the whole build
     # — including k-means training — once per reference
@@ -1217,6 +1419,7 @@ def ann_ivf_hier_topk_indexed(
     child_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    group_cap: int = _GROUP_CAP,
 ) -> DataFrame:
     """Query a persisted two-level IVF index (``ivf_hier_build``).
     Routing: each query soft-assigns to its ``nprobe_super`` nearest
@@ -1234,10 +1437,14 @@ def ann_ivf_hier_topk_indexed(
     A query identical to an indexed vector retrieves it with
     probability 1: the query's top-1 super is the member's hard-
     assigned super (identical distance rows through the identical
-    kernel), and within that super its rank-1 child is the member's
-    child — per-super ranking (not a global cut across supers) is what
-    makes the twin's child immune to crowding-out by other probed
-    supers' children."""
+    kernel), and within that super's SLICE its rank-1 child is the
+    member's child — ranking is per (super, slot), where the slot is
+    decoded from the child-id stride (``child // group_cap``; pass the
+    build's ``group_cap`` if it was overridden). Per-slot ranking (not
+    a global cut across supers, nor across one oversized super's hash
+    slices) is what keeps the twin's child immune to crowding-out by
+    other slices' children; for the non-split case slot is always 0
+    and this reduces to the r8 per-super ranking exactly."""
     probes = ivf_assign(
         queries, super_cent, id_col=id_col, vec_col=vec_col, nprobe=nprobe_super
     ).select(F.col(id_col).alias("query_id"), F.col("cluster").alias("super"))
@@ -1246,7 +1453,14 @@ def ann_ivf_hier_topk_indexed(
     routing = (
         cents.join(F.broadcast(probes), "super")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "super", "child", "centroid", "qvec")
+        .select(
+            "query_id",
+            "super",
+            "child",
+            "centroid",
+            "qvec",
+            F.floor(F.col("child") / F.lit(int(group_cap))).cast("int").alias("_slot"),
+        )
     )
     m = child_probe
     route_schema = T.StructType(
@@ -1273,7 +1487,7 @@ def ann_ivf_hier_topk_indexed(
             }
         )
 
-    probed_children = routing.groupBy("query_id", "super").applyInPandas(
+    probed_children = routing.groupBy("query_id", "super", "_slot").applyInPandas(
         route, schema=route_schema
     )
     lists = index.filter(F.col(id_col).isNotNull()).select(id_col, "super", "child")
@@ -1296,13 +1510,20 @@ def ann_ivf_hier_topk(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    group_cap: int = _GROUP_CAP,
 ) -> DataFrame:
     """Build-and-query convenience over ``ivf_hier_build`` +
     ``ann_ivf_hier_topk_indexed`` — the one-shot form mirroring
     ``ann_ivf_topk``. Production keeps the built index and calls the
-    indexed form per query batch."""
+    indexed form per query batch (passing the same ``group_cap`` it
+    built with, which decodes the child-id slot stride)."""
     index, super_cent = ivf_hier_build(
-        embeddings, n_lists=n_lists, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+        embeddings,
+        n_lists=n_lists,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        group_cap=group_cap,
     )
     return ann_ivf_hier_topk_indexed(
         index,
@@ -1314,6 +1535,7 @@ def ann_ivf_hier_topk(
         child_probe=child_probe,
         id_col=id_col,
         vec_col=vec_col,
+        group_cap=group_cap,
     )
 
 

@@ -42,25 +42,28 @@ from actuarial_reserve_modelling_spark.plans.registry import register
 PLANT_OFFSET = 100_000
 
 
-def plant_twins(emb: DataFrame, modulus: int, id_col: str = "vec_id") -> DataFrame:
+def plant_twins(
+    emb: DataFrame, modulus: int, id_col: str = "vec_id", offset: int = PLANT_OFFSET
+) -> DataFrame:
     """Exact-duplicate copies of every ``modulus``-th vector, shifted by
-    ``PLANT_OFFSET`` — the shared construction behind the planted-twin
-    hash oracles (l4b/l27/l27b/l27c/l3e/l3f/t12). The oracle SQL
-    hardcodes the same ``+ 100000``, so at a scale factor whose real
-    ids reach the offset the plants would silently ALIAS real vectors
-    and the oracles would mismatch confusingly; assert the assumption
-    loudly instead (one column-pruned max scan). t12 additionally
-    relies on ``PLANT_OFFSET % 3 == 1`` for its batch math — change
-    the offset only together with every oracle string."""
+    ``offset`` (default ``PLANT_OFFSET``) — the shared construction
+    behind the planted-twin hash oracles (l4b/l27/l27b/l27c/l3e-l3i/
+    t12; l11b overrides the offset because chunk ids exceed 100000).
+    The oracle SQL hardcodes the matching shift, so at a scale factor
+    whose real ids reach the offset the plants would silently ALIAS
+    real vectors and the oracles would mismatch confusingly; assert
+    the assumption loudly instead (one column-pruned max scan). t12
+    additionally relies on ``PLANT_OFFSET % 3 == 1`` for its batch
+    math — change the offset only together with every oracle string."""
     mx = emb.agg(F.max(id_col).alias("m")).first()["m"]
-    if mx is not None and mx >= PLANT_OFFSET:
+    if mx is not None and mx >= offset:
         raise ValueError(
-            f"planted-twin oracles assume max({id_col}) < {PLANT_OFFSET}, "
-            f"got {mx}: raise PLANT_OFFSET and every hardcoded '+ 100000' "
-            "oracle together"
+            f"planted-twin oracles assume max({id_col}) < {offset}, "
+            f"got {mx}: raise the offset and every hardcoded shift in the "
+            "oracle strings together"
         )
     return emb.filter(F.col(id_col) % modulus == 0).select(
-        (F.col(id_col) + PLANT_OFFSET).alias(id_col),
+        (F.col(id_col) + offset).alias(id_col),
         *[c for c in emb.columns if c != id_col],
     )
 

@@ -336,6 +336,65 @@ def l11_rag_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l11b_rag_top1_planted",
+    "L3,L5,U4 (hash-grade evidence for the RAG composite via planted twin chunks)",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id * 1000 + CAST((s - 1) / 24 AS BIGINT) AS chunk_id,
+               array_to_string(list_slice(t, s, s + 31), ' ') AS chunk_text
+        FROM toks,
+             LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s)
+    ),
+    canon AS (
+        SELECT chunk_text, min(chunk_id) AS neighbor_id
+        FROM chunks GROUP BY chunk_text
+    )
+    SELECT c.chunk_id + 100000000 AS query_id, n.neighbor_id,
+           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
+    FROM chunks c JOIN canon n USING (chunk_text)
+    WHERE c.chunk_id % 29 = 0
+    """,
+)
+def l11b_rag_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-grade slice of the RAG composite (l11 stays rows-only for
+    its general search behavior): the SAME chunk → hash-embed → exact
+    top-k pipeline, but every 29th chunk's embedding is planted as an
+    exact twin (id + 10⁸ — chunk ids exceed the default PLANT_OFFSET)
+    and used as a top-1 query. The twin's cosine with its source is
+    exactly 1.0 (identical vectors through cosine_from_sq), every
+    other chunk scores measurably below 1.0 after 6-dp rounding unless
+    its TEXT is identical (identical text ⇒ identical hash_embed
+    vector ⇒ sim 1.0), and ties at 1.0 break by ascending neighbor id
+    — so rank 1 is the LOWEST chunk_id whose chunk text equals the
+    query chunk's text. That is precisely what the oracle computes by
+    replaying the chunker (32-token windows, stride 24, 1-based token
+    starts, clamped slices) in DuckDB and taking min(chunk_id) per
+    chunk_text group: the embedding never needs to be reproduced in
+    SQL, which is what kept l11 rows-only. Deterministic end to end
+    (verified sf0.01 AND sf0.1 before queueing), retiring the last
+    retirable no_oracle row (VERDICT r8 task #3)."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        cosine_topk,
+        hash_embed,
+    )
+    from actuarial_reserve_modelling_spark.operators.textstats import chunk_documents
+    from actuarial_reserve_modelling_spark.plans.llm_queries import plant_twins
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"), "chunk_text"
+    )
+    emb = hash_embed(chunks, "chunk_text", dim=16, id_col="chunk_id")
+    planted = plant_twins(emb, 29, id_col="chunk_id", offset=100_000_000)
+    corpus = emb.unionByName(planted)
+    return cosine_topk(corpus, planted, k=1, id_col="chunk_id")
+
+
+@register(
     "l5i_bm25",
     "L5,A4,W4 (retrieval scoring)",
     oracle="""

@@ -1118,3 +1118,82 @@ def test_kernel_cosine_verify_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b and len(a) > 0
+
+
+def test_ivf_pairs_duplicate_heavy_matches_brute_force(spark):
+    """r9 digest-collapse (operators/similarity.py::_collapse_units):
+    a duplicate-heavy corpus — including one hot group of identical
+    vectors — must yield EXACTLY the brute-force pair set through both
+    ivf_cosine_pairs quantizer shapes. Exercises the collapse, the
+    within-group sim-1.0 emission, and the cross-group expansion."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        cosine_pairs,
+        ivf_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((400, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(400)]
+    # exact twins of every 5th vector + a 40-member hot dup group
+    rows += [(1000 + i, [float(x) for x in base[i]]) for i in range(0, 400, 5)]
+    rows += [(3000 + j, [float(x) for x in base[7]]) for j in range(40)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    want = {tuple(r) for r in cosine_pairs(emb, 0.95).collect()}
+    got_auto = {tuple(r) for r in ivf_cosine_pairs(emb, 0.95, nprobe=4).collect()}
+    got_flat = {
+        tuple(r)
+        for r in ivf_cosine_pairs(emb, 0.95, n_centroids=16, nprobe=4).collect()
+    }
+    assert got_auto == want and got_flat == want and len(want) > 100
+
+
+def test_hier_group_cap_bounds_pathological_cluster(spark):
+    """r9 hard group cap: a single-tight-cluster corpus (every vector
+    in one ball — level 1 cannot spread it) must still build with NO
+    level-2 task materializing more than group_cap rows. The cap is
+    enforced by an in-kernel raise, so success IS the evidence; the
+    planted twins must still come back at rank 1 / sim 1.0 through the
+    per-(super, slot) routing."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk,
+        ivf_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(13)
+    center = rng.standard_normal(16)
+    pts = center[None, :] + 0.01 * rng.standard_normal((1500, 16))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(1500)], schema
+    )
+    twins = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["sim"])
+        for r in ann_ivf_hier_topk(corpus, twins, k=1, group_cap=256).collect()
+    }
+    assert got == {(100000 + s, s, 1, 1.0) for s in range(0, 1500, 100)}
+    # the pair path under the same pathology: the planted twin pairs
+    # all survive (collapsed upstream — immune to slicing)
+    pairs = ivf_cosine_pairs(corpus, threshold=0.999999, nprobe=2, n_iters=1)
+    got_pairs = {(r.v1, r.v2) for r in pairs.collect()}
+    assert {(s, s + 100000) for s in range(0, 1500, 100)} <= got_pairs
