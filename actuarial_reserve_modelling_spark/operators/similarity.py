@@ -493,7 +493,13 @@ def _collapse_units(
         )
         .select("_m", "_rep")
     )
-    return reps.select(id_col, vec_col), memb
+    # both frames feed several downstream branches (iterative k-means
+    # training, assignment, verify, and the member-expansion joins) —
+    # one materialization each, or the digest shuffle re-runs per branch
+    return (
+        reps.select(id_col, vec_col).localCheckpoint(eager=False),
+        memb.localCheckpoint(eager=False),
+    )
 
 
 def ivf_cosine_pairs(

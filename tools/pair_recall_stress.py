@@ -11,7 +11,15 @@ probability at these sizes, and both operators verify exactly — so
 found∩planted / planted IS the recall and false positives are
 impossible by construction.
 
-Usage: python tools/pair_recall_stress.py [n_base] (default 50000)
+Usage: python tools/pair_recall_stress.py [n_base] [only] [dup_frac]
+(defaults 50000, both paths, 0.0). ``dup_frac`` > 0 additionally makes
+that fraction of the corpus EXACT duplicates — spread over 100 source
+vectors, the r9 duplicate-skew band (VERDICT r8 task #2): the digest
+collapse must keep recall at 1.0 on the planted near-dup pairs, the
+in-kernel group-cap assert must stay quiet, every intra-group sim-1.0
+pair must be emitted (counted against the closed form), and the wall
+should BEAT the duplicate-free run at equal corpus size (the quantizer
+only sees the distinct reps).
 """
 
 from __future__ import annotations
@@ -33,6 +41,7 @@ def main() -> None:
     # (the docstring's domain statement made concrete) — the IVF path
     # must stay runnable standalone at the sizes that prove its scaling
     only = sys.argv[2] if len(sys.argv) > 2 else None
+    dup_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
     dim = 64
     rng = np.random.default_rng(7)
     base = rng.standard_normal((n_base, dim))
@@ -51,6 +60,7 @@ def main() -> None:
         if truth_mask[k]
     }
 
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     from actuarial_reserve_modelling_spark.operators.similarity import (
@@ -71,10 +81,50 @@ def main() -> None:
     rows += [
         (int(n_base + k), [float(x) for x in v]) for k, v in enumerate(dup)
     ]
+    # r9 duplicate-skew band: dup_frac of the corpus as EXACT copies of
+    # the first 100 base vectors (hot groups of ~n_dup/100 identical
+    # members each — the shape that defeated the r8 quantizer)
+    n_exact = int(dup_frac * n_base)
+    if n_exact:
+        rows += [
+            (int(10_000_000 + j), [float(x) for x in base[j % 100]])
+            for j in range(n_exact)
+        ]
     emb = spark.createDataFrame(rows, schema).repartition(32).cache()
     n_total = emb.count()
 
-    out = {"n_vectors": n_total, "n_true_pairs": len(truth), "tau": tau}
+    out = {
+        "n_vectors": n_total,
+        "n_true_pairs": len(truth),
+        "tau": tau,
+        "dup_frac": dup_frac,
+    }
+    if n_exact:
+        # closed-form count of the exact-duplicate pairs the contract
+        # owes: per source group g = 1 (source) + its copies
+        sizes = [1 + n_exact // 100 + (1 if j < n_exact % 100 else 0) for j in range(100)]
+        expected_sim1 = sum(g * (g - 1) // 2 for g in sizes)
+        t0 = time.time()
+        pairs = ivf_cosine_pairs(emb, threshold=tau, nprobe=4, n_iters=1)
+        pairs = pairs.persist()
+        n_found = pairs.count()
+        n_sim1 = pairs.filter(F.col("sim") >= 0.9999995).count()
+        truth_df = spark.createDataFrame(
+            [(a, b) for a, b in truth], "v1 long, v2 long"
+        )
+        n_hit = pairs.join(F.broadcast(truth_df), ["v1", "v2"], "left_semi").count()
+        dt = round(time.time() - t0, 2)
+        pairs.unpersist()
+        out["ivf_cosine_pairs_dup"] = {
+            "sec": dt,
+            "found": n_found,
+            "recall_vs_planted": round(n_hit / len(truth), 4),
+            "sim1_pairs": n_sim1,
+            "sim1_expected": expected_sim1,
+            "sim1_exact": n_sim1 == expected_sim1,
+        }
+        print(json.dumps(out))
+        return
     for name, fn in (
         ("lsh_cosine_pairs", lambda: lsh_cosine_pairs(emb, threshold=tau)),
         (
