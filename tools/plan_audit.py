@@ -79,6 +79,13 @@ def _l11_queries(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(5)
 
 
+def _l11b_queries(spark: SparkSession, sf: str) -> DataFrame:
+    from actuarial_reserve_modelling_spark.operators.textstats import chunk_documents
+
+    chunks = chunk_documents(_table("documents")(spark, sf), chunk_tokens=32, overlap=8)
+    return chunks.filter((F.col("doc_id") * 1000 + F.col("chunk_idx")) % 29 == 0)
+
+
 def _a13_sketch(spark: SparkSession, sf: str) -> DataFrame:
     cust = _table("customer")(spark, sf).filter(F.col("c_mktsegment") == "BUILDING")
     return cust.agg(
@@ -199,6 +206,14 @@ ALLOWED: dict[str, Allow] = {
         "IVF/LSH are the scale path",
         probe=_l11_queries,
         max_rows=5,
+    ),
+    "l11b_rag_top1_planted": Allow(
+        "BroadcastNestedLoopJoin",
+        "planted-twin hash slice of the RAG composite: the broadcast "
+        "side is the ~1/29 planted chunk-query set (bounded-query "
+        "contract, like l3e-l3i); IVF/LSH are the scale path",
+        probe=_l11b_queries,
+        max_rows=1_000,
     ),
     "u1c_reserve_risk_measures": Allow(
         "BroadcastNestedLoopJoin",
