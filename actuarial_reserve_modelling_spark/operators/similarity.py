@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1531,6 +1531,124 @@ def ann_ivf_hier_topk(
         vec_col=vec_col,
         group_cap=group_cap,
     )
+    return ann_ivf_hier_topk_indexed(
+        index,
+        super_cent,
+        embeddings,
+        queries,
+        k=k,
+        nprobe_super=nprobe_super,
+        child_probe=child_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        group_cap=group_cap,
+    )
+
+
+def persist_ann_index(
+    index: DataFrame,
+    super_cent: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist a two-level IVF index (``ivf_hier_build`` output) as the
+    build-once/query-many production layout:
+
+    * ``members/`` — (id, child) parquet, hive-PARTITIONED BY ``super``:
+      the only corpus-sized dataset, laid out on the key every query
+      batch filters on, so a pruned read touches ~nprobe_super/k1 of
+      the index bytes instead of all of them — at 10⁹ vectors that is
+      the difference between scanning gigabytes and scanning the whole
+      index per batch;
+    * ``children/`` — (child, centroid) rows, same partitioning (tiny:
+      ~n^(1/2) rows total, but routing reads them per probed super too);
+    * ``supers/`` — the k1 (≈ n^(1/4)) super-centroid rows, the only
+      piece small enough to live driver-side, reloaded into the same
+      ndarray the build returned (parquet doubles are bitwise-exact, so
+      a reloaded index routes IDENTICALLY to the in-memory one).
+
+    Writers repartition by the partition column first — few large files
+    per directory, not one file per task per super (the small-files
+    failure mode at 100 TB)."""
+    spark = index.sparkSession
+    members = index.filter(F.col(id_col).isNotNull()).select(id_col, "child", "super")
+    members.repartition(F.col("super")).write.mode("overwrite").partitionBy(
+        "super"
+    ).parquet(path + "/members")
+    children = index.filter(F.col(id_col).isNull()).select("child", "centroid", "super")
+    children.repartition(F.col("super")).write.mode("overwrite").partitionBy(
+        "super"
+    ).parquet(path + "/children")
+    sup_rows = [(i, [float(x) for x in row]) for i, row in enumerate(super_cent)]
+    spark.createDataFrame(
+        sup_rows, schema="super int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/supers")
+
+
+def load_ann_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    supers: list[int] | None = None,
+) -> tuple[DataFrame, np.ndarray]:
+    """Reload a ``persist_ann_index`` layout into the exact shape
+    ``ann_ivf_hier_topk_indexed`` consumes. ``supers`` (the distinct
+    super ids a query batch probes — bounded by the bounded-query
+    contract at |queries|·nprobe_super values) prunes BOTH scans to the
+    probed partition directories; the reassembled frame is then exactly
+    the subset the indexed query's joins would have kept, so pruned and
+    full loads answer identically (pinned by the roundtrip pytest)."""
+    members = spark.read.parquet(path + "/members")
+    children = spark.read.parquet(path + "/children")
+    if supers is not None:
+        probe_set = sorted({int(s) for s in supers})
+        members = members.filter(F.col("super").isin(probe_set))
+        children = children.filter(F.col("super").isin(probe_set))
+    index = members.select(
+        F.col(id_col).cast("long"),
+        F.col("super").cast("int"),
+        F.col("child").cast("int"),
+        F.lit(None).cast("array<double>").alias("centroid"),
+    ).unionByName(
+        children.select(
+            F.lit(None).cast("long").alias(id_col),
+            F.col("super").cast("int"),
+            F.col("child").cast("int"),
+            F.col("centroid"),
+        )
+    )
+    sup = spark.read.parquet(path + "/supers").orderBy("super").collect()
+    super_cent = np.array([np.asarray(r["centroid"], dtype=np.float64) for r in sup])
+    return index, super_cent
+
+
+def ann_ivf_hier_topk_persisted(
+    spark: SparkSession,
+    path: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe_super: int = 4,
+    child_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_cap: int = _GROUP_CAP,
+) -> DataFrame:
+    """Query a persisted index with partition-pruned reads: soft-assign
+    the (bounded) query batch against the reloaded super-centroids,
+    collect the distinct probed supers (≤ |queries|·nprobe_super ints —
+    the one driver-side list, bounded by the same contract that bounds
+    the query side of every ANN join here), and load ONLY those
+    partitions of ``members/`` and ``children/`` before delegating to
+    ``ann_ivf_hier_topk_indexed``. The scan carries the probe set as
+    PartitionFilters — the index bytes read per batch scale with
+    nprobe_super/k1, not with the corpus."""
+    _, super_cent = load_ann_index(spark, path, id_col=id_col)
+    probes = ivf_assign(
+        queries, super_cent, id_col=id_col, vec_col=vec_col, nprobe=nprobe_super
+    )
+    probed = [int(r["cluster"]) for r in probes.select("cluster").distinct().collect()]
+    index, _ = load_ann_index(spark, path, id_col=id_col, supers=probed)
     return ann_ivf_hier_topk_indexed(
         index,
         super_cent,

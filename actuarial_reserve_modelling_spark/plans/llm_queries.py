@@ -1294,3 +1294,46 @@ def l3i_ann_ivfpq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=16,
         rerank=32,
     )
+
+
+@register(
+    "l34_ann_index_persisted",
+    "L3,S6 (build-once/query-many: persisted hierarchical ANN index, partition-pruned reads)",
+    oracle=_PLANTED_TOP1_ORACLE,
+)
+def l34_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN lifecycle that every one-shot l3* query
+    elides: build the two-level IVF index ONCE, persist it as a
+    hive-partitioned parquet layout (``persist_ann_index`` — members
+    and child centroids partitioned by ``super``, the key every query
+    batch filters on), then answer a query batch by PRUNED reads
+    (``ann_ivf_hier_topk_persisted``: soft-assign the bounded query
+    batch, collect its distinct probed supers, and scan only those
+    partition directories — the per-batch index I/O is nprobe_super/k1
+    of the index, not all of it, which at 10⁹ vectors is the entire
+    point of persisting). Correctness is the l3g construction run
+    through the persisted+pruned path: parquet doubles round-trip
+    bitwise, so the reloaded super/child centroids route the twin query
+    identically and rank 1 is the planted source at sim exactly 1.0.
+    The full-load/pruned-load equivalence and the on-disk layout are
+    pinned by the roundtrip pytest."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk_persisted,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = plant_twins(emb, 50)
+    corpus = emb.unionByName(planted)
+    root, fresh = staging_dir("l34", sf_dir)
+    out = root + "/ann_index"
+    if fresh:
+        index, super_cent = ivf_hier_build(corpus)
+        persist_ann_index(index, super_cent, out)
+        staging_commit(root)
+    return ann_ivf_hier_topk_persisted(spark, out, corpus, planted, k=1)

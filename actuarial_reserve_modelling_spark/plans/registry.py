@@ -50,6 +50,9 @@ _ROUND9_FRONT = [
     "q2_min_cost_supplier",
     "l27c_semantic_dedup_ivf",
     "l11b_rag_top1_planted",
+    #    - l34: NEW in r9 — persisted hierarchical ANN index with
+    #      partition-pruned query reads (build-once/query-many).
+    "l34_ann_index_persisted",
     # 2) backfill: the rows whose latest driver evidence is oldest
     #    (r5/r6-era — VERDICT r8 task #1 backfill list), oldest first.
     "l12_train_test_split",

@@ -1197,3 +1197,75 @@ def test_hier_group_cap_bounds_pathological_cluster(spark):
     pairs = ivf_cosine_pairs(corpus, threshold=0.999999, nprobe=2, n_iters=1)
     got_pairs = {(r.v1, r.v2) for r in pairs.collect()}
     assert {(s, s + 100000) for s in range(0, 1500, 100)} <= got_pairs
+
+
+def test_persisted_ann_index_roundtrip(spark, tmp_path):
+    """persist_ann_index / load_ann_index / ann_ivf_hier_topk_persisted:
+    the persisted index must (a) lay out members and child centroids as
+    super=<s> partition directories, (b) reload to a frame that answers
+    IDENTICALLY to the in-memory index (parquet doubles are bitwise),
+    (c) answer identically again under a pruned load restricted to the
+    probed supers, and (d) carry the probe set into the members scan as
+    PartitionFilters."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk_indexed,
+        ann_ivf_hier_topk_persisted,
+        ivf_hier_build,
+        load_ann_index,
+        persist_ann_index,
+    )
+
+    rng = np.random.default_rng(21)
+    pts = rng.standard_normal((600, 16))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(600)], schema
+    )
+    queries = emb.filter(F.col("vec_id") % 60 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(queries)
+    index, super_cent = ivf_hier_build(corpus)
+    in_mem = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_indexed(
+            index, super_cent, corpus, queries, k=3
+        ).collect()
+    }
+    path = str(tmp_path / "ann_index")
+    persist_ann_index(index, super_cent, path)
+    # (a) hive layout partitioned on the probed key
+    assert any(d.startswith("super=") for d in os.listdir(path + "/members"))
+    assert any(d.startswith("super=") for d in os.listdir(path + "/children"))
+    # (b) reloaded index routes identically
+    re_index, re_cent = load_ann_index(spark, path)
+    assert np.array_equal(re_cent, super_cent)
+    full = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_indexed(
+            re_index, re_cent, corpus, queries, k=3
+        ).collect()
+    }
+    # (c) pruned load answers identically end to end
+    pruned = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_persisted(spark, path, corpus, queries, k=3).collect()
+    }
+    assert in_mem == full == pruned and len(in_mem) == 30
+    # every twin query retrieves its source at rank 1 / sim 1.0
+    assert {(q, q - 100000, 1, 1.0) for q in range(100000, 100600, 60)} <= in_mem
+    # (d) the pruned members scan carries PartitionFilters
+    some = [0, 1]
+    pruned_members, _ = load_ann_index(spark, path, supers=some)
+    plan = pruned_members._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "super" in plan
