@@ -1622,6 +1622,77 @@ def load_ann_index(
     return index, super_cent
 
 
+def add_to_ann_index(
+    spark: SparkSession,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a persisted hierarchical index (the ANN
+    analogue of the l18/l19 incremental-dedup tiers): route each new
+    vector to its hard (top-1) super with the SAME ``ivf_assign``
+    kernel the build used, then to the nearest child centroid within
+    that super (ties by lowest child id — the build kernel's own
+    rule), and APPEND the new member rows to their super's partition
+    directories. Per-batch cost is the batch's routing + a
+    partition-local append — no retrain, no rebuild, untouched supers
+    gain no files. Re-running a failed ingest is made idempotent the
+    same way the s7 sinks are: rebuild-or-epoch upstream
+    (``persist_ann_index``'s overwrite clears any partial appends).
+
+    An added vector bitwise-identical to an indexed member lands in
+    exactly its member's (super, child): identical distance rows
+    through identical arithmetic at both levels — which is what makes
+    planted-twin oracles (l35) carry through ingest. The batch is NOT
+    bounded by the query contract: routing is per-vector map/join work
+    (each vector joins only its one hard super's child rows), so a
+    10⁸-vector ingest distributes like any other join; only the
+    super-centroid matrix (k1·d, the driver-resident piece by design)
+    is broadcast."""
+    _, super_cent = load_ann_index(spark, path, id_col=id_col)
+    hard = ivf_assign(
+        new_embeddings, super_cent, id_col=id_col, vec_col=vec_col
+    ).select(id_col, F.col("cluster").alias("super"))
+    children = spark.read.parquet(path + "/children").select(
+        "super", "child", "centroid"
+    )
+    routing = (
+        new_embeddings.select(id_col, vec_col)
+        .join(hard, id_col)
+        .join(children, "super")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("child", T.IntegerType()),
+            T.StructField("super", T.IntegerType()),
+        ]
+    )
+
+    def route_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one (new id) group = its hard super's child rows (tiny:
+        # ~n^(1/4)·slices). Same arithmetic + lowest-child-id tie rule
+        # as the build kernel's final member assignment.
+        pdf = pdf.sort_values("child", kind="mergesort").reset_index(drop=True)
+        cent = np.array([np.asarray(c, dtype=np.float64) for c in pdf["centroid"]])
+        v = np.asarray(pdf[vec_col].iloc[0], dtype=np.float64)[None, :]
+        d2 = (cent * cent).sum(1)[None, :] - 2.0 * (v @ cent.T)
+        best = int(d2.argmin())  # first occurrence -> lowest child id
+        return pd.DataFrame(
+            {
+                id_col: [np.int64(pdf[id_col].iloc[0])],
+                "child": [np.int32(pdf["child"].iloc[best])],
+                "super": [np.int32(pdf["super"].iloc[0])],
+            }
+        )
+
+    assigned = routing.groupBy(id_col).applyInPandas(route_one, schema=out_schema)
+    assigned.repartition(F.col("super")).write.mode("append").partitionBy(
+        "super"
+    ).parquet(path + "/members")
+
+
 def ann_ivf_hier_topk_persisted(
     spark: SparkSession,
     path: str,

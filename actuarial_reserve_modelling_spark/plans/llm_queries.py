@@ -1337,3 +1337,60 @@ def l34_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_ann_index(index, super_cent, out)
         staging_commit(root)
     return ann_ivf_hier_topk_persisted(spark, out, corpus, planted, k=1)
+
+
+@register(
+    "l35_ann_index_add_persisted",
+    "L3,D8,S6 (incremental ingest into the persisted ANN index, hash-grade)",
+    oracle="""
+    SELECT vec_id + 200000 AS query_id, vec_id AS neighbor_id,
+           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 50 = 0
+    UNION ALL
+    SELECT vec_id + 200000 AS query_id, vec_id + 100000 AS neighbor_id,
+           CAST(2 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def l35_ann_index_add_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest through the persisted index, hash-grade
+    (l25 covers the flat in-memory form rows-only): build+persist on
+    the base corpus, ``add_to_ann_index`` a batch of exact twins
+    (ids +100000) of every 50th vector — routed by the same two-level
+    arithmetic the build used, appended only to their supers'
+    partition directories — then query a SECOND twin of each source
+    (ids +200000) at k=2. Rank 1 is structurally the original source
+    (the l3g guarantee, index rows untouched by the add) and rank 2 is
+    the ADDED twin: it hard-routes to the source's super and to a
+    child that is its own slot's rank-1 for the identical query vector
+    (a global argmin is its slot's argmin, and an in-slot distance tie
+    resolves to the same lowest child id in both kernels), so it is
+    always scanned and ties at sim 1.0 behind the lower source id.
+    The add being REQUIRED for the rank-2 rows is what pins the ingest
+    path: dropping, mis-routing, or double-appending the batch all
+    hash-mismatch."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ann_index,
+        ann_ivf_hier_topk_persisted,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    added = plant_twins(emb, 50)
+    queries = plant_twins(emb, 50, offset=200_000)
+    root, fresh = staging_dir("l35", sf_dir)
+    out = root + "/ann_index"
+    if fresh:
+        index, super_cent = ivf_hier_build(emb)
+        # overwrite clears any partial append from a failed prior
+        # build, so build+add is idempotent as a unit
+        persist_ann_index(index, super_cent, out)
+        add_to_ann_index(spark, out, added)
+        staging_commit(root)
+    rerank_pool = emb.unionByName(added)
+    return ann_ivf_hier_topk_persisted(spark, out, rerank_pool, queries, k=2)

@@ -53,6 +53,9 @@ _ROUND9_FRONT = [
     #    - l34: NEW in r9 — persisted hierarchical ANN index with
     #      partition-pruned query reads (build-once/query-many).
     "l34_ann_index_persisted",
+    #    - l35: NEW in r9 — hash-grade incremental ingest into the
+    #      persisted index (partition-local append, no retrain).
+    "l35_ann_index_add_persisted",
     # 2) backfill: the rows whose latest driver evidence is oldest
     #    (r5/r6-era — VERDICT r8 task #1 backfill list), oldest first.
     "l12_train_test_split",

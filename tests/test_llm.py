@@ -1269,3 +1269,69 @@ def test_persisted_ann_index_roundtrip(spark, tmp_path):
     pruned_members, _ = load_ann_index(spark, path, supers=some)
     plan = pruned_members._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "super" in plan
+
+
+def test_ann_index_add_routes_to_source_lists(spark, tmp_path):
+    """add_to_ann_index: an added vector bitwise-identical to an
+    indexed member must land in EXACTLY its member's (super, child)
+    row — the structural property behind the l35 oracle — the append
+    must touch only those supers' partition directories, and a k=2
+    query for a third copy must return (source, added) at sims 1.0."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ann_index,
+        ann_ivf_hier_topk_persisted,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    rng = np.random.default_rng(29)
+    pts = rng.standard_normal((500, 16))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(500)], schema
+    )
+    added = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    path = str(tmp_path / "ann_index")
+    index, super_cent = ivf_hier_build(emb)
+    persist_ann_index(index, super_cent, path)
+    add_to_ann_index(spark, path, added)
+    members = spark.read.parquet(path + "/members")
+    assert members.count() == 500 + 10
+    src = members.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("s"), "super", "child"
+    )
+    twin = members.filter(F.col("vec_id") >= 100000).select(
+        (F.col("vec_id") - 100000).alias("s"),
+        F.col("super").alias("t_super"),
+        F.col("child").alias("t_child"),
+    )
+    j = src.join(twin, "s")
+    assert j.count() == 10
+    assert (
+        j.filter(
+            (F.col("super") != F.col("t_super")) | (F.col("child") != F.col("t_child"))
+        ).count()
+        == 0
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    pool = emb.unionByName(added)
+    got = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_persisted(spark, path, pool, queries, k=2).collect()
+    }
+    want = {(s + 200000, s, 1, 1.0) for s in range(0, 500, 50)} | {
+        (s + 200000, s + 100000, 2, 1.0) for s in range(0, 500, 50)
+    }
+    assert got == want
