@@ -1693,6 +1693,71 @@ def add_to_ann_index(
     ).parquet(path + "/members")
 
 
+def delete_from_ann_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Remove vectors from a persisted index (dedup-driven removal,
+    retention, right-to-be-forgotten): anti-join the member rows
+    against the delete-set and DYNAMIC-partition-overwrite only the
+    supers that actually held deleted ids (``overwrite_partitions``,
+    the S7 resumable-write primitive — untouched supers keep their
+    files byte-identical, so a 10-id delete from a 10⁹-vector index
+    rewrites a handful of directories, not the index). Centroids are
+    deliberately left as built: an IVF quantizer is a routing
+    structure, not a statement about membership — queries never see
+    deleted ids again (they are gone from every list), and the routing
+    geometry for the surviving vectors is unchanged, which is exactly
+    the semantics an immutable-build/mutable-membership index wants.
+    Also the compaction hook: rewritten supers come out at one file
+    per partition, folding any append-accumulated small files."""
+    from actuarial_reserve_modelling_spark.sources.sinks import overwrite_partitions
+
+    members = spark.read.parquet(path + "/members")
+    del_ids = ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+    # the touched-super list is the one driver-side collect: bounded by
+    # the number of DISTINCT supers holding deleted ids (≤ k1, itself
+    # ~n^(1/4) — a few thousand ints at 10⁹ vectors)
+    touched = sorted(
+        int(r["super"])
+        for r in members.join(del_ids, id_col, "left_semi")
+        .select("super")
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return
+    # survivors read the very files the overwrite below replaces —
+    # materialize them OFF those files first (eager localCheckpoint),
+    # or the write's commit would invalidate its own input listing
+    survivors = (
+        members.filter(F.col("super").isin(touched))
+        .join(del_ids, id_col, "left_anti")
+        .select(id_col, "child", "super")
+        .localCheckpoint()
+    )
+    kept = {
+        int(r["super"]) for r in survivors.select("super").distinct().collect()
+    }
+    overwrite_partitions(
+        survivors.repartition(F.col("super")), path + "/members", ["super"]
+    )
+    # a super whose members were ALL deleted is absent from the
+    # survivors frame, so dynamic overwrite leaves its old files in
+    # place — drop those directories explicitly (paths constructed
+    # under members/ only)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for s in set(touched) - kept:
+        p = jvm.org.apache.hadoop.fs.Path(path + "/members/super=" + str(s))
+        p.getFileSystem(hconf).delete(p, True)
+    # evict the pre-delete file listing from the shared status cache so
+    # readers in this session see the rewritten layout
+    spark.catalog.refreshByPath(path + "/members")
+
+
 def ann_ivf_hier_topk_persisted(
     spark: SparkSession,
     path: str,

@@ -1394,3 +1394,52 @@ def l35_ann_index_add_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         staging_commit(root)
     rerank_pool = emb.unionByName(added)
     return ann_ivf_hier_topk_persisted(spark, out, rerank_pool, queries, k=2)
+
+
+@register(
+    "l36_ann_index_delete_persisted",
+    "L3,S7 (deletion from the persisted ANN index via dynamic partition overwrite)",
+    oracle="""
+    SELECT vec_id + 200000 AS query_id, vec_id + 100000 AS neighbor_id,
+           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def l36_ann_index_delete_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remove side of the index lifecycle (dedup-driven removal /
+    retention), hash-grade: build+persist on the base corpus, add
+    exact twins (+100000) of every 50th vector, then DELETE the
+    original sources (``delete_from_ann_index`` — anti-join + dynamic
+    partition overwrite of only the touched supers; untouched supers
+    keep their files). Querying a third twin (+200000) at k=1 now
+    pins BOTH mutations at once: the added twin is the only remaining
+    sim-1.0 vector, so rank 1 must be id+100000 — if the delete left
+    the source behind, the lower source id wins the 1.0 tie and the
+    hash mismatches; if the add was lost, no 1.0 neighbor exists at
+    rank 1 and it mismatches too."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ann_index,
+        ann_ivf_hier_topk_persisted,
+        delete_from_ann_index,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    added = plant_twins(emb, 50)
+    queries = plant_twins(emb, 50, offset=200_000)
+    sources = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+    root, fresh = staging_dir("l36", sf_dir)
+    out = root + "/ann_index"
+    if fresh:
+        index, super_cent = ivf_hier_build(emb)
+        persist_ann_index(index, super_cent, out)
+        add_to_ann_index(spark, out, added)
+        delete_from_ann_index(spark, out, sources)
+        staging_commit(root)
+    rerank_pool = emb.unionByName(added)
+    return ann_ivf_hier_topk_persisted(spark, out, rerank_pool, queries, k=1)

@@ -56,6 +56,9 @@ _ROUND9_FRONT = [
     #    - l35: NEW in r9 — hash-grade incremental ingest into the
     #      persisted index (partition-local append, no retrain).
     "l35_ann_index_add_persisted",
+    #    - l36: NEW in r9 — deletion from the persisted index via
+    #      dynamic partition overwrite (touched supers only).
+    "l36_ann_index_delete_persisted",
     # 2) backfill: the rows whose latest driver evidence is oldest
     #    (r5/r6-era — VERDICT r8 task #1 backfill list), oldest first.
     "l12_train_test_split",

@@ -1335,3 +1335,68 @@ def test_ann_index_add_routes_to_source_lists(spark, tmp_path):
         (s + 200000, s + 100000, 2, 1.0) for s in range(0, 500, 50)
     }
     assert got == want
+
+
+def test_ann_index_delete_semantics(spark, tmp_path):
+    """delete_from_ann_index: deleted ids vanish from the member rows,
+    UNTOUCHED supers keep their files byte-identical (dynamic partition
+    overwrite rewrites only touched directories), a super emptied
+    entirely loses its directory (the dynamic-overwrite blind spot,
+    handled explicitly), and a k=1 twin query for a deleted source
+    falls through to the next-best survivor."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk_persisted,
+        delete_from_ann_index,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    rng = np.random.default_rng(31)
+    pts = rng.standard_normal((400, 16))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(400)], schema
+    )
+    path = str(tmp_path / "ann_index")
+    index, super_cent = ivf_hier_build(emb)
+    persist_ann_index(index, super_cent, path)
+    members0 = spark.read.parquet(path + "/members")
+    sup_of = {r["vec_id"]: r["super"] for r in members0.collect()}
+    # delete: every member of ONE super (empties it) + one id from another
+    victim_super = sup_of[0]
+    all_of_victim = sorted(i for i, s in sup_of.items() if s == victim_super)
+    other_id = next(i for i, s in sup_of.items() if s != victim_super)
+    untouched = sorted(
+        {s for i, s in sup_of.items() if s not in (victim_super, sup_of[other_id])}
+    )
+    listing_before = {
+        s: sorted(os.listdir(path + f"/members/super={s}")) for s in untouched
+    }
+    dels = spark.createDataFrame(
+        [(int(i),) for i in all_of_victim + [other_id]], "vec_id long"
+    )
+    delete_from_ann_index(spark, path, dels)
+    # emptied super's directory is gone; untouched supers byte-identical
+    assert not os.path.exists(path + f"/members/super={victim_super}")
+    for s in untouched:
+        assert sorted(os.listdir(path + f"/members/super={s}")) == listing_before[s]
+    members1 = spark.read.parquet(path + "/members")
+    remaining = {r["vec_id"] for r in members1.select("vec_id").collect()}
+    gone = set(all_of_victim) | {other_id}
+    assert remaining == set(range(400)) - gone
+    # a twin query for a deleted id returns a survivor, never the deleted id
+    q = emb.filter(F.col("vec_id") == other_id).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    res = ann_ivf_hier_topk_persisted(spark, path, emb, q, k=1).collect()
+    assert len(res) == 1 and res[0]["neighbor_id"] not in gone
