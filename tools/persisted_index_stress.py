@@ -1,0 +1,122 @@
+"""Persisted-ANN-index stress (r9): build + persist a hierarchical
+index at stress scale, then measure a query batch through (a) the
+partition-PRUNED read path (``ann_ivf_hier_topk_persisted``) and
+(b) a full-load query, reporting the probed/total super fraction —
+the quantity that scales the per-batch index I/O at 10⁹ vectors —
+plus planted-twin exactness on both paths.
+
+On one local JVM with OS page cache the two walls are close; the
+recorded evidence is the pruned fraction (bytes NOT read at scale)
+and that pruning is answer-preserving at stress size, not the local
+wall gap.
+
+Usage: python tools/persisted_index_stress.py [n] [n_queries]
+(defaults 128000, 200)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 128_000
+    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    dim = 64
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk_indexed,
+        ann_ivf_hier_topk_persisted,
+        ivf_assign,
+        ivf_hier_build,
+        load_ann_index,
+        persist_ann_index,
+    )
+    from actuarial_reserve_modelling_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rng = np.random.default_rng(19)
+    pts = rng.standard_normal((n, dim))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)], schema
+    ).repartition(32).localCheckpoint()
+    src = list(range(0, n, max(1, n // n_q)))[:n_q]
+    queries = emb.filter(
+        F.col("vec_id").isin(src)
+    ).select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(queries).localCheckpoint()
+
+    t0 = time.time()
+    index, super_cent = ivf_hier_build(corpus)
+    index.count()
+    t_build = time.time() - t0
+    d = tempfile.mkdtemp(prefix="arm_idx_stress_") + "/idx"
+    t0 = time.time()
+    persist_ann_index(index, super_cent, d)
+    t_persist = time.time() - t0
+    k1 = len(super_cent)
+
+    nprobe_super = 4
+    probes = ivf_assign(queries, super_cent, nprobe=nprobe_super)
+    probed = probes.select("cluster").distinct().count()
+
+    t0 = time.time()
+    res_pruned = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_persisted(
+            spark, d, corpus, queries, k=1, nprobe_super=nprobe_super
+        ).collect()
+    }
+    t_pruned = time.time() - t0
+
+    t0 = time.time()
+    full_index, full_cent = load_ann_index(spark, d)
+    res_full = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_indexed(
+            full_index, full_cent, corpus, queries, k=1, nprobe_super=nprobe_super
+        ).collect()
+    }
+    t_full = time.time() - t0
+
+    want = {(s + 10_000_000, s, 1, 1.0) for s in src}
+    print(
+        json.dumps(
+            {
+                "n_vectors": n + len(src),
+                "n_queries": len(src),
+                "k1_supers": k1,
+                "probed_supers": probed,
+                "pruned_fraction": round(probed / k1, 4),
+                "build_sec": round(t_build, 2),
+                "persist_sec": round(t_persist, 2),
+                "query_pruned_sec": round(t_pruned, 2),
+                "query_full_load_sec": round(t_full, 2),
+                "pruned_equals_full": res_pruned == res_full,
+                "twins_exact": res_pruned == want,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
