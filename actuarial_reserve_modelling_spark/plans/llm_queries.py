@@ -1298,7 +1298,7 @@ def l3i_ann_ivfpq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l34_ann_index_persisted",
-    "L3,S6 (build-once/query-many: persisted hierarchical ANN index, partition-pruned reads)",
+    "L3,S6,L10 (build-once/query-many: persisted hierarchical ANN index, partition-pruned reads)",
     oracle=_PLANTED_TOP1_ORACLE,
 )
 def l34_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,7 +1341,7 @@ def l34_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l35_ann_index_add_persisted",
-    "L3,D8,S6 (incremental ingest into the persisted ANN index, hash-grade)",
+    "L3,D8,S6,L10 (incremental ingest into the persisted ANN index, hash-grade)",
     oracle="""
     SELECT vec_id + 200000 AS query_id, vec_id AS neighbor_id,
            CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
@@ -1398,7 +1398,7 @@ def l35_ann_index_add_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l36_ann_index_delete_persisted",
-    "L3,S7 (deletion from the persisted ANN index via dynamic partition overwrite)",
+    "L3,S7,L10 (deletion from the persisted ANN index via dynamic partition overwrite)",
     oracle="""
     SELECT vec_id + 200000 AS query_id, vec_id + 100000 AS neighbor_id,
            CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
