@@ -1628,6 +1628,7 @@ def add_to_ann_index(
     new_embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    group_cap: int = _GROUP_CAP,
 ) -> None:
     """Incremental ingest into a persisted hierarchical index (the ANN
     analogue of the l18/l19 incremental-dedup tiers): route each new
@@ -1642,25 +1643,47 @@ def add_to_ann_index(
     (``persist_ann_index``'s overwrite clears any partial appends).
 
     An added vector bitwise-identical to an indexed member lands in
-    exactly its member's (super, child): identical distance rows
-    through identical arithmetic at both levels — which is what makes
-    planted-twin oracles (l35) carry through ingest. The batch is NOT
-    bounded by the query contract: routing is per-vector map/join work
-    (each vector joins only its one hard super's child rows), so a
-    10⁸-vector ingest distributes like any other join; only the
-    super-centroid matrix (k1·d, the driver-resident piece by design)
-    is broadcast."""
+    its member's SUPER with probability 1 (identical hard-assign
+    rows), and in its member's exact child whenever that super was not
+    sub-split at build time (one child set, identical argmin). If the
+    build DID slice the super, the member's child was trained on its
+    hash slice while the add routes to the globally nearest child —
+    possibly another slice's — but retrieval is unaffected either way:
+    the chosen child is the identical query vector's global rank-1 and
+    therefore its own slot's rank-1, so the per-(super, slot) query
+    routing always probes it. That weaker-but-sufficient guarantee is
+    what the planted-twin oracle (l35) actually pins. The batch is NOT
+    bounded by the query contract, so routing is a COGROUPED Arrow
+    kernel per (super, slot) — batch vectors on one side, the super's
+    child-centroid rows on the other, one matmul per group (never a
+    Python call per vector) — with the build's own hash sub-split
+    bounding a skewed batch's hottest super at ``group_cap`` rows per
+    task; only the super-centroid matrix (k1·d, the driver-resident
+    piece by design) is broadcast."""
     _, super_cent = load_ann_index(spark, path, id_col=id_col)
     hard = ivf_assign(
         new_embeddings, super_cent, id_col=id_col, vec_col=vec_col
-    ).select(id_col, F.col("cluster").alias("super"))
-    children = spark.read.parquet(path + "/children").select(
-        "super", "child", "centroid"
+    ).select(id_col, F.col("cluster").cast("int").alias("super"))
+    newrows = new_embeddings.select(id_col, vec_col).join(hard, id_col)
+    split_target = max(1, (group_cap * 3) // 4)
+    counts = newrows.groupBy("super").agg(F.count(F.lit(1)).alias("_gsz"))
+    nsplit = F.ceil(F.col("_gsz") / F.lit(split_target)).cast("long")
+    left = newrows.join(F.broadcast(counts), "super").select(
+        id_col,
+        vec_col,
+        "super",
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(53)), nsplit).cast("int").alias("_slot"),
     )
-    routing = (
-        new_embeddings.select(id_col, vec_col)
-        .join(hard, id_col)
-        .join(children, "super")
+    # the (tiny) children table replicated once per slot of its super,
+    # so every cogroup key sees the super's full child set
+    slots = counts.select(
+        "super",
+        F.explode(F.sequence(F.lit(0), (nsplit - 1).cast("int"))).alias("_slot"),
+    )
+    children = (
+        spark.read.parquet(path + "/children")
+        .select(F.col("super").cast("int").alias("super"), "child", "centroid")
+        .join(F.broadcast(slots), "super")
     )
     out_schema = T.StructType(
         [
@@ -1669,25 +1692,61 @@ def add_to_ann_index(
             T.StructField("super", T.IntegerType()),
         ]
     )
+    cap = group_cap
 
-    def route_one(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one (new id) group = its hard super's child rows (tiny:
-        # ~n^(1/4)·slices). Same arithmetic + lowest-child-id tie rule
-        # as the build kernel's final member assignment.
-        pdf = pdf.sort_values("child", kind="mergesort").reset_index(drop=True)
-        cent = np.array([np.asarray(c, dtype=np.float64) for c in pdf["centroid"]])
-        v = np.asarray(pdf[vec_col].iloc[0], dtype=np.float64)[None, :]
-        d2 = (cent * cent).sum(1)[None, :] - 2.0 * (v @ cent.T)
-        best = int(d2.argmin())  # first occurrence -> lowest child id
-        return pd.DataFrame(
+    def route(batch_t, child_t):
+        # one (super, slot) group: route every batch vector with the
+        # build kernel's arithmetic and lowest-child-id tie rule
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import (
+            fixed_vecs,
+            int_col,
+        )
+
+        n = batch_t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "child": pa.array([], type=pa.int32()),
+                    "super": pa.array([], type=pa.int32()),
+                }
+            )
+        if n > cap:
+            raise ValueError(
+                f"ann index add: {n} rows in one routing task exceeds "
+                f"group_cap={cap} — sub-split invariant violated"
+            )
+        if child_t.num_rows == 0:
+            sup = int(int_col(batch_t.column("super"))[0])
+            raise ValueError(
+                f"ann index add: hard super {sup} has no child rows — "
+                "the index is missing its children dataset or the "
+                "super never received members at build time; rebuild "
+                "or route this batch through a fresh build"
+            )
+        childs = int_col(child_t.column("child"))
+        order = np.argsort(childs)  # ascending child id
+        childs = childs[order]
+        cent = fixed_vecs(child_t.column("centroid"))[order]
+        ids = int_col(batch_t.column(id_col))
+        vecs = fixed_vecs(batch_t.column(vec_col), d=cent.shape[1])
+        d2 = (cent * cent).sum(1)[None, :] - 2.0 * (vecs @ cent.T)
+        best = d2.argmin(axis=1)  # first occurrence -> lowest child id
+        return pa.table(
             {
-                id_col: [np.int64(pdf[id_col].iloc[0])],
-                "child": [np.int32(pdf["child"].iloc[best])],
-                "super": [np.int32(pdf["super"].iloc[0])],
+                id_col: pa.array(ids, type=pa.int64()),
+                "child": pa.array(childs[best].astype(np.int32), type=pa.int32()),
+                "super": batch_t.column("super").cast(pa.int32()),
             }
         )
 
-    assigned = routing.groupBy(id_col).applyInPandas(route_one, schema=out_schema)
+    assigned = (
+        left.groupBy("super", "_slot")
+        .cogroup(children.groupBy("super", "_slot"))
+        .applyInArrow(route, schema=out_schema)
+    )
     assigned.repartition(F.col("super")).write.mode("append").partitionBy(
         "super"
     ).parquet(path + "/members")

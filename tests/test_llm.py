@@ -1400,3 +1400,74 @@ def test_ann_index_delete_semantics(spark, tmp_path):
     )
     res = ann_ivf_hier_topk_persisted(spark, path, emb, q, k=1).collect()
     assert len(res) == 1 and res[0]["neighbor_id"] not in gone
+
+
+def test_ann_index_add_skewed_batch_bounded(spark, tmp_path):
+    """add_to_ann_index under ingest skew: a batch that is one tight
+    cluster hard-routes almost entirely to one super — the hash
+    sub-split must keep every routing task at or under group_cap (the
+    in-kernel raise makes success the evidence), twins must land in
+    their members' SUPER (their exact child only when the build did
+    not slice that super — here it did, so the child may differ), and
+    a third twin's k=2 query must still retrieve (source, added twin)
+    at sims 1.0: the added twin's child is the identical query's
+    global rank-1 and therefore its own slot's rank-1, so it is always
+    probed."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ann_index,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    rng = np.random.default_rng(37)
+    center = rng.standard_normal(16)
+    pts = center[None, :] + 0.01 * rng.standard_normal((800, 16))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(800)], schema
+    )
+    path = str(tmp_path / "ann_index")
+    index, super_cent = ivf_hier_build(emb, group_cap=256)
+    persist_ann_index(index, super_cent, path)
+    batch = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    add_to_ann_index(spark, path, batch, group_cap=64)
+    members = spark.read.parquet(path + "/members")
+    assert members.count() == 800 + 400
+    src = members.filter(F.col("vec_id") < 100000).select(
+        F.col("vec_id").alias("s"), "super", "child"
+    )
+    twin = members.filter(F.col("vec_id") >= 100000).select(
+        (F.col("vec_id") - 100000).alias("s"),
+        F.col("super").alias("t_super"),
+        F.col("child").alias("t_child"),
+    )
+    j = src.join(twin, "s")
+    assert j.count() == 400
+    assert j.filter(F.col("super") != F.col("t_super")).count() == 0
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk_persisted,
+    )
+    pool = emb.unionByName(batch)
+    got = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_persisted(
+            spark, path, pool, queries, k=2, group_cap=256
+        ).collect()
+    }
+    want = {(s_ + 200000, s_, 1, 1.0) for s_ in range(0, 800, 100)} | {
+        (s_ + 200000, s_ + 100000, 2, 1.0) for s_ in range(0, 800, 100)
+    }
+    assert got == want
