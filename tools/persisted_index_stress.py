@@ -99,6 +99,40 @@ def main() -> None:
     t_full = time.time() - t0
 
     want = {(s + 10_000_000, s, 1, 1.0) for s in src}
+
+    # incremental ingest at scale: add a 25%-of-corpus batch (twins of
+    # every 4th corpus vector so routing correctness is checkable),
+    # then verify a sample of second twins retrieves (source, added)
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ann_index,
+    )
+
+    add_src = list(range(0, n, 4))
+    batch = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"), "embedding"
+    )
+    t0 = time.time()
+    add_to_ann_index(spark, d, batch)
+    t_add = time.time() - t0
+    # sample sources NOT in the first planted set (those already have a
+    # +10M twin indexed, which would take the rank-2 slot at sim 1.0)
+    step1 = max(1, n // n_q)
+    clean = [s for s in add_src if s % step1 != 0]
+    sample = clean[:: max(1, len(clean) // 50)][:50]
+    q2 = emb.filter(F.col("vec_id").isin(sample)).select(
+        (F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding"
+    )
+    pool = corpus.unionByName(batch)
+    res_add = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_persisted(
+            spark, d, pool, q2, k=2, nprobe_super=nprobe_super
+        ).collect()
+    }
+    want_add = {(s + 30_000_000, s, 1, 1.0) for s in sample} | {
+        (s + 30_000_000, s + 20_000_000, 2, 1.0) for s in sample
+    }
+
     print(
         json.dumps(
             {
@@ -113,6 +147,9 @@ def main() -> None:
                 "query_full_load_sec": round(t_full, 2),
                 "pruned_equals_full": res_pruned == res_full,
                 "twins_exact": res_pruned == want,
+                "add_batch_rows": len(add_src),
+                "add_sec": round(t_add, 2),
+                "add_twins_exact": res_add == want_add,
             }
         )
     )
