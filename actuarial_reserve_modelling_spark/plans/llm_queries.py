@@ -1311,11 +1311,18 @@ def l34_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, collect its distinct probed supers, and scan only those
     partition directories — the per-batch index I/O is nprobe_super/k1
     of the index, not all of it, which at 10⁹ vectors is the entire
-    point of persisting). Correctness is the l3g construction run
-    through the persisted+pruned path: parquet doubles round-trip
-    bitwise, so the reloaded super/child centroids route the twin query
-    identically and rank 1 is the planted source at sim exactly 1.0.
-    The full-load/pruned-load equivalence and the on-disk layout are
+    point of persisting). Since r10 the layout is VECTOR-BEARING
+    (``persist_ann_index(embeddings=...)``) and the query passes
+    ``embeddings=None``: the exact rerank reads candidate vectors out
+    of the same pruned partitions, so the whole per-batch query
+    touches the probed fraction of the index and ZERO corpus files
+    (r9 verdict finding #1 closed; scan-path pytest pins it).
+    Correctness is the l3g construction run through the
+    persisted+pruned path: parquet round-trips doubles and floats
+    bitwise, so the reloaded centroids route the twin query
+    identically and the stored vectors rerank to the identical rounded
+    sim — rank 1 is the planted source at exactly 1.0. The
+    full-load/pruned-load equivalence and the on-disk layout are
     pinned by the roundtrip pytest."""
     from actuarial_reserve_modelling_spark.operators.similarity import (
         ann_ivf_hier_topk_persisted,
@@ -1334,9 +1341,9 @@ def l34_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = root + "/ann_index"
     if fresh:
         index, super_cent = ivf_hier_build(corpus)
-        persist_ann_index(index, super_cent, out)
+        persist_ann_index(index, super_cent, out, embeddings=corpus)
         staging_commit(root)
-    return ann_ivf_hier_topk_persisted(spark, out, corpus, planted, k=1)
+    return ann_ivf_hier_topk_persisted(spark, out, None, planted, k=1)
 
 
 @register(
@@ -1389,11 +1396,12 @@ def l35_ann_index_add_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, super_cent = ivf_hier_build(emb)
         # overwrite clears any partial append from a failed prior
         # build, so build+add is idempotent as a unit
-        persist_ann_index(index, super_cent, out)
+        persist_ann_index(index, super_cent, out, embeddings=emb)
         add_to_ann_index(spark, out, added)
         staging_commit(root)
-    rerank_pool = emb.unionByName(added)
-    return ann_ivf_hier_topk_persisted(spark, out, rerank_pool, queries, k=2)
+    # vector-bearing layout: the rerank pool IS the index — the added
+    # twins' vectors rode through the ingest kernel into members/
+    return ann_ivf_hier_topk_persisted(spark, out, None, queries, k=2)
 
 
 @register(
@@ -1437,9 +1445,8 @@ def l36_ann_index_delete_persisted(spark: SparkSession, sf_dir: str) -> DataFram
     out = root + "/ann_index"
     if fresh:
         index, super_cent = ivf_hier_build(emb)
-        persist_ann_index(index, super_cent, out)
+        persist_ann_index(index, super_cent, out, embeddings=emb)
         add_to_ann_index(spark, out, added)
         delete_from_ann_index(spark, out, sources)
         staging_commit(root)
-    rerank_pool = emb.unionByName(added)
-    return ann_ivf_hier_topk_persisted(spark, out, rerank_pool, queries, k=1)
+    return ann_ivf_hier_topk_persisted(spark, out, None, queries, k=1)

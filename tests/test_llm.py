@@ -1471,3 +1471,101 @@ def test_ann_index_add_skewed_batch_bounded(spark, tmp_path):
         (s_ + 200000, s_ + 100000, 2, 1.0) for s_ in range(0, 800, 100)
     }
     assert got == want
+
+
+def test_persisted_ann_index_vector_bearing_corpus_free(spark, tmp_path):
+    """r10 layout: persist_ann_index(embeddings=...) stores each
+    member's vector in its members/ partition row, and the persisted
+    query with embeddings=None must (a) answer IDENTICALLY to the
+    corpus-join path, (b) read ZERO corpus files — the executed plan
+    references only the index datasets, with PartitionFilters on the
+    members scan — (c) keep vectors through add (ingested twins rerank
+    from the index) and delete (survivor rows keep vec), (d) be
+    idempotent under a retried add, and (e) decode a non-default build
+    group_cap from meta/ without the caller repeating it."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ann_index,
+        ann_ivf_hier_topk_persisted,
+        delete_from_ann_index,
+        ivf_hier_build,
+        persist_ann_index,
+        read_ann_index_meta,
+    )
+
+    rng = np.random.default_rng(41)
+    pts = rng.standard_normal((600, 16))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    corpus_path = str(tmp_path / "corpus_tbl")
+    spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(600)], schema
+    ).write.parquet(corpus_path)
+    emb = spark.read.parquet(corpus_path)
+    # queries built INDEPENDENTLY of the corpus table (same values) so
+    # the scan-path assertion below sees zero legitimate corpus reads
+    queries = spark.createDataFrame(
+        [(i + 200000, [float(x) for x in pts[i]]) for i in range(0, 600, 60)], schema
+    )
+    path = str(tmp_path / "ann_index")
+    index, super_cent = ivf_hier_build(emb, group_cap=256)
+    persist_ann_index(index, super_cent, path, embeddings=emb, group_cap=256)
+    meta = read_ann_index_meta(spark, path)
+    assert meta == {"group_cap": 256, "has_vectors": True, "layout_version": 2}
+    # (e) no group_cap passed: decoded from meta
+    res = ann_ivf_hier_topk_persisted(spark, path, None, queries, k=3)
+    # (b) corpus-scan-free: the plan must not reference the corpus table
+    prev_len = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev_len)
+    assert "corpus_tbl" not in plan
+    assert "PartitionFilters" in plan and "members" in plan
+    # (a) identical to the corpus-join path on the same index
+    corpus_free = {tuple(r) for r in res.collect()}
+    via_corpus = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_persisted(spark, path, emb, queries, k=3).collect()
+    }
+    assert corpus_free == via_corpus and len(corpus_free) == 30
+    assert {(q, q - 200000, 1, 1.0) for q in range(200000, 200600, 60)} <= corpus_free
+    # (c)+(d) add twins; a retried add appends nothing (idempotent)
+    added = emb.filter(F.col("vec_id") % 60 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    add_to_ann_index(spark, path, added)
+    n_after = spark.read.parquet(path + "/members").count()
+    assert n_after == 600 + 10
+    add_to_ann_index(spark, path, added)  # retry
+    assert spark.read.parquet(path + "/members").count() == n_after
+    got = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_persisted(spark, path, None, queries, k=2).collect()
+    }
+    want = {(s + 200000, s, 1, 1.0) for s in range(0, 600, 60)} | {
+        (s + 200000, s + 100000, 2, 1.0) for s in range(0, 600, 60)
+    }
+    assert got == want
+    # (c) delete originals: vec column survives the rewrite, the added
+    # twin is now the only sim-1.0 neighbor
+    delete_from_ann_index(
+        spark, path, emb.filter(F.col("vec_id") % 60 == 0).select("vec_id")
+    )
+    members = spark.read.parquet(path + "/members")
+    assert "vec" in members.columns
+    assert members.filter(F.col("vec").isNull()).count() == 0
+    got1 = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_persisted(spark, path, None, queries, k=1).collect()
+    }
+    assert got1 == {(s + 200000, s + 100000, 1, 1.0) for s in range(0, 600, 60)}

@@ -12,7 +12,11 @@ found∩planted / planted IS the recall and false positives are
 impossible by construction.
 
 Usage: python tools/pair_recall_stress.py [n_base] [only] [dup_frac]
-(defaults 50000, both paths, 0.0). ``dup_frac`` > 0 additionally makes
+(defaults 50000, both paths, 0.0). NOTE: ``dup_frac`` > 0 runs the
+IVF duplicate-skew band EXCLUSIVELY and returns — ``only`` has no
+effect on that band (it is IVF-only by construction); pass
+``dup_frac`` = 0 to run the LSH/IVF baseline bands the ``only``
+selector filters. ``dup_frac`` > 0 additionally makes
 that fraction of the corpus EXACT duplicates — spread over 100 source
 vectors, the r9 duplicate-skew band (VERDICT r8 task #2): the digest
 collapse must keep recall at 1.0 on the planted near-dup pairs, the
@@ -42,6 +46,12 @@ def main() -> None:
     # must stay runnable standalone at the sizes that prove its scaling
     only = sys.argv[2] if len(sys.argv) > 2 else None
     dup_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
+    if dup_frac > 0 and only not in (None, "ivf"):
+        print(
+            "note: dup_frac > 0 runs the IVF dup band exclusively; "
+            f"'only={only}' is ignored (see usage)",
+            file=sys.stderr,
+        )
     dim = 64
     rng = np.random.default_rng(7)
     base = rng.standard_normal((n_base, dim))
