@@ -1936,17 +1936,34 @@ def delete_from_ann_index(
     visible until the retry) rather than "emptied supers resurrected"
     — the former is staleness, the latter would be wrong data with no
     signal."""
+    _delete_partitioned_rows(spark, path + "/members", ids, id_col, "super")
+
+
+def _delete_partitioned_rows(
+    spark: SparkSession,
+    dataset: str,
+    ids: DataFrame,
+    id_col: str,
+    part_col: str,
+) -> None:
+    """Shared delete engine for every persisted partitioned index
+    dataset (ANN members/, IVF-PQ codes/, dedup fingerprints/):
+    anti-join the rows against the delete-set and dynamic-overwrite
+    ONLY the partitions that held deleted ids; partitions emptied
+    entirely lose their directory (dropped BEFORE the overwrite — see
+    delete_from_ann_index's crash contract: re-running the same delete
+    converges). All non-partition columns survive the rewrite."""
     from actuarial_reserve_modelling_spark.sources.sinks import overwrite_partitions
 
-    members = spark.read.parquet(path + "/members")
+    rows = spark.read.parquet(dataset)
     del_ids = ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
-    # the touched-super list is the one driver-side collect: bounded by
-    # the number of DISTINCT supers holding deleted ids (≤ k1, itself
-    # ~n^(1/4) — a few thousand ints at 10⁹ vectors)
+    # the touched-partition list is the one driver-side collect: bounded
+    # by the number of DISTINCT partitions holding deleted ids (≤ the
+    # partition count, ~n^(1/4)–√n — a few thousand ints at 10⁹ rows)
     touched = sorted(
-        int(r["super"])
-        for r in members.join(del_ids, id_col, "left_semi")
-        .select("super")
+        int(r[part_col])
+        for r in rows.join(del_ids, id_col, "left_semi")
+        .select(part_col)
         .distinct()
         .collect()
     )
@@ -1954,32 +1971,30 @@ def delete_from_ann_index(
         return
     # survivors read the very files the mutations below replace —
     # materialize them OFF those files first (eager localCheckpoint),
-    # or the write's commit would invalidate its own input listing.
-    # All member columns survive (vector-bearing layouts keep vec).
+    # or the write's commit would invalidate its own input listing
     survivors = (
-        members.filter(F.col("super").isin(touched))
+        rows.filter(F.col(part_col).isin(touched))
         .join(del_ids, id_col, "left_anti")
         .localCheckpoint()
     )
     kept = {
-        int(r["super"]) for r in survivors.select("super").distinct().collect()
+        int(r[part_col]) for r in survivors.select(part_col).distinct().collect()
     }
-    # a super whose members were ALL deleted is absent from the
+    # a partition whose rows were ALL deleted is absent from the
     # survivors frame, so dynamic overwrite would leave its old files
     # in place — drop those directories explicitly, BEFORE the
-    # overwrite (see crash semantics above); paths constructed under
-    # members/ only
+    # overwrite; paths constructed under the dataset root only
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    for s in set(touched) - kept:
-        p = jvm.org.apache.hadoop.fs.Path(path + "/members/super=" + str(s))
-        p.getFileSystem(hconf).delete(p, True)
+    for part in set(touched) - kept:
+        hp = jvm.org.apache.hadoop.fs.Path(f"{dataset}/{part_col}={part}")
+        hp.getFileSystem(hconf).delete(hp, True)
     overwrite_partitions(
-        survivors.repartition(F.col("super")), path + "/members", ["super"]
+        survivors.repartition(F.col(part_col)), dataset, [part_col]
     )
     # evict the pre-delete file listing from the shared status cache so
     # readers in this session see the rewritten layout
-    spark.catalog.refreshByPath(path + "/members")
+    spark.catalog.refreshByPath(dataset)
 
 
 def ann_ivf_hier_topk_persisted(
@@ -2447,11 +2462,48 @@ def ann_ivfpq_topk(
         residuals, m_subspaces=m_subspaces, n_codes=n_codes, n_iters=n_iters,
         id_col=id_col, vec_col=vec_col, dim=centroids.shape[1],
     )
-    m, _, ds = books.shape
-    books_c = np.ascontiguousarray(books, dtype=np.float64)
     codes = pq_encode(residuals, books, id_col=id_col, vec_col=vec_col).join(
         assign, id_col
     )
+    return _ivfpq_query(
+        codes,
+        embeddings,
+        queries,
+        centroids,
+        books,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def _ivfpq_query(
+    codes: DataFrame,
+    embeddings: DataFrame | None,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    k: int,
+    nprobe: int,
+    rerank: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared IVF-PQ query tail (the ADC scan + exact rerank of
+    ``ann_ivfpq_topk``, verbatim) over any codes table — in-memory
+    (one-shot build) or persisted (partition-pruned parquet read).
+    ``codes`` carries (id, cluster, codes[, vec]); the probed-cluster
+    filter lands on it as a plain predicate, which a cluster-partitioned
+    parquet layout turns into PartitionFilters. With ``embeddings=None``
+    (vector-bearing layout) the exact rerank reads candidate vectors
+    from the same pruned rows — no corpus join. Deterministic end to
+    end: same stable argsorts, id tie-breaks, and rounded-sim rules as
+    the one-shot path, so persisted and in-memory answers hash equal on
+    identical inputs."""
+    m, _, ds = books.shape
+    books_c = np.ascontiguousarray(books, dtype=np.float64)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     q_rows = q.collect()
@@ -2523,7 +2575,8 @@ def ann_ivfpq_topk(
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    scan = codes.filter(F.col("cluster").isin(probed_clusters)).select(
+    probed_codes = codes.filter(F.col("cluster").isin(probed_clusters))
+    scan = probed_codes.select(
         F.col(id_col).alias("neighbor_id"), "cluster", "codes"
     )
     scored = spread_for_kernel(scan).mapInArrow(adc_kernel, schema=out_schema)
@@ -2533,11 +2586,27 @@ def ann_ivfpq_topk(
         .filter(F.col("r") <= top_r)
         .select("query_id", "neighbor_id")
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        dot(vec_col, vec_col).alias("dcc"),
-    )
+    if embeddings is None:
+        # corpus-scan-free rerank: candidate vectors come from the SAME
+        # pruned codes partitions the ADC scan read (vector-bearing
+        # persisted layout) — zero corpus files per query batch
+        if "vec" not in codes.columns:
+            raise ValueError(
+                "_ivfpq_query: embeddings=None requires a vector-bearing "
+                "codes table (persist_ivfpq_index(store_vectors=True)); "
+                "this codes frame has no 'vec' column"
+            )
+        c = probed_codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("vec").alias("cvec"),
+            dot("vec", "vec").alias("dcc"),
+        )
+    else:
+        c = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            dot(vec_col, vec_col).alias("dcc"),
+        )
     # corpus self-dot precomputed per row (bit-identical cosine()
     # restructuring — see cosine_from_sq); the query side stays inline:
     # it is the bounded, broadcast side, not worth a column
@@ -2559,6 +2628,217 @@ def ann_ivfpq_topk(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def persist_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int | str = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store_vectors: bool = True,
+) -> None:
+    """Persist an IVF-PQ index (the r9 verdict's missing lifecycle for
+    the PQ tier): train the coarse quantizer and residual codebooks
+    once, encode the corpus, and write the build-once/query-many
+    layout —
+
+    * ``codes/`` — (id, codes[, vec]) parquet PARTITIONED BY
+      ``cluster``: the scan side of every ADC query, laid out on the
+      key queries probe so a batch reads nprobe/k of the code bytes
+      (and the codes are the 32×-compressed representation — the
+      whole point of PQ at 100 TB);
+    * ``cents/`` — the k coarse-centroid rows;
+    * ``books/`` — the m·n_codes residual codebook rows;
+    * ``meta/`` — build parameters (m_subspaces, n_codes, whether
+      vectors are stored, layout version).
+
+    ``store_vectors=True`` (default) keeps each vector next to its
+    code word so the exact rerank is corpus-scan-free, same contract
+    as the hierarchical index: storage pays one raw-vector column,
+    queries never touch the corpus table. Pass False for the pure
+    32×-compressed layout when the rerank may re-read the corpus.
+
+    Training/encoding reuse the one-shot path's kernels verbatim
+    (``ivf_train_centroids`` / ``pq_train_codebooks`` / ``pq_encode``
+    on residuals), so a persisted index answers hash-identically to
+    ``ann_ivfpq_topk`` on the same inputs."""
+    spark = embeddings.sparkSession
+    n_centroids = resolve_n_centroids(embeddings, n_centroids, id_col=id_col)
+    centroids = ivf_train_centroids(
+        embeddings, n_centroids=n_centroids, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assign = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    with_cluster = embeddings.select(id_col, vec_col).join(assign, id_col)
+    residuals = _ivf_residuals(with_cluster, centroids, id_col=id_col, vec_col=vec_col)
+    books = pq_train_codebooks(
+        residuals, m_subspaces=m_subspaces, n_codes=n_codes, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col, dim=centroids.shape[1],
+    )
+    codes = pq_encode(residuals, books, id_col=id_col, vec_col=vec_col).join(
+        assign, id_col
+    )
+    if store_vectors:
+        codes = codes.join(
+            embeddings.select(id_col, F.col(vec_col).alias("vec")), id_col
+        ).select(id_col, "codes", "vec", "cluster")
+    else:
+        codes = codes.select(id_col, "codes", "cluster")
+    codes.repartition(F.col("cluster")).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path + "/codes")
+    cent_rows = [(i, [float(x) for x in row]) for i, row in enumerate(centroids)]
+    spark.createDataFrame(
+        cent_rows, schema="cluster int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/cents")
+    m, nc, ds = books.shape
+    book_rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(m)
+        for c in range(nc)
+    ]
+    spark.createDataFrame(
+        book_rows, schema="sub int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/books")
+    spark.createDataFrame(
+        [(int(m), int(nc), store_vectors, 1)],
+        schema="m_subspaces int, n_codes int, has_vectors boolean, layout_version int",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def load_ivfpq_index(
+    spark: SparkSession, path: str
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Reload the driver-resident pieces of a ``persist_ivfpq_index``
+    layout: (coarse centroids (k, d), codebooks (m, n_codes, d/m),
+    meta dict). Parquet doubles are bitwise, so a reloaded index
+    routes, encodes, and scores identically to the in-memory build.
+    The codes/ dataset stays on disk — queries read it pruned."""
+    meta_row = spark.read.parquet(path + "/meta").first()
+    meta = {
+        "m_subspaces": int(meta_row["m_subspaces"]),
+        "n_codes": int(meta_row["n_codes"]),
+        "has_vectors": bool(meta_row["has_vectors"]),
+        "layout_version": int(meta_row["layout_version"]),
+    }
+    cent_rows = spark.read.parquet(path + "/cents").orderBy("cluster").collect()
+    centroids = np.array(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in cent_rows]
+    )
+    book_rows = spark.read.parquet(path + "/books").orderBy("sub", "code").collect()
+    m, nc = meta["m_subspaces"], meta["n_codes"]
+    ds = len(book_rows[0]["centroid"])
+    books = np.zeros((m, nc, ds), dtype=np.float64)
+    for r in book_rows:
+        books[int(r["sub"]), int(r["code"])] = np.asarray(
+            r["centroid"], dtype=np.float64
+        )
+    return centroids, books, meta
+
+
+def add_to_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_existing: bool = True,
+) -> None:
+    """Incremental encode-and-append into a persisted IVF-PQ index
+    (the l35 analogue for the PQ tier): hard-assign each new vector to
+    its coarse list with the SAME ``ivf_assign`` arithmetic the build
+    used, encode its RESIDUAL with the persisted codebooks (no
+    retraining — the quantizer is immutable, membership is mutable,
+    the same contract as the hierarchical index), and append the new
+    code rows to their clusters' partition directories. Per-batch cost
+    is the batch's assignment + encode + a partition-local append.
+
+    Idempotent retry by default: the batch anti-joins against existing
+    ids in its hard clusters (a read pruned to those partitions) so a
+    re-run after a mid-append crash appends nothing twice. On a
+    vector-bearing layout the batch's vectors land next to their codes,
+    keeping the corpus-scan-free rerank true across ingests."""
+    centroids, books, meta = load_ivfpq_index(spark, path)
+    hard = ivf_assign(new_embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    with_cluster = new_embeddings.select(id_col, vec_col).join(hard, id_col)
+    if check_existing:
+        batch_clusters = [
+            int(r["cluster"])
+            for r in with_cluster.select("cluster").distinct().collect()
+        ]
+        existing = (
+            spark.read.parquet(path + "/codes")
+            .filter(F.col("cluster").isin(batch_clusters))
+            .select(F.col(id_col).cast("long").alias(id_col))
+        )
+        with_cluster = with_cluster.join(existing, id_col, "left_anti")
+    residuals = _ivf_residuals(with_cluster, centroids, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(residuals, books, id_col=id_col, vec_col=vec_col).join(
+        hard, id_col
+    )
+    if meta["has_vectors"]:
+        codes = codes.join(
+            new_embeddings.select(id_col, F.col(vec_col).alias("vec")), id_col
+        ).select(id_col, "codes", "vec", "cluster")
+    else:
+        codes = codes.select(id_col, "codes", "cluster")
+    codes.repartition(F.col("cluster")).write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(path + "/codes")
+
+
+def delete_from_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Remove vectors from a persisted IVF-PQ index: same
+    immutable-quantizer/mutable-membership semantics, crash contract,
+    and touched-partition-only rewrite as ``delete_from_ann_index``,
+    over the ``cluster``-partitioned codes/ dataset."""
+    _delete_partitioned_rows(spark, path + "/codes", ids, id_col, "cluster")
+
+
+def ann_ivfpq_topk_persisted(
+    spark: SparkSession,
+    path: str,
+    embeddings: DataFrame | None,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: reload the driver-resident
+    centroids + codebooks (tiny), then run the one-shot path's exact
+    ADC scan + rerank over the parquet codes table — the probed-cluster
+    predicate lands on the cluster-partitioned layout as
+    PartitionFilters, so a query batch reads nprobe/k of the CODE
+    bytes (already 32× smaller than raw vectors). With
+    ``embeddings=None`` on a vector-bearing layout the rerank too reads
+    only those pruned rows — zero corpus files per batch."""
+    centroids, books, meta = load_ivfpq_index(spark, path)
+    codes = spark.read.parquet(path + "/codes").withColumn(
+        "cluster", F.col("cluster").cast("int")
+    )
+    return _ivfpq_query(
+        codes,
+        embeddings,
+        queries,
+        centroids,
+        books,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 

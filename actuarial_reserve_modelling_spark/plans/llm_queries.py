@@ -1405,6 +1405,61 @@ def l35_ann_index_add_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l37_ivfpq_index_persisted",
+    "L3,D8,S6,L10 (persisted IVF-PQ tier: codebooks+codes partitioned by list, incremental encode-and-append, pruned ADC query)",
+    oracle="""
+    SELECT vec_id + 200000 AS query_id, vec_id AS neighbor_id,
+           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 50 = 0
+    UNION ALL
+    SELECT vec_id + 200000 AS query_id, vec_id + 100000 AS neighbor_id,
+           CAST(2 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def l37_ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted lifecycle for the PQ tier (r9 verdict gap #2 —
+    l34/l35/l36 covered only the hierarchical index; the IVF-PQ
+    composite trained its codebooks per call): ``persist_ivfpq_index``
+    writes the coarse centroids, residual codebooks, and the
+    cluster-PARTITIONED codes table once; ``add_to_ivfpq_index``
+    encodes a batch of exact twins (+100000) with the PERSISTED
+    codebooks — no retraining — and appends only to their clusters'
+    partition directories; ``ann_ivfpq_topk_persisted`` then answers a
+    second-twin (+200000) batch at k=2 by a probed-cluster-pruned ADC
+    scan over the code bytes and a rerank from the stored vectors —
+    zero corpus files. Rank 1 is the original source and rank 2 the
+    ADDED twin (identical residual → identical code word → maximal ADC
+    for both; the 32-row exact window rescues any code-sharing
+    crowding, same empirical caveat as l3h/l3i, verified at sf0.01 and
+    sf0.1): the add being REQUIRED for the rank-2 rows pins the
+    incremental-encode path, and a lost/duplicated append or a
+    mistrained codebook all hash-mismatch."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ivfpq_index,
+        ann_ivfpq_topk_persisted,
+        persist_ivfpq_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    added = plant_twins(emb, 50)
+    queries = plant_twins(emb, 50, offset=200_000)
+    root, fresh = staging_dir("l37", sf_dir)
+    out = root + "/ivfpq_index"
+    if fresh:
+        persist_ivfpq_index(
+            emb, out, n_centroids=16, m_subspaces=8, n_codes=16
+        )
+        add_to_ivfpq_index(spark, out, added)
+        staging_commit(root)
+    return ann_ivfpq_topk_persisted(spark, out, None, queries, k=2, nprobe=4, rerank=32)
+
+
+@register(
     "l36_ann_index_delete_persisted",
     "L3,S7,L10 (deletion from the persisted ANN index via dynamic partition overwrite)",
     oracle="""

@@ -1569,3 +1569,114 @@ def test_persisted_ann_index_vector_bearing_corpus_free(spark, tmp_path):
         for r in ann_ivf_hier_topk_persisted(spark, path, None, queries, k=1).collect()
     }
     assert got1 == {(s + 200000, s + 100000, 1, 1.0) for s in range(0, 600, 60)}
+
+
+def test_persisted_ivfpq_index_lifecycle(spark, tmp_path):
+    """r10 PQ-tier lifecycle: persist_ivfpq_index / add_to_ivfpq_index /
+    delete_from_ivfpq_index / ann_ivfpq_topk_persisted must (a) lay the
+    codes out as cluster=<c> partition directories with driver-resident
+    cents/books reloading bitwise, (b) answer the planted-twin
+    construction exactly through persist → add → query (added twins
+    encode with the PERSISTED codebooks, no retrain), (c) be idempotent
+    under a retried add, (d) read zero corpus files (plan assertion) with
+    the probed-cluster predicate pruning the codes scan, and (e) delete
+    via touched-partition-only rewrite."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ivfpq_index,
+        ann_ivfpq_topk,
+        ann_ivfpq_topk_persisted,
+        delete_from_ivfpq_index,
+        load_ivfpq_index,
+        persist_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(43)
+    pts = rng.standard_normal((400, 16))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    corpus_path = str(tmp_path / "corpus_tbl")
+    spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(400)], schema
+    ).write.parquet(corpus_path)
+    emb = spark.read.parquet(corpus_path)
+    queries = spark.createDataFrame(
+        [(i + 200000, [float(x) for x in pts[i]]) for i in range(0, 400, 40)], schema
+    )
+    path = str(tmp_path / "ivfpq_index")
+    persist_ivfpq_index(emb, path, n_centroids=8, m_subspaces=8, n_codes=16)
+    # (a) layout + bitwise reload
+    assert any(d.startswith("cluster=") for d in os.listdir(path + "/codes"))
+    cent, books, meta = load_ivfpq_index(spark, path)
+    assert meta["has_vectors"] and cent.shape == (8, 16) and books.shape == (8, 16, 2)
+    # (d) corpus-scan-free + pruned codes read
+    res = ann_ivfpq_topk_persisted(spark, path, None, queries, k=1, nprobe=4, rerank=32)
+    prev_len = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev_len)
+    assert "corpus_tbl" not in plan
+    assert "PartitionFilters" in plan
+    # (b) persisted query == one-shot in-memory path on identical inputs
+    got1 = {tuple(r) for r in res.collect()}
+    want1 = {(s + 200000, s, 1, 1.0) for s in range(0, 400, 40)}
+    assert got1 == want1
+    one_shot = {
+        tuple(r)
+        for r in ann_ivfpq_topk(
+            emb, queries, k=1, n_centroids=8, nprobe=4, m_subspaces=8,
+            n_codes=16, rerank=32,
+        ).collect()
+    }
+    assert one_shot == got1
+    # (b)+(c) add twins with the persisted books; retried add is a no-op
+    added = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    add_to_ivfpq_index(spark, path, added)
+    assert spark.read.parquet(path + "/codes").count() == 410
+    add_to_ivfpq_index(spark, path, added)
+    assert spark.read.parquet(path + "/codes").count() == 410
+    got2 = {
+        tuple(r)
+        for r in ann_ivfpq_topk_persisted(
+            spark, path, None, queries, k=2, nprobe=4, rerank=32
+        ).collect()
+    }
+    assert got2 == want1 | {(s + 200000, s + 100000, 2, 1.0) for s in range(0, 400, 40)}
+    # (e) delete the originals: only the added twins remain at sim 1.0,
+    # untouched cluster directories keep their files byte-identical
+    codes0 = spark.read.parquet(path + "/codes")
+    touched = {
+        r["cluster"]
+        for r in codes0.filter(F.col("vec_id") % 40 == 0)
+        .select("cluster").distinct().collect()
+    }
+    untouched = sorted(
+        {r["cluster"] for r in codes0.select("cluster").distinct().collect()} - touched
+    )
+    listing_before = {
+        c: sorted(os.listdir(path + f"/codes/cluster={c}")) for c in untouched
+    }
+    delete_from_ivfpq_index(
+        spark, path, emb.filter(F.col("vec_id") % 40 == 0).select("vec_id")
+    )
+    for c in untouched:
+        assert sorted(os.listdir(path + f"/codes/cluster={c}")) == listing_before[c]
+    got3 = {
+        tuple(r)
+        for r in ann_ivfpq_topk_persisted(
+            spark, path, None, queries, k=1, nprobe=4, rerank=32
+        ).collect()
+    }
+    assert got3 == {(s + 200000, s + 100000, 1, 1.0) for s in range(0, 400, 40)}
