@@ -819,6 +819,76 @@ def l19_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "l38_dedup_index_delete_persisted",
+    "L2,D8,S7 (persisted fingerprint tier: build, incremental add, right-to-be-forgotten delete)",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    c AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
+    i AS (
+        SELECT a.doc_id new_id, b.doc_id index_id, count(*) k
+        FROM words a JOIN words b USING (w)
+        WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0 AND b.doc_id % 5 <> 1
+        GROUP BY 1, 2
+    )
+    SELECT new_id, index_id,
+           round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) AS jac
+    FROM i JOIN c c1 ON new_id = c1.doc_id JOIN c c2 ON index_id = c2.doc_id
+    WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
+    """,
+)
+def l38_dedup_index_delete_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full persisted lifecycle of the dedup fingerprint tier (r9
+    verdict gap #3 — the ANN index had delete since r9, the dedup tier
+    did not): ``persist_dedup_index`` writes the corpus HALF of the
+    index (doc_id%3≠0 and %4≠1) id-hash-bucketed; ``add_to_dedup_index``
+    signs the remaining corpus docs (%4=1) with the PERSISTED banding
+    parameters and appends them bucket-locally;
+    ``delete_from_dedup_index`` then removes every index doc with
+    doc_id%5=1 by touched-bucket-only partition overwrite. The l19
+    ingest check (new batch doc_id%3=0 against the reloaded tier) must
+    find exactly the exact-Jaccard pairs whose index side SURVIVES:
+    a lost add drops pairs, a left-behind delete re-emits a deleted
+    index_id, a double-append duplicates a pair — all hash-mismatch
+    against the oracle (the exact all-pairs answer filtered to
+    surviving index ids; b=16 r=16 banding recall argument as l19)."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        add_to_dedup_index,
+        build_dedup_index,
+        delete_from_dedup_index,
+        load_dedup_index,
+        minhash_dedup_against_index,
+        persist_dedup_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    root, fresh = staging_dir("l38", sf_dir)
+    out = root + "/dedup_index"
+    if fresh:
+        base = build_dedup_index(
+            corpus.filter(F.col("doc_id") % 4 != 1), bands=16, rows_per_band=16
+        )
+        persist_dedup_index(base, out, bands=16, rows_per_band=16)
+        add_to_dedup_index(spark, out, corpus.filter(F.col("doc_id") % 4 == 1))
+        delete_from_dedup_index(
+            spark, out, corpus.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+        )
+        staging_commit(root)
+    index = load_dedup_index(spark, out)
+    return minhash_dedup_against_index(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        index,
+        threshold=0.95,
+        bands=16,
+        rows_per_band=16,
+    )
+
+
+@register(
     "l20_pii_scrub",
     "L5,D8 (compliance scrub; map-side)",
     oracle="""

@@ -1680,3 +1680,94 @@ def test_persisted_ivfpq_index_lifecycle(spark, tmp_path):
         ).collect()
     }
     assert got3 == {(s + 200000, s + 100000, 1, 1.0) for s in range(0, 400, 40)}
+
+
+def test_persisted_dedup_index_lifecycle(spark, tmp_path):
+    """r10 fingerprint tier: persist_dedup_index / add_to_dedup_index /
+    delete_from_dedup_index must (a) lay fingerprints out as id-hash
+    part=<p> directories with the banding parameters in meta/, (b) sign
+    added batches with the PERSISTED parameters and append bucket-
+    locally, (c) be idempotent under a retried add, (d) after a delete,
+    equal an index built directly over the surviving docs (same rows,
+    and identical ingest-check answers), and (e) leave untouched
+    buckets' files byte-identical through the delete."""
+    import os
+
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        add_to_dedup_index,
+        build_dedup_index,
+        delete_from_dedup_index,
+        load_dedup_index,
+        minhash_dedup_against_index,
+        persist_dedup_index,
+        read_dedup_index_meta,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    path = str(tmp_path / "dedup_index")
+    base = build_dedup_index(
+        corpus.filter(F.col("doc_id") % 4 != 1), bands=16, rows_per_band=16
+    )
+    persist_dedup_index(base, path, bands=16, rows_per_band=16, n_buckets=16)
+    # (a) layout + meta
+    assert any(d.startswith("part=") for d in os.listdir(path + "/fingerprints"))
+    meta = read_dedup_index_meta(spark, path)
+    assert meta["bands"] == 16 and meta["rows_per_band"] == 16
+    assert meta["n_buckets"] == 16
+    # (b)+(c) add the rest; a retried add appends nothing
+    batch = corpus.filter(F.col("doc_id") % 4 == 1)
+    add_to_dedup_index(spark, path, batch)
+    n_all = spark.read.parquet(path + "/fingerprints").count()
+    assert n_all == base.count() + batch.count()
+    add_to_dedup_index(spark, path, batch)
+    assert spark.read.parquet(path + "/fingerprints").count() == n_all
+    # (e) snapshot untouched buckets before the delete
+    fp = spark.read.parquet(path + "/fingerprints")
+    touched = {
+        r["part"]
+        for r in fp.filter(F.col("doc_id") % 5 == 1)
+        .select("part").distinct().collect()
+    }
+    untouched = sorted(
+        {r["part"] for r in fp.select("part").distinct().collect()} - touched
+    )
+    listing_before = {
+        b: sorted(os.listdir(path + f"/fingerprints/part={b}")) for b in untouched
+    }
+    delete_from_dedup_index(
+        spark, path, corpus.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    )
+    for b in untouched:
+        assert sorted(os.listdir(path + f"/fingerprints/part={b}")) == listing_before[b]
+    # idempotent delete rerun: converges to the same state
+    delete_from_dedup_index(
+        spark, path, corpus.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    )
+    # (d) surviving tier == index built directly over surviving docs
+    survivors_direct = build_dedup_index(
+        corpus.filter(F.col("doc_id") % 5 != 1), bands=16, rows_per_band=16
+    )
+    reloaded = load_dedup_index(spark, path)
+    assert reloaded.count() == survivors_direct.count()
+    assert (
+        reloaded.select("doc_id")
+        .exceptAll(survivors_direct.select("doc_id"))
+        .count()
+        == 0
+    )
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    got = {
+        (r["new_id"], r["index_id"], r["jac"])
+        for r in minhash_dedup_against_index(
+            new, reloaded, threshold=0.95, bands=16, rows_per_band=16
+        ).collect()
+    }
+    want = {
+        (r["new_id"], r["index_id"], r["jac"])
+        for r in minhash_dedup_against_index(
+            new, survivors_direct, threshold=0.95, bands=16, rows_per_band=16
+        ).collect()
+    }
+    assert got == want
+    assert all(b % 5 != 1 for _, b, _ in got)
