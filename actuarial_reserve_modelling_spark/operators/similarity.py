@@ -1709,6 +1709,27 @@ def load_ann_index(
     reload with a ``vec`` column on the member rows (NULL on centroid
     rows), which downstream queries use for the corpus-scan-free
     rerank."""
+    index = _load_ann_frames(spark, path, id_col=id_col, supers=supers)
+    return index, _load_ann_supers(spark, path)
+
+
+def _load_ann_supers(spark: SparkSession, path: str) -> np.ndarray:
+    """The driver-resident piece of a persisted index: the k1 super
+    centroids, reloaded bitwise into the build's ndarray shape."""
+    sup = spark.read.parquet(path + "/supers").orderBy("super").collect()
+    return np.array([np.asarray(r["centroid"], dtype=np.float64) for r in sup])
+
+
+def _load_ann_frames(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    supers: list[int] | None = None,
+) -> DataFrame:
+    """The distributed piece: members + child centroids reassembled
+    into the ``ann_ivf_hier_topk_indexed`` input frame, optionally
+    pruned to the probed supers (split out of ``load_ann_index`` so the
+    persisted query path reads the supers dataset exactly once)."""
     members = spark.read.parquet(path + "/members")
     children = spark.read.parquet(path + "/children")
     if supers is not None:
@@ -1731,10 +1752,7 @@ def load_ann_index(
         vtype = members.schema["vec"].dataType
         mcols.append(F.col("vec"))
         ccols.append(F.lit(None).cast(vtype).alias("vec"))
-    index = members.select(*mcols).unionByName(children.select(*ccols))
-    sup = spark.read.parquet(path + "/supers").orderBy("super").collect()
-    super_cent = np.array([np.asarray(r["centroid"], dtype=np.float64) for r in sup])
-    return index, super_cent
+    return members.select(*mcols).unionByName(children.select(*ccols))
 
 
 def add_to_ann_index(
@@ -1788,7 +1806,7 @@ def add_to_ann_index(
     piece by design) is broadcast."""
     meta = read_ann_index_meta(spark, path)
     store_vec = meta["has_vectors"]
-    _, super_cent = load_ann_index(spark, path, id_col=id_col)
+    super_cent = _load_ann_supers(spark, path)
     hard = ivf_assign(
         new_embeddings, super_cent, id_col=id_col, vec_col=vec_col
     ).select(id_col, F.col("cluster").cast("int").alias("super"))
@@ -2031,12 +2049,12 @@ def ann_ivf_hier_topk_persisted(
     repeating the knob."""
     if group_cap is None:
         group_cap = read_ann_index_meta(spark, path)["group_cap"]
-    _, super_cent = load_ann_index(spark, path, id_col=id_col)
+    super_cent = _load_ann_supers(spark, path)
     probes = ivf_assign(
         queries, super_cent, id_col=id_col, vec_col=vec_col, nprobe=nprobe_super
     )
     probed = [int(r["cluster"]) for r in probes.select("cluster").distinct().collect()]
-    index, _ = load_ann_index(spark, path, id_col=id_col, supers=probed)
+    index = _load_ann_frames(spark, path, id_col=id_col, supers=probed)
     return ann_ivf_hier_topk_indexed(
         index,
         super_cent,

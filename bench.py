@@ -62,13 +62,61 @@ BAND3 = [
 ]
 BAND3_BUDGET_SEC = 24.2
 
+# fourth band (VERDICT r9 task 7): the persisted-ANN-index QUERY path —
+# the build-once/query-cheap claim gets a recorded number, so a
+# regression in the pruned-read path (vector-bearing members, zero
+# corpus files per batch) fails the bench gate instead of hiding. The
+# index is built OUTSIDE the timed region (in warmup, like the JVM
+# spin-up it amortizes); the slot times the query-only cost. Budget =
+# 1.25x the cold number at introduction (r10: 4.6 s at loadavg ~3;
+# the cost at sf0.1 is ~8 fixed driver-side jobs — meta/supers/probe
+# collects + broadcast builds — not data volume, so the budget guards
+# the job COUNT of the pruned path as much as its bytes).
+BAND4 = ["l34_persisted_query"]
+BAND4_BUDGET_SEC = 5.8
 
-def _bench_queries(spark, sf_dir):
+
+def _build_persisted_ann_index(spark, sf_dir) -> str:
+    """Build + persist the vector-bearing hierarchical ANN index over
+    the bench corpus ONCE (warmup-side, untimed): the l34 slot then
+    measures the query-only cost — the number the build-once contract
+    actually promises per batch."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="arm_bench_l34_") + "/ann_index"
+    index, super_cent = ivf_hier_build(emb)
+    persist_ann_index(index, super_cent, path, embeddings=emb)
+    return path
+
+
+def _bench_queries(spark, sf_dir, ann_index_path=None):
     from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
     from actuarial_reserve_modelling_spark.functions.reserves import simulate_reserves
     from actuarial_reserve_modelling_spark.plans.registry import load_all
 
     registry = load_all()
+
+    def l34_persisted_query(spark, sf_dir):
+        from actuarial_reserve_modelling_spark.operators.similarity import (
+            ann_ivf_hier_topk_persisted,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+        )
+        return ann_ivf_hier_topk_persisted(
+            spark, ann_index_path, None, queries, k=5
+        )
 
     def m0_reserve(spark, sf_dir):
         portfolio = synthetic_portfolio(load_table(spark, sf_dir, "customer"))
@@ -106,6 +154,8 @@ def _bench_queries(spark, sf_dir):
         "l32_repeated_spans": registry["l32_repeated_spans"].spark_fn,
         "l27b_semantic_dedup_lsh": registry["l27b_semantic_dedup_lsh"].spark_fn,
         "l27c_semantic_dedup_ivf": registry["l27c_semantic_dedup_ivf"].spark_fn,
+        # round-10 addition (band 4): the persisted-ANN query-only path
+        "l34_persisted_query": l34_persisted_query,
     }
     return picks
 
@@ -174,8 +224,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from actuarial_reserve_modelling_spark.session import get_spark
 
+    # VERDICT r9 task 3: decompose the session-constant costs out of the
+    # per-query numbers — two rounds documented a uniform cold inflation
+    # on some boots; recording spin-up and warmup separately (plus
+    # per-query loadavg below) makes noise rounds adjudicable from the
+    # artifact without a judge-side re-run.
+    t0 = time.time()
     spark = get_spark(app_name="arm-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    session_spinup = round(time.time() - t0, 3)
 
     # warmup: JVM/codegen spin-up AND the Python-worker pool (a fleet of
     # pyspark daemons forks on first Arrow kernel use — charge that to
@@ -183,6 +240,7 @@ def main() -> None:
     from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
     from actuarial_reserve_modelling_spark.functions.reserves import simulate_reserves
 
+    t0 = time.time()
     load_table(spark, sf_dir, "customer").agg(F.count(F.lit(1))).collect()
     simulate_reserves(
         synthetic_portfolio(load_table(spark, sf_dir, "customer")), n_trials=10
@@ -194,6 +252,11 @@ def main() -> None:
     minhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents").limit(64), threshold=0.95
     ).write.mode("overwrite").format("noop").save()
+    warmup_sec = round(time.time() - t0, 3)
+    # untimed build of the persisted ANN index for the band-4 slot
+    t0 = time.time()
+    ann_index_path = _build_persisted_ann_index(spark, sf_dir)
+    ann_build_sec = round(time.time() - t0, 3)
 
     # two passes per query: pass 1 (cold — includes per-plan codegen and
     # cache warm-up) is the HEADLINE number, directly comparable to the
@@ -211,9 +274,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     errors: dict[str, str] = {}
+    loadavg_per_query: dict[str, float] = {}
     all_names = []
-    for name, fn in _bench_queries(spark, sf_dir).items():
+    for name, fn in _bench_queries(spark, sf_dir, ann_index_path).items():
         all_names.append(name)
+        loadavg_per_query[name] = round(os.getloadavg()[0], 2)
         for target in (timings, steady):
             t0 = time.time()
             try:
@@ -237,6 +302,9 @@ def main() -> None:
     band3 = [q for q in BAND3 if q in timings]
     band3_total = round(sum(timings[q] for q in band3), 3)
     band3_complete = set(BAND3) <= set(timings)
+    band4 = [q for q in BAND4 if q in timings]
+    band4_total = round(sum(timings[q] for q in band4), 3)
+    band4_complete = set(BAND4) <= set(timings)
     print(
         json.dumps(
             {
@@ -261,6 +329,15 @@ def main() -> None:
                 "value3_ok": band3_complete
                 and (BAND3_BUDGET_SEC is None or band3_total <= BAND3_BUDGET_SEC),
                 "value3_complete": band3_complete,
+                "value4": band4_total,
+                "value4_scope": band4,
+                "value4_budget": BAND4_BUDGET_SEC,
+                "value4_ok": band4_complete and band4_total <= BAND4_BUDGET_SEC,
+                "value4_complete": band4_complete,
+                "session_spinup_sec": session_spinup,
+                "warmup_sec": warmup_sec,
+                "ann_index_build_sec": ann_build_sec,
+                "loadavg_per_query": loadavg_per_query,
                 "recall": recall,
                 "recall_ok": recall_ok,
                 "errors": errors,
