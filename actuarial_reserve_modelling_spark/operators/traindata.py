@@ -159,6 +159,7 @@ def bpe_train_merges(
     text_col: str = "text",
     min_freq: int = 1,
     checkpoint_every: int = 8,
+    batch_m: int = 8,
 ) -> list[tuple[str, str, int]]:
     """Learn the first ``k`` byte-pair-encoding merge rules over the
     corpus (Sennrich et al., ACL'16) — the tokenizer-training step
@@ -169,30 +170,61 @@ def bpe_train_merges(
     pass over the documents), each word carried as an array of symbols
     (initially characters). Pair counts are maintained INCREMENTALLY
     (the production-scale requirement): one full explode+groupBy builds
-    the initial (a, b, n) table, and each merge round then
+    the initial (a, b, n) table, and each DRIVER ROUND then
 
-    1. takes the argmax pair from the maintained counts (ties broken
-       lexicographically for determinism; ONE driver row per round),
-    2. filters the word table to only the words CONTAINING that pair —
-       the rest of the vocabulary is untouched and is neither
-       re-exploded nor rewritten,
-    3. applies the merge to the affected words JVM-side (left-to-right
-       aggregate() fold over the symbol array) and updates the pair
-       table by the delta: minus the affected words' old pairs, plus
-       their post-merge pairs.
+    1. collects the top candidate pairs from the maintained counts
+       (ordered by (n desc, a, b) — the same total order the one-pair
+       argmax used),
+    2. accepts a PREFIX of them as this round's merge batch under an
+       exactness guard (below), falling back to a single merge when
+       the guard stops at one,
+    3. filters the word table to only the words containing ANY accepted
+       pair, applies the accepted merges to them JVM-side (chained
+       left-to-right aggregate() folds), and updates the pair table by
+       ONE delta: minus the affected words' old pairs, plus their
+       post-merge pairs.
 
-    Per-round work is therefore proportional to the words containing
-    the merged pair (which shrinks fast as training proceeds), not to
-    the whole vocabulary — at a production merge count (~30k) this is
-    the difference between 30k full-vocabulary rewrites and 30k small
-    delta jobs. The affected/merged slices are eagerly checkpointed
-    (they are the small per-round state); the FULL word table is
-    checkpointed only every ``checkpoint_every`` rounds to truncate the
-    union lineage, not every round.
+    BATCHED ROUNDS, EXACTLY (r9 verdict task 5): the returned merge
+    list is IDENTICAL to the one-merge-per-round sequence — batching
+    changes only the number of Spark jobs, never the answer. The guard
+    accepts candidate P(i+1) = (a, b, n) only when
+
+    * its symbols are disjoint from every earlier accepted pair's (a
+      merge of symbol-disjoint pairs cannot change the other's count —
+      merging (a1, b1) only lowers counts of pairs touching a1/b1 and
+      creates pairs touching the merged token), AND
+    * n strictly exceeds the maximum count any pair CREATED by the
+      earlier accepted merges could reach. Every created pair has an
+      old-table adjacency witness — (x, a1·b1) occurrences each come
+      from an old (x, a1) adjacency, (a1·b1, y) from an old (b1, y) —
+      so max(maxin[a1], maxout[b1]) over accepted pairs bounds every
+      creation, where maxin[s]/maxout[s] are the old table's max counts
+      into/out of symbol s (two vocabulary-scale aggregates per round,
+      collected only for the ≤ 2·|candidates| symbols involved). A
+      created pair can therefore never outrank — or tie, the strict
+      inequality covers the tie-break — an accepted pair, which is
+      what the sequential argmax would have enforced.
+
+    At the first conflicting candidate the batch STOPS (not skips:
+    the conflict means its count may have changed, so acceptance order
+    past it is unknowable without applying). Self-pairs (a == a) make
+    maxin[a] ≥ n and stop the batch after themselves — conservative
+    and correct. Per-round work is proportional to the words containing
+    accepted pairs; driver round-trips shrink up to ``batch_m``× at
+    production vocab sizes (the r9 verdict's 30k-job ceiling). Pass
+    ``batch_m=1`` to force the r9 sequential behavior.
+
+    The affected/merged slices are eagerly checkpointed (they are the
+    small per-round state); the FULL word table is checkpointed only
+    every ``checkpoint_every`` rounds to truncate the union lineage,
+    not every round.
 
     Returns the merge rules as ``[(left, right, merged_freq), ...]`` in
-    training order. Iterative + argmax ⇒ not SQL-expressible: checked
-    by a pytest against a sequential pure-Python BPE reference.
+    training order, frequencies as the sequential trainer would have
+    seen them (disjointness keeps accepted counts untouched within a
+    round). Iterative + argmax ⇒ not SQL-expressible: checked by a
+    pytest against a sequential pure-Python BPE reference, plus a
+    batched-equals-sequential pytest across batch_m settings.
     """
     words = (
         docs.select(F.explode(F.expr(f"filter(split({text_col}, ' '), x -> x != '')")).alias("w"))
@@ -211,42 +243,88 @@ def bpe_train_merges(
     n_part = words.rdd.getNumPartitions()
     slice_parts = max(1, n_part // 4)
     merges: list[tuple[str, str, int]] = []
-    for r in range(k):
-        top = (
+    rounds = 0
+    while len(merges) < k:
+        m_cap = max(1, min(batch_m, k - len(merges)))
+        cand = (
             pc.filter(F.col("n") >= min_freq)
             .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
+            .limit(max(2 * m_cap, 2) if m_cap > 1 else 1)
             .collect()
         )
-        if not top:
+        if not cand:
             break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        merges.append((a, b, n))
-        pair_lit = F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-        has_pair = F.array_contains(F.expr(_PAIRS_EXPR), pair_lit)
+        if m_cap == 1 or len(cand) == 1:
+            batch = [(cand[0]["a"], cand[0]["b"], int(cand[0]["n"]))]
+        else:
+            syms = sorted({r["a"] for r in cand} | {r["b"] for r in cand})
+            maxin = {
+                r["b"]: int(r["mx"])
+                for r in pc.filter(F.col("b").isin(syms))
+                .groupBy("b")
+                .agg(F.max("n").alias("mx"))
+                .collect()
+            }
+            maxout = {
+                r["a"]: int(r["mx"])
+                for r in pc.filter(F.col("a").isin(syms))
+                .groupBy("a")
+                .agg(F.max("n").alias("mx"))
+                .collect()
+            }
+            batch = []
+            used: set[str] = set()
+            created_bound = -1
+            for r_ in cand:
+                a, b, n = r_["a"], r_["b"], int(r_["n"])
+                if len(batch) >= m_cap:
+                    break
+                if batch and (a in used or b in used or n <= created_bound):
+                    break
+                batch.append((a, b, n))
+                used.update((a, b))
+                created_bound = max(
+                    created_bound, maxin.get(a, 0), maxout.get(b, 0)
+                )
+        merges.extend(batch)
+        pair_lits = [
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b, _ in batch
+        ]
+        has_pair = F.arrays_overlap(F.expr(_PAIRS_EXPR), F.array(*pair_lits))
         # the per-round state is ONLY the affected slice — eager
         # checkpoints here are small and prevent recompute blowup of
         # the multi-use subtrees (old counts + rewrite both read it)
         affected = words.filter(has_pair).localCheckpoint(eager=True)
-        # left-to-right merge: fold the symbol array, joining a trailing
-        # `a` with a current `b` (standard BPE application order — 'aaa'
-        # under (a,a) becomes ['aa','a']). Column-API lambda, NOT an
-        # interpolated SQL string: symbols are corpus data and may
-        # contain quotes/backslashes/escape sequences.
-        merged = F.aggregate(
-            "sym",
-            F.expr("cast(array() as array<string>)"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (s == F.lit(b)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
+        # left-to-right merge per accepted pair, CHAINED in acceptance
+        # order (disjointness makes the order immaterial, but it
+        # mirrors the sequential trainer): fold the symbol array,
+        # joining a trailing `a` with a current `b` (standard BPE
+        # application order — 'aaa' under (a,a) becomes ['aa','a']).
+        # Column-API lambda, NOT an interpolated SQL string: symbols
+        # are corpus data and may contain quotes/backslashes.
+        def _fold(a: str, b: str):
+            def step(acc, s):
+                return F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(a + b)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s)))
+
+            return step
+
+        merged_col = F.col("sym")
+        for a, b, _ in batch:
+            merged_col = F.aggregate(
+                merged_col,
+                F.expr("cast(array() as array<string>)"),
+                _fold(a, b),
+            )
         merged_words = (
-            affected.select(merged.alias("sym"), "freq")
+            affected.select(merged_col.alias("sym"), "freq")
             .coalesce(slice_parts)
             .localCheckpoint(eager=True)
         )
@@ -263,9 +341,10 @@ def bpe_train_merges(
             .localCheckpoint(eager=True)
         )
         words = words.filter(~has_pair).unionByName(merged_words)
-        if (r + 1) % checkpoint_every == 0:
+        rounds += 1
+        if rounds % checkpoint_every == 0:
             words = words.repartition(n_part).localCheckpoint(eager=True)
-    return merges
+    return merges[:k]
 
 
 def bpe_encode(

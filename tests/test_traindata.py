@@ -433,3 +433,34 @@ def test_chunk_documents_edges(spark):
     got = {r["chunk_id"]: r["chunk_md5"] for r in by_doc[1]}
     assert got == {0: md5("a b c"), 1: md5("c d e"), 2: md5("e")}
     assert {r["chunk_md5"] for r in by_doc[4]} == {md5("x x x"), md5("x")}
+
+
+def test_bpe_batched_rounds_equal_sequential(spark):
+    """r10 exactness guard: the merge list is invariant across batch_m
+    settings — batching changes Spark job counts, never the learned
+    rules. Runs on real documents (where the guard engages and
+    disengages naturally) and on an adversarial corpus built so the
+    top-2 pairs are symbol-disjoint but merging #1 CREATES a pair that
+    outcounts #2 — the case a naive disjoint-prefix batcher gets wrong
+    and the created-pair bound must catch."""
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 60)
+    seq = bpe_train_merges(docs, k=8, batch_m=1)
+    assert bpe_train_merges(docs, k=8, batch_m=4) == seq
+    assert bpe_train_merges(docs, k=8, batch_m=8) == seq
+
+    # adversarial: 'xaby'×30 gives (a,b)=(x,a)=(b,y)=30; (c,d)=20 from
+    # 'cd'×20 is disjoint from (a,b) and is the top-4 pair, but merging
+    # (a,b) creates (x,ab)=30 and (ab,y)=30 which MUST outrank it —
+    # sequential order: (a,b), then (ab,y)/(x,ab) by tie-break, (c,d)
+    # only after. A batcher accepting [(a,b),(c,d)] in round 1 would
+    # return a different list.
+    rows = [(i, "xaby") for i in range(30)] + [(1000 + i, "cd") for i in range(20)]
+    adv = spark.createDataFrame(rows, ["doc_id", "text"])
+    seq_adv = bpe_train_merges(adv, k=4, batch_m=1)
+    assert bpe_train_merges(adv, k=4, batch_m=8) == seq_adv
+    # sanity on the construction itself: (c,d) is NOT merge #2
+    assert seq_adv[0][:2] == ("a", "b") and seq_adv[1][:2] != ("c", "d")
