@@ -249,6 +249,107 @@ def l17_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, left string, right string, n bigint")
 
 
+def _bpe_merges_oracle_sql(k: int) -> str:
+    """Generate the DuckDB oracle for the first ``k`` BPE merges as a
+    chain of UNROLLED CTE stages — one (pair-count → argmax → rewrite)
+    stage per merge. BPE training is iterative, but for a FIXED small k
+    the iteration unrolls into plain SQL, which is what upgrades the
+    l17 rows-only row to hash-grade evidence (r9 verdict task 6).
+
+    Per stage j: ``p{j}`` recounts adjacent pairs of the stage's vocab
+    (positional self-join via list indexing — DuckDB lists are
+    1-based), ``m{j}`` takes the argmax under the trainer's exact
+    (n DESC, a, b) tie rule, and the rewrite applies the merge with the
+    trainer's left-to-right greedy semantics: for a ≠ b matches can
+    never overlap (a match at i+1 would need sym[i+1] = a AND = b), so
+    every match merges; for self-pairs (a = b) a maximal run of a's
+    merges at even offsets only — expressed with a gaps-and-islands
+    window (``grp``) and offset parity, exactly the fold's 'aaa' →
+    ['aa','a'] behavior. ``consumed`` drops the right half of each
+    merged pair; ``v{j}`` regroups to the next vocab. Full recounts per
+    stage (not the Spark side's delta maintenance) — slower, which is
+    fine for an oracle, and algebraically the same table."""
+    parts = [
+        """v0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY w) AS w_id,
+           string_split(w, '') AS sym, n AS freq
+    FROM (
+        SELECT w, count(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    )
+)"""
+    ]
+    for j in range(1, k + 1):
+        i = j - 1
+        parts.append(f"""p{j} AS (
+    SELECT sym[i] AS a, sym[i+1] AS b, sum(freq)::BIGINT AS n
+    FROM v{i}, UNNEST(range(1, len(sym))) AS t(i)
+    GROUP BY 1, 2
+)""")
+        parts.append(
+            f"m{j} AS (SELECT a, b, n FROM p{j} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        parts.append(f"""e{j} AS (
+    SELECT w_id, freq, i, sym[i] AS s
+    FROM v{i}, UNNEST(range(1, len(sym) + 1)) AS t(i)
+)""")
+        parts.append(f"""d{j} AS (
+    SELECT e.w_id, e.freq, e.i, e.s, m.a, m.b,
+           (e.s = m.a AND lead(e.s) OVER w = m.b) AS ips,
+           CASE WHEN e.s = m.a THEN
+               e.i - ROW_NUMBER() OVER (PARTITION BY e.w_id, e.s = m.a ORDER BY e.i)
+           END AS grp
+    FROM e{j} e CROSS JOIN m{j} m
+    WINDOW w AS (PARTITION BY e.w_id ORDER BY e.i)
+)""")
+        parts.append(f"""d2{j} AS (
+    SELECT *,
+           CASE WHEN a <> b THEN ips
+                ELSE ips AND (i - MIN(i) OVER (PARTITION BY w_id, grp)) % 2 = 0
+           END AS ms
+    FROM d{j}
+)""")
+        parts.append(f"""d3{j} AS (
+    SELECT *, coalesce(lag(ms) OVER (PARTITION BY w_id ORDER BY i), FALSE)
+              AS consumed
+    FROM d2{j}
+)""")
+        parts.append(f"""v{j} AS (
+    SELECT w_id, any_value(freq) AS freq,
+           list(CASE WHEN ms THEN a || b ELSE s END ORDER BY i) AS sym
+    FROM d3{j} WHERE NOT consumed GROUP BY w_id
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT {j - 1} AS step, a AS left, b AS right, n FROM m{j}"
+        for j in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals + "\nORDER BY step"
+
+
+@register(
+    "l17b_bpe_merges_oracle",
+    "D7 (BPE tokenizer training, hash-grade via unrolled-CTE oracle)",
+    oracle=_bpe_merges_oracle_sql(8),
+)
+def l17b_bpe_merges_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l17's merge table with DRIVER-HASH-GRADE evidence (r9 verdict
+    task 6, retiring the last non-ANN rows-only row): the merge list IS
+    deterministic — the blocker was only that the oracle must be SQL,
+    solved by unrolling the k=8 training iterations into chained CTE
+    stages (``_bpe_merges_oracle_sql``). Spark side = the batched
+    delta-maintained trainer; oracle side = full recount per stage;
+    identical (left, right, n) sequence or the hash mismatches. l17
+    stays registered as the rows-only form exercising the default
+    path."""
+    from actuarial_reserve_modelling_spark.operators.traindata import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs, k=8)
+    rows = [(i, a, b, n) for i, (a, b, n) in enumerate(merges)]
+    return spark.createDataFrame(rows, "step int, left string, right string, n bigint")
+
+
 # l21: the apply side runs with a PINNED merge table — the production
 # shape (a tokenizer is a shipped artifact applied unchanged to every
 # corpus, not retrained per batch), and what makes the encode fold

@@ -464,3 +464,42 @@ def test_bpe_batched_rounds_equal_sequential(spark):
     assert bpe_train_merges(adv, k=4, batch_m=8) == seq_adv
     # sanity on the construction itself: (c,d) is NOT merge #2
     assert seq_adv[0][:2] == ("a", "b") and seq_adv[1][:2] != ("c", "d")
+
+
+def test_bpe_duckdb_oracle_matches_trainer_on_self_pairs(spark, tmp_path):
+    """The l17b unrolled-CTE oracle's one nontrivial branch is the
+    self-pair (a == b) rewrite: a run of a's must merge at even offsets
+    only ('aaaa' → ['aa','aa'], 'aaa' → ['aa','a']). The sf corpus
+    rarely exercises it, so pin it on a crafted corpus where self-pair
+    merges dominate, comparing the Spark trainer against the DuckDB SQL
+    end to end."""
+    import duckdb
+
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        bpe_train_merges,
+    )
+    from actuarial_reserve_modelling_spark.plans.training_data import (
+        _bpe_merges_oracle_sql,
+    )
+
+    rows = [
+        (0, "aaaa aaa zz"),
+        (1, "aaaa bab zz"),
+        (2, "aaa aaaa zz aaaa"),
+        (3, "bab zz bab"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bpe_train_merges(docs, k=4)
+    # self-pair ('a','a') must be merge #1: count = 2+1+2+1+1+2 = 9
+    assert got[0][:2] == ("a", "a")
+    doc_path = str(tmp_path / "documents.parquet")
+    docs.toPandas().to_parquet(doc_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{doc_path}')"
+    )
+    oracle = [
+        (r[1], r[2], int(r[3]))
+        for r in con.execute(_bpe_merges_oracle_sql(4)).fetchall()
+    ]
+    assert oracle == got, (oracle, got)
