@@ -999,18 +999,29 @@ def persist_dedup_index(
         [(int(bands), int(rows_per_band), int(seed), int(n_buckets), 1)],
         schema="bands int, rows_per_band int, seed int, n_buckets int, layout_version int",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    _DEDUP_META_CACHE.pop(path, None)
+
+
+_DEDUP_META_CACHE: dict[str, dict] = {}
 
 
 def read_dedup_index_meta(spark: SparkSession, path: str) -> dict:
-    """Signature parameters persisted with the fingerprint tier."""
+    """Signature parameters persisted with the fingerprint tier.
+    Cached per process — meta/ is immutable once written
+    (``persist_dedup_index`` overwrites it and evicts; add/delete
+    never touch it)."""
+    if path in _DEDUP_META_CACHE:
+        return dict(_DEDUP_META_CACHE[path])
     r = spark.read.parquet(path + "/meta").first()
-    return {
+    meta = {
         "bands": int(r["bands"]),
         "rows_per_band": int(r["rows_per_band"]),
         "seed": int(r["seed"]),
         "n_buckets": int(r["n_buckets"]),
         "layout_version": int(r["layout_version"]),
     }
+    _DEDUP_META_CACHE[path] = dict(meta)
+    return meta
 
 
 def load_dedup_index(spark: SparkSession, path: str) -> DataFrame:

@@ -1673,23 +1673,45 @@ def persist_ann_index(
         [(int(group_cap), embeddings is not None, 2)],
         schema="group_cap int, has_vectors boolean, layout_version int",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    _evict_index_cache(path)
+
+
+# Driver-resident pieces of persisted indexes are IMMUTABLE once
+# written (persist_* overwrites them; add/delete never touch them), so
+# a per-process cache is safe and saves 2-3 driver-side Spark jobs per
+# query batch — the fixed cost that dominates small-batch latency.
+# persist_* invalidates its own path; cross-process rebuilds can't be
+# cached stale because the cache is per process.
+_DRIVER_PIECE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _evict_index_cache(path: str) -> None:
+    for key in [k for k in _DRIVER_PIECE_CACHE if k[0] == path]:
+        del _DRIVER_PIECE_CACHE[key]
 
 
 def read_ann_index_meta(spark: SparkSession, path: str) -> dict:
     """Build parameters persisted alongside the index (``meta/``).
     Pre-r10 layouts have no meta dataset — those return the historical
-    defaults so old indexes keep answering identically."""
+    defaults so old indexes keep answering identically. Cached per
+    process (meta is immutable post-persist)."""
+    key = (path, "ann_meta")
+    if key in _DRIVER_PIECE_CACHE:
+        return dict(_DRIVER_PIECE_CACHE[key])
     try:
         row = spark.read.parquet(path + "/meta").first()
     except Exception:
         row = None
     if row is None:
-        return {"group_cap": _GROUP_CAP, "has_vectors": False, "layout_version": 1}
-    return {
-        "group_cap": int(row["group_cap"]),
-        "has_vectors": bool(row["has_vectors"]),
-        "layout_version": int(row["layout_version"]),
-    }
+        meta = {"group_cap": _GROUP_CAP, "has_vectors": False, "layout_version": 1}
+    else:
+        meta = {
+            "group_cap": int(row["group_cap"]),
+            "has_vectors": bool(row["has_vectors"]),
+            "layout_version": int(row["layout_version"]),
+        }
+    _DRIVER_PIECE_CACHE[key] = dict(meta)
+    return meta
 
 
 def load_ann_index(
@@ -1715,9 +1737,16 @@ def load_ann_index(
 
 def _load_ann_supers(spark: SparkSession, path: str) -> np.ndarray:
     """The driver-resident piece of a persisted index: the k1 super
-    centroids, reloaded bitwise into the build's ndarray shape."""
+    centroids, reloaded bitwise into the build's ndarray shape. Cached
+    per process (supers/ is immutable post-persist)."""
+    key = (path, "ann_supers")
+    if key in _DRIVER_PIECE_CACHE:
+        return _DRIVER_PIECE_CACHE[key]
     sup = spark.read.parquet(path + "/supers").orderBy("super").collect()
-    return np.array([np.asarray(r["centroid"], dtype=np.float64) for r in sup])
+    arr = np.array([np.asarray(r["centroid"], dtype=np.float64) for r in sup])
+    arr.setflags(write=False)
+    _DRIVER_PIECE_CACHE[key] = arr
+    return arr
 
 
 def _load_ann_frames(
@@ -2727,6 +2756,7 @@ def persist_ivfpq_index(
         [(int(m), int(nc), store_vectors, 1)],
         schema="m_subspaces int, n_codes int, has_vectors boolean, layout_version int",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    _evict_index_cache(path)
 
 
 def load_ivfpq_index(
@@ -2737,6 +2767,10 @@ def load_ivfpq_index(
     meta dict). Parquet doubles are bitwise, so a reloaded index
     routes, encodes, and scores identically to the in-memory build.
     The codes/ dataset stays on disk — queries read it pruned."""
+    key = (path, "ivfpq_pieces")
+    if key in _DRIVER_PIECE_CACHE:
+        centroids, books, meta = _DRIVER_PIECE_CACHE[key]
+        return centroids, books, dict(meta)
     meta_row = spark.read.parquet(path + "/meta").first()
     meta = {
         "m_subspaces": int(meta_row["m_subspaces"]),
@@ -2756,7 +2790,10 @@ def load_ivfpq_index(
         books[int(r["sub"]), int(r["code"])] = np.asarray(
             r["centroid"], dtype=np.float64
         )
-    return centroids, books, meta
+    centroids.setflags(write=False)
+    books.setflags(write=False)
+    _DRIVER_PIECE_CACHE[key] = (centroids, books, dict(meta))
+    return centroids, books, dict(meta)
 
 
 def add_to_ivfpq_index(
