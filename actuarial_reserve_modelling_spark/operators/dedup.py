@@ -1096,6 +1096,21 @@ def delete_from_dedup_index(
     _delete_partitioned_rows(spark, path + "/fingerprints", ids, id_col, "part")
 
 
+def compact_dedup_index(
+    spark: SparkSession, path: str, max_files_per_partition: int = 4
+) -> int:
+    """Fold append-accumulated small files in the persisted fingerprint
+    tier's id-hash buckets (see
+    operators.similarity.compact_partitioned_index)."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        compact_partitioned_index,
+    )
+
+    return compact_partitioned_index(
+        spark, path + "/fingerprints", "part", max_files_per_partition
+    )
+
+
 def _banded_buckets(index: DataFrame, id_alias: str, bands: int, rows_per_band: int) -> DataFrame:
     band_cols = [
         F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(f"b{i}")

@@ -2044,6 +2044,67 @@ def _delete_partitioned_rows(
     spark.catalog.refreshByPath(dataset)
 
 
+def compact_partitioned_index(
+    spark: SparkSession,
+    dataset: str,
+    part_col: str,
+    max_files_per_partition: int = 4,
+) -> int:
+    """OPTIMIZE for the persisted index tiers: every ``add_to_*`` call
+    appends at least one file per touched partition, so a long-running
+    ingest accretes files forever — the #1 operational failure of
+    append-heavy layouts at 100 TB. This rewrites ONLY the partitions
+    whose file count exceeds ``max_files_per_partition`` (found with
+    one metadata-column aggregate — no data moves to the driver) via
+    the same dynamic-partition-overwrite primitive the deletes use, so
+    cold partitions keep their files byte-identical and the rewrite
+    cost scales with the hot fraction, not the index. Contents are
+    preserved exactly; a crash mid-overwrite re-heals on re-run (the
+    partition either kept its old files or has the new single file).
+    Returns the number of partitions compacted.
+
+    Wrappers: ``compact_ann_index`` (members/super),
+    ``compact_ivfpq_index`` (codes/cluster), and the dedup tier's
+    fingerprints/part all route here."""
+    from actuarial_reserve_modelling_spark.sources.sinks import overwrite_partitions
+
+    rows = spark.read.parquet(dataset)
+    hot = [
+        int(r[part_col])
+        for r in rows.select(F.col(part_col), F.col("_metadata.file_path").alias("f"))
+        .groupBy(part_col)
+        .agg(F.count_distinct("f").alias("nf"))
+        .filter(F.col("nf") > max_files_per_partition)
+        .collect()
+    ]
+    if not hot:
+        return 0
+    packed = rows.filter(F.col(part_col).isin(hot)).localCheckpoint()
+    overwrite_partitions(packed.repartition(F.col(part_col)), dataset, [part_col])
+    spark.catalog.refreshByPath(dataset)
+    return len(hot)
+
+
+def compact_ann_index(
+    spark: SparkSession, path: str, max_files_per_partition: int = 4
+) -> int:
+    """Fold append-accumulated small files in a persisted hierarchical
+    ANN index's members/ partitions (see compact_partitioned_index)."""
+    return compact_partitioned_index(
+        spark, path + "/members", "super", max_files_per_partition
+    )
+
+
+def compact_ivfpq_index(
+    spark: SparkSession, path: str, max_files_per_partition: int = 4
+) -> int:
+    """Fold append-accumulated small files in a persisted IVF-PQ
+    index's codes/ partitions (see compact_partitioned_index)."""
+    return compact_partitioned_index(
+        spark, path + "/codes", "cluster", max_files_per_partition
+    )
+
+
 def ann_ivf_hier_topk_persisted(
     spark: SparkSession,
     path: str,

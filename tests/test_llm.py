@@ -1771,3 +1771,87 @@ def test_persisted_dedup_index_lifecycle(spark, tmp_path):
     }
     assert got == want
     assert all(b % 5 != 1 for _, b, _ in got)
+
+
+def test_compact_partitioned_index_folds_hot_partitions_only(spark, tmp_path):
+    """compact_ann_index: repeated ingests accrete one file per touched
+    super per batch; compaction must rewrite ONLY the partitions over
+    the file threshold (cold partitions byte-identical), preserve rows
+    exactly, and leave queries answering identically."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ann_index,
+        ann_ivf_hier_topk_persisted,
+        compact_ann_index,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    rng = np.random.default_rng(47)
+    pts = rng.standard_normal((400, 16))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(400)], schema
+    )
+    path = str(tmp_path / "ann_index")
+    index, super_cent = ivf_hier_build(emb)
+    persist_ann_index(index, super_cent, path, embeddings=emb)
+    # 5 ingest batches of twins -> touched supers accrete >= 6 files
+    for g in range(1, 6):
+        batch = emb.filter(F.col("vec_id") % 20 == g).select(
+            (F.col("vec_id") + 100000 * g).alias("vec_id"), "embedding"
+        )
+        add_to_ann_index(spark, path, batch)
+    members_before = spark.read.parquet(path + "/members")
+    n_before = members_before.count()
+    rows_before = {
+        (r["vec_id"], r["super"], r["child"]) for r in members_before.collect()
+    }
+    def files_per_super():
+        out = {}
+        for d in os.listdir(path + "/members"):
+            if d.startswith("super="):
+                out[d] = sorted(
+                    f for f in os.listdir(path + f"/members/{d}")
+                    if f.endswith(".parquet")
+                )
+        return out
+    before = files_per_super()
+    hot = {d for d, fs in before.items() if len(fs) > 4}
+    cold = {d for d, fs in before.items() if len(fs) <= 4}
+    assert hot, "construction must produce over-threshold supers"
+    queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    res_before = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_persisted(spark, path, None, queries, k=3).collect()
+    }
+    n_compacted = compact_ann_index(spark, path, max_files_per_partition=4)
+    assert n_compacted == len(hot)
+    after = files_per_super()
+    for d in cold:
+        assert after[d] == before[d]  # cold partitions byte-identical
+    for d in hot:
+        assert len(after[d]) == 1  # folded to one file
+    members_after = spark.read.parquet(path + "/members")
+    assert members_after.count() == n_before
+    assert {
+        (r["vec_id"], r["super"], r["child"]) for r in members_after.collect()
+    } == rows_before
+    res_after = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_persisted(spark, path, None, queries, k=3).collect()
+    }
+    assert res_after == res_before
+    # idempotent: nothing left over the threshold
+    assert compact_ann_index(spark, path, max_files_per_partition=4) == 0
