@@ -555,3 +555,59 @@ def test_registry_outputs_are_driver_canonicalizable(spark):
             bad[name] = nonscalar
     assert not failed, f"query builders crashed at sf0.001: {failed}"
     assert not bad, f"non-scalar (driver-uncanonicalizable) output columns: {bad}"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6), min_size=3, max_size=30
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_bpe_batched_equals_pure_python_sequential(spark, words, k):
+    """The r10 batched BPE trainer must equal a pure-Python
+    one-merge-at-a-time reference on ARBITRARY corpora — the tiny
+    alphabet forces dense pair collisions, self-pairs ('aa'), and
+    created-pair races, exactly the cases the batching guard must
+    refuse to batch."""
+    from collections import Counter
+
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["doc_id", "text"]
+    )
+    got = bpe_train_merges(docs, k=k, batch_m=8)
+
+    freqs = Counter(w for w in words if w)
+    vocab = {tuple(w): n for w, n in freqs.items()}
+    expected = []
+    for _ in range(k):
+        pairs = Counter()
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((a, b, n))
+        nv = {}
+        for sym, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + cnt
+        vocab = nv
+    assert got == expected, (words, k, got, expected)
