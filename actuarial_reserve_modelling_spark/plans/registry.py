@@ -32,6 +32,59 @@ REGISTRY: dict[str, Query] = {}
 # every query that has never appeared in a driver CORRECTNESS_r*.json,
 # plus queries added or rewritten this round. Names not yet registered
 # are skipped (harmless); everything else keeps registration order.
+_ROUND10_FRONT = [
+    # 1) queries ADDED or whose code paths CHANGED in round 10 — they
+    #    lead the window to (re-)earn driver evidence on the new code:
+    #    - l34/l35/l36: the persisted layout is now VECTOR-BEARING and
+    #      the query path is corpus-scan-free (embeddings=None); the
+    #      add is idempotent; build params live in meta/.
+    "l34_ann_index_persisted",
+    "l35_ann_index_add_persisted",
+    "l36_ann_index_delete_persisted",
+    #    - l37: NEW — persisted IVF-PQ lifecycle (codebooks + cluster-
+    #      partitioned codes, incremental encode-and-append, pruned ADC
+    #      query), the l35 analogue for the PQ tier.
+    "l37_ivfpq_index_persisted",
+    #    - l38: NEW — persisted dedup fingerprint tier with
+    #      right-to-be-forgotten delete (build → add → delete →
+    #      l19-style ingest check over the survivors).
+    "l38_dedup_index_delete_persisted",
+    #    - l17b: NEW — hash-grade oracle for the BPE merge table via
+    #      unrolled-CTE DuckDB SQL, retiring the last non-ANN
+    #      rows-only row; the Spark side runs the r10 batched trainer.
+    "l17b_bpe_merges_oracle",
+    #    - t13: NEW — continuous ingest with the persisted ANN index as
+    #      the gate state (planted twins across/within batches).
+    "t13_ann_index_ingest_gate",
+    #    - l17/l21: the trainer now batches merge rounds (exactness
+    #      guard); re-earn on the new code path.
+    "l17_bpe_merges",
+    "l21_bpe_encode",
+    #    - l3h/l3i: the IVF-PQ/PQ one-shot paths were refactored onto
+    #      the shared _ivfpq_query tail; re-earn on the new plan shape.
+    "l3h_ann_pq_top1_planted",
+    "l3i_ann_ivfpq_top1_planted",
+    #    - l3g: the hierarchical indexed query grew the vec-bearing
+    #      branch (embeddings-backed path unchanged); re-earn anyway.
+    "l3g_ann_ivf_hier_top1_planted",
+    #    - l19: consumes the dedup index shape l38 persists; re-earn.
+    "l19_incremental_minhash_dedup",
+    # 2) window fill: rotate older-evidence rows (descending staleness)
+    #    so the driver keeps refreshing the registry's long tail.
+    "l25_ann_ivf_index_add",
+    "l26_ann_ivfpq_topk",
+    "t12_semantic_ingest_gate",
+    "t11_neardup_ingest_gate",
+    "l27b_semantic_dedup_lsh",
+    "l27c_semantic_dedup_ivf",
+    "l11b_rag_top1_planted",
+    "w13_salted_topk",
+    "l33_document_chunking",
+    "q2_min_cost_supplier",
+    "a13b_bloom_join_exactness",
+]
+
+# Round-9 window, kept for the audit trail (CORRECTNESS_r09 covers it).
 _ROUND9_FRONT = [
     # 1) queries ADDED in round 8 (no driver row yet — VERDICT r8 task
     #    #1) or CHANGED in round 9, leading the window so every SURVEY
@@ -290,7 +343,8 @@ def load_all() -> dict[str, Query]:
         window_queries2,
     )
 
-    front = [n for n in _ROUND9_FRONT if n in REGISTRY]
+    front = [n for n in _ROUND10_FRONT if n in REGISTRY]
+    front += [n for n in _ROUND9_FRONT if n in REGISTRY and n not in front]
     seen = set(front)
     ordered = front + [n for n in REGISTRY if n not in seen]
     return {n: REGISTRY[n] for n in ordered}

@@ -465,3 +465,69 @@ def t12_semantic_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_semantic_ingest(
         spark, batches, cache_key=f"sem_ingest3_{sf_dir}", threshold=0.9
     )
+
+
+@register(
+    "t13_ann_index_ingest_gate",
+    "T1,S7,L3,L10,D8 (continuous ingest with the persisted ANN index as gate state)",
+    oracle="""
+    SELECT vec_id, CAST(vec_id % 3 AS INT) AS batch FROM embeddings
+    """,
+)
+def t13_ann_index_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The L10 persisted index driving a streaming gate
+    (streaming/pipeline.py::incremental_ann_ingest): batch 0 bootstraps
+    the vector-bearing hierarchical index, each later micro-batch
+    collapses within-batch exact duplicates, queries the PERSISTED
+    index with partition-pruned corpus-free reads, rejects sim-1.0
+    re-encounters, and grows the index by add_to_ann_index —
+    per-batch I/O is the probed fraction, state is the index itself
+    (t12's gate re-based from recursive whole-index reads onto the
+    hive-partitioned tier). Hash-grade by planting exact twins that
+    must ALL be rejected: +100000 twins of every 50th batch-0 vector
+    arrive in batch 1 (cross-batch vs the BOOTSTRAPPED index), +200000
+    twins of every 50th batch-1 vector arrive in batch 2 (cross-batch
+    vs rows the ADD ingested — pinning the add path), and +300000
+    in-batch twin pairs inside batch 2 (within-batch collapse). The
+    oracle is every original admitted in its arrival batch and nothing
+    else: a lost add, a missed rejection, or a false sim-1.0 hit
+    between distinct random vectors (impossible at 6-dp rounding) all
+    hash-mismatch."""
+    from actuarial_reserve_modelling_spark.plans.llm_queries import plant_twins
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_ann_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # plant_twins(modulus=150) also asserts max(vec_id) < the id offsets
+    plant_twins(emb, 150)
+    b0 = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+
+    def _twins(batch: DataFrame, residue: int, offset: int) -> DataFrame:
+        # exact copies of the batch's ids ≡ residue (mod 150) — the
+        # residues are chosen ≡ batch (mod 3) so each planted set is
+        # NON-EMPTY (a %150==0 filter can only hit %3==0 ids)
+        return batch.filter(F.col("vec_id") % 150 == residue).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+        )
+
+    # twins of b0 sources (≡0 mod 150) arriving in batch 1: rejected
+    # against the BOOTSTRAPPED index
+    t_b1 = _twins(b0, 0, 100_000)
+    # twins of b1 sources (≡100 mod 150) arriving in batch 2: rejected
+    # against rows the ADD ingested — pins the add path
+    t_b2 = _twins(b1, 100, 200_000)
+    # in-batch twins of b2 sources (≡50 mod 150), same batch as their
+    # sources — the within-batch collapse must reject them (source has
+    # the minimum id)
+    t_in = _twins(b2, 50, 300_000)
+    batches = [
+        b0,
+        b1.unionByName(t_b1),
+        b2.unionByName(t_b2).unionByName(t_in),
+    ]
+    return incremental_ann_ingest(
+        spark, batches, cache_key=f"ann_ingest3_{sf_dir}"
+    )

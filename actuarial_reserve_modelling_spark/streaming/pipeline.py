@@ -744,3 +744,130 @@ def incremental_semantic_ingest(
         .parquet(out_dir)
         .select("vec_id", "batch")
     )
+
+
+def incremental_ann_ingest(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    cache_key: str,
+    threshold: float = 0.999999,
+    k: int = 1,
+    state_partitions: int = 8,
+    compact_every: int | None = None,
+) -> DataFrame:
+    """Continuous ingest with the PERSISTED hierarchical ANN index as
+    the gate state (the L10 tier driving a T-row stream — t12's
+    semantic gate re-based onto the partition-pruned index instead of
+    recursive whole-index reads): per arriving batch of
+    (vec_id, embedding),
+
+    1. **within-batch tier** — bitwise-identical vectors collapse to
+       their minimum id (group on the vector itself, no hashing — the
+       exactness the oracle pins);
+    2. **cross-batch tier** — survivors query the persisted index
+       (``ann_ivf_hier_topk_persisted``, vector-bearing layout, ZERO
+       corpus reads); any top-k neighbor with sim ≥ τ rejects. A query
+       bitwise-identical to ANY indexed member — original or earlier
+       ingest — retrieves it at sim 1.0 with probability 1 (the
+       l3g/l35 structural guarantee), so exact re-encounters are
+       rejected deterministically;
+    3. admitted vectors ``add_to_ann_index`` into their supers'
+       partition directories — per-batch index growth is linear in the
+       KEPT corpus, per-batch index I/O is the probed fraction.
+
+    Batch 0 bootstraps the index (``ivf_hier_build`` +
+    ``persist_ann_index(embeddings=...)``) — the quantizer trains on
+    the first batch and is immutable after, the standard
+    train-on-first-chunk contract (routing quality for later batches
+    follows the add-path guarantee, not retraining). Retried
+    micro-batches are idempotent: batch 0 re-persists (overwrite), and
+    later batches re-admit through the epoch-keyed overwrite sink
+    while ``add_to_ann_index``'s pruned anti-join drops already-indexed
+    ids (the S7 pattern). ``compact_every`` folds append-accumulated
+    member files via ``compact_ann_index`` every N batches.
+
+    Iterative batch dependence ⇒ not SQL-expressible in general; the
+    planted-twin registry query (t13) carries hash-grade driver
+    evidence (exact twins planted across and within batches must all
+    be rejected, originals all admitted).
+
+    Returns admitted rows ``(vec_id, batch)``.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ann_index,
+        ann_ivf_hier_topk_persisted,
+        compact_ann_index,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    work = tempfile.mkdtemp(prefix="arm_ann_ingest_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    idx_dir = os.path.join(work, "ann_index")
+    out_dir = os.path.join(work, "admitted")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(out_dir)
+
+    def _step(batch_df: DataFrame, bid: int) -> None:
+        shutil.rmtree(os.path.join(out_dir, f"e{bid}"), ignore_errors=True)
+        if compact_every and bid > 0 and bid % compact_every == 0:
+            compact_ann_index(spark, idx_dir, max_files_per_partition=state_partitions)
+        vecs = batch_df.select("vec_id", "embedding")
+        # 1) within-batch exact collapse: one row per distinct vector,
+        # minimum id wins (first-wins under the deterministic id order)
+        reps = (
+            vecs.groupBy("embedding")
+            .agg(F.min("vec_id").alias("vec_id"))
+            .select("vec_id", "embedding")
+            .localCheckpoint(eager=True)
+        )
+        if not os.path.exists(os.path.join(idx_dir, "supers")):
+            # batch 0 (or its retry): bootstrap the index on the
+            # admitted set; persist's overwrite clears partial state
+            index, super_cent = ivf_hier_build(reps)
+            persist_ann_index(index, super_cent, idx_dir, embeddings=reps)
+            admitted = reps
+        else:
+            # 2) pruned query against the persisted tier
+            hits = (
+                ann_ivf_hier_topk_persisted(spark, idx_dir, None, reps, k=k)
+                .filter(F.col("sim") >= threshold)
+                .select(F.col("query_id").alias("vec_id"))
+                .distinct()
+            )
+            admitted = reps.join(hits, "vec_id", "left_anti")
+        # 3) epoch-keyed sink; the index append derives from the
+        # committed sink (cheap re-read) so the gate plan runs once
+        out_epoch = os.path.join(out_dir, f"e{bid}")
+        admitted.withColumn("batch", F.lit(bid).cast("int")).write.mode(
+            "overwrite"
+        ).parquet(out_epoch)
+        if os.path.exists(os.path.join(idx_dir, "supers")) and bid > 0:
+            committed = spark.read.parquet(out_epoch).select("vec_id", "embedding")
+            add_to_ann_index(spark, idx_dir, committed)
+
+    stream = staged_ordered_source(
+        spark, [b.select("vec_id", "embedding") for b in batches], cache_key
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_step)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .select("vec_id", "batch")
+    )

@@ -638,3 +638,52 @@ def test_incremental_semantic_ingest_closed_form_and_compaction(spark):
         ).collect()
     }
     assert got_compacted == got
+
+
+def test_incremental_ann_ingest_closed_form_and_compaction(spark):
+    """The L10-tier ingest gate (persisted hierarchical ANN index as
+    stream state) must admit exactly the originals: cross-batch exact
+    twins reject against the bootstrapped index AND against rows the
+    add ingested, within-batch twins collapse to their source, the
+    index ends linear in the kept corpus, and mid-stream compaction
+    does not change the admitted set."""
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_ann_ingest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    b0 = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+
+    def twins(batch, residue, offset):
+        return batch.filter(F.col("vec_id") % 30 == residue).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+        )
+
+    t_b1 = twins(b0, 0, 100_000)     # vs bootstrapped index
+    t_b2 = twins(b1, 10, 200_000)    # vs rows the ADD ingested
+    t_in = twins(b2, 20, 300_000)    # within-batch collapse
+    n_twins = t_b1.count() + t_b2.count() + t_in.count()
+    assert min(t_b1.count(), t_b2.count(), t_in.count()) > 0
+    batches = [b0, b1.unionByName(t_b1), b2.unionByName(t_b2).unionByName(t_in)]
+    got = {
+        (r["vec_id"], r["batch"])
+        for r in incremental_ann_ingest(
+            spark, batches, cache_key="test_ann_ingest"
+        ).collect()
+    }
+    expect = {(r["vec_id"], r["vec_id"] % 3) for r in emb.collect()}
+    assert got == expect  # every original admitted, every twin rejected
+    assert n_twins > 0
+    got_compacted = {
+        (r["vec_id"], r["batch"])
+        for r in incremental_ann_ingest(
+            spark, batches, cache_key="test_ann_ingest_c", compact_every=1
+        ).collect()
+    }
+    assert got_compacted == got
