@@ -889,6 +889,51 @@ def l38_dedup_index_delete_persisted(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "l39_ivfpq_index_delete_persisted",
+    "L3,S7,L10 (deletion from the persisted IVF-PQ index via partition overwrite)",
+    oracle="""
+    SELECT vec_id + 200000 AS query_id, vec_id + 100000 AS neighbor_id,
+           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def l39_ivfpq_index_delete_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remove side of the PQ-tier lifecycle (l36's analogue over
+    the cluster-partitioned codes table): build+persist on the base
+    corpus, ``add_to_ivfpq_index`` exact twins (+100000), then DELETE
+    the original sources through the shared partitioned-delete engine —
+    untouched clusters keep their files, emptied ones lose their
+    directory. A third twin (+200000) at k=1 pins both mutations: the
+    added twin is now the only sim-1.0 vector, so rank 1 must be
+    id+100000 — a left-behind delete re-surfaces the lower source id
+    and hash-mismatches; a lost add leaves no 1.0 neighbor at rank 1
+    and mismatches too."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ivfpq_index,
+        ann_ivfpq_topk_persisted,
+        delete_from_ivfpq_index,
+        persist_ivfpq_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    added = plant_twins(emb, 50)
+    queries = plant_twins(emb, 50, offset=200_000)
+    sources = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+    root, fresh = staging_dir("l39", sf_dir)
+    out = root + "/ivfpq_index"
+    if fresh:
+        persist_ivfpq_index(emb, out, n_centroids=16, m_subspaces=8, n_codes=16)
+        add_to_ivfpq_index(spark, out, added)
+        delete_from_ivfpq_index(spark, out, sources)
+        staging_commit(root)
+    return ann_ivfpq_topk_persisted(spark, out, None, queries, k=1, nprobe=4, rerank=32)
+
+
+@register(
     "l20_pii_scrub",
     "L5,D8 (compliance scrub; map-side)",
     oracle="""

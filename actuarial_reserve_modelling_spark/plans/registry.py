@@ -49,6 +49,9 @@ _ROUND10_FRONT = [
     #      right-to-be-forgotten delete (build → add → delete →
     #      l19-style ingest check over the survivors).
     "l38_dedup_index_delete_persisted",
+    #    - l39: NEW — deletion from the persisted IVF-PQ index
+    #      (l36's analogue on the codes/ layout).
+    "l39_ivfpq_index_delete_persisted",
     #    - l17b: NEW — hash-grade oracle for the BPE merge table via
     #      unrolled-CTE DuckDB SQL, retiring the last non-ANN
     #      rows-only row; the Spark side runs the r10 batched trainer.

@@ -786,6 +786,14 @@ def incremental_ann_ingest(
     ids (the S7 pattern). ``compact_every`` folds append-accumulated
     member files via ``compact_ann_index`` every N batches.
 
+    Sizing contract: the cross-batch query rides the ANN family's
+    bounded-query-batch contract (the batch is broadcast into the
+    routing join), so size micro-batches with the stream trigger
+    (maxFilesPerTrigger / maxBytesPerTrigger) to the tens-of-thousands
+    of vectors a broadcast comfortably carries — the natural
+    micro-batch granularity; the INDEX side is the unbounded one and
+    stays partition-pruned.
+
     Iterative batch dependence ⇒ not SQL-expressible in general; the
     planted-twin registry query (t13) carries hash-grade driver
     evidence (exact twins planted across and within batches must all
