@@ -1855,3 +1855,49 @@ def test_compact_partitioned_index_folds_hot_partitions_only(spark, tmp_path):
     assert res_after == res_before
     # idempotent: nothing left over the threshold
     assert compact_ann_index(spark, path, max_files_per_partition=4) == 0
+
+
+def test_persisted_ann_index_pre_r10_layout_fallback(spark, tmp_path):
+    """A pre-r10 index layout (no meta/, id-only members) must keep
+    answering: read_ann_index_meta falls back to the historical
+    defaults and the persisted query path takes the corpus-join rerank
+    when handed an embeddings frame."""
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        _evict_index_cache,
+        ann_ivf_hier_topk_persisted,
+        ivf_hier_build,
+        persist_ann_index,
+        read_ann_index_meta,
+    )
+
+    rng = np.random.default_rng(53)
+    pts = rng.standard_normal((300, 16))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(300)], schema
+    )
+    path = str(tmp_path / "ann_index")
+    index, super_cent = ivf_hier_build(emb)
+    persist_ann_index(index, super_cent, path)  # id-only layout
+    shutil.rmtree(path + "/meta")  # simulate a pre-r10 index
+    _evict_index_cache(path)
+    meta = read_ann_index_meta(spark, path)
+    assert meta["layout_version"] == 1 and not meta["has_vectors"]
+    queries = emb.filter(F.col("vec_id") % 30 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    got = {
+        tuple(r)
+        for r in ann_ivf_hier_topk_persisted(spark, path, emb, queries, k=1).collect()
+    }
+    assert got == {(s + 100000, s, 1, 1.0) for s in range(0, 300, 30)}
