@@ -1901,3 +1901,57 @@ def test_persisted_ann_index_pre_r10_layout_fallback(spark, tmp_path):
         for r in ann_ivf_hier_topk_persisted(spark, path, emb, queries, k=1).collect()
     }
     assert got == {(s + 100000, s, 1, 1.0) for s in range(0, 300, 30)}
+
+
+def test_persisted_ivfpq_slim_layout_corpus_rerank_parity(spark, tmp_path):
+    """persist_ivfpq_index(store_vectors=False): the slim 32x-compressed
+    layout must answer identically to the vector-bearing one when the
+    rerank is handed the corpus frame, and the corpus-free call must
+    fail loudly (no silent wrong answers) on a layout without vectors."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivfpq_topk_persisted,
+        persist_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(59)
+    pts = rng.standard_normal((300, 16))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(300)], schema
+    )
+    queries = emb.filter(F.col("vec_id") % 30 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    slim = str(tmp_path / "slim")
+    full = str(tmp_path / "full")
+    persist_ivfpq_index(
+        emb, slim, n_centroids=8, m_subspaces=8, n_codes=16, store_vectors=False
+    )
+    persist_ivfpq_index(emb, full, n_centroids=8, m_subspaces=8, n_codes=16)
+    got_slim = {
+        tuple(r)
+        for r in ann_ivfpq_topk_persisted(
+            spark, slim, emb, queries, k=2, nprobe=4, rerank=32
+        ).collect()
+    }
+    got_full = {
+        tuple(r)
+        for r in ann_ivfpq_topk_persisted(
+            spark, full, None, queries, k=2, nprobe=4, rerank=32
+        ).collect()
+    }
+    assert got_slim == got_full
+    assert {(s + 100000, s, 1, 1.0) for s in range(0, 300, 30)} <= got_slim
+    with pytest.raises(Exception, match="vector-bearing"):
+        ann_ivfpq_topk_persisted(
+            spark, slim, None, queries, k=2, nprobe=4, rerank=32
+        ).collect()
