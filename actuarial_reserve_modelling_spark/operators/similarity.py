@@ -25,9 +25,30 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _is_path_missing(e: AnalysisException) -> bool:
+    """True only for the path-does-not-exist AnalysisException — the one
+    failure that legitimately means "this optional dataset was never
+    written". Everything else (permissions, corrupt footer, transient
+    storage) must propagate, never be treated as absence."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+            if cond:
+                break
+    if cond:
+        return "PATH_NOT_FOUND" in cond
+    return "Path does not exist" in str(e)
 
 
 def _as_double(col: str):
@@ -1654,13 +1675,57 @@ def persist_ann_index(
     failure mode at 100 TB)."""
     spark = index.sparkSession
     members = index.filter(F.col(id_col).isNotNull()).select(id_col, "child", "super")
+    n_members = None
     if embeddings is not None:
+        # LEFT join + loud mismatch checks (r10 ADVICE): an inner join
+        # would silently DROP members absent from the passed corpus
+        # frame, and duplicate ids in it would silently DUPLICATE member
+        # rows — both corrupt the index with no signal. A missing vector
+        # aborts the write itself (per-row raise_error, free inside the
+        # single write pass); duplicates are caught by comparing the
+        # pre-join member count against the written row count (the
+        # read-back count is parquet-metadata-only), BEFORE children/
+        # supers/meta are written — a failed persist leaves no readable
+        # index, never a silently wrong one.
+        n_members = members.count()
         members = members.join(
-            embeddings.select(id_col, F.col(vec_col).alias("vec")), id_col
-        ).select(id_col, "child", "vec", "super")
+            embeddings.select(id_col, F.col(vec_col).alias("vec")), id_col, "left"
+        ).select(
+            id_col,
+            "child",
+            F.when(
+                F.col("vec").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "persist_ann_index: no vector in the passed "
+                            f"embeddings frame for member {id_col}="
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            " — the corpus frame does not match the index; "
+                            "refusing to persist a silently shrunken index"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col("vec"))
+            .alias("vec"),
+            "super",
+        )
     members.repartition(F.col("super")).write.mode("overwrite").partitionBy(
         "super"
     ).parquet(path + "/members")
+    if n_members is not None:
+        n_written = spark.read.parquet(path + "/members").count()
+        if n_written != n_members:
+            raise ValueError(
+                f"persist_ann_index: embeddings frame holds duplicate "
+                f"{id_col} values ({n_written} written member rows for "
+                f"{n_members} members) — refusing to persist a silently "
+                "inflated index (members/ is partial; re-run persist "
+                "with a deduplicated corpus frame)"
+            )
     children = index.filter(F.col(id_col).isNull()).select("child", "centroid", "super")
     children.repartition(F.col("super")).write.mode("overwrite").partitionBy(
         "super"
@@ -1693,23 +1758,34 @@ def _evict_index_cache(path: str) -> None:
 def read_ann_index_meta(spark: SparkSession, path: str) -> dict:
     """Build parameters persisted alongside the index (``meta/``).
     Pre-r10 layouts have no meta dataset — those return the historical
-    defaults so old indexes keep answering identically. Cached per
-    process (meta is immutable post-persist)."""
+    defaults so old indexes keep answering identically. ONLY a
+    genuinely-absent path takes that fallback, and the fallback is
+    never cached (r10 ADVICE): a transient read failure — permissions,
+    storage hiccup — must surface as an error, not silently pin the
+    historical defaults for the process lifetime and mis-decode the
+    child-id slot stride on an index built with a non-default
+    group_cap. Successful reads are cached per process (meta is
+    immutable post-persist)."""
     key = (path, "ann_meta")
     if key in _DRIVER_PIECE_CACHE:
         return dict(_DRIVER_PIECE_CACHE[key])
     try:
         row = spark.read.parquet(path + "/meta").first()
-    except Exception:
-        row = None
+    except AnalysisException as e:
+        if not _is_path_missing(e):
+            raise
+        # pre-r10 layout (no meta/): historical defaults, NOT cached
+        return {"group_cap": _GROUP_CAP, "has_vectors": False, "layout_version": 1}
     if row is None:
-        meta = {"group_cap": _GROUP_CAP, "has_vectors": False, "layout_version": 1}
-    else:
-        meta = {
-            "group_cap": int(row["group_cap"]),
-            "has_vectors": bool(row["has_vectors"]),
-            "layout_version": int(row["layout_version"]),
-        }
+        raise ValueError(
+            f"ann index meta at {path}/meta exists but holds no rows — "
+            "the index is corrupt; rebuild with persist_ann_index"
+        )
+    meta = {
+        "group_cap": int(row["group_cap"]),
+        "has_vectors": bool(row["has_vectors"]),
+        "layout_version": int(row["layout_version"]),
+    }
     _DRIVER_PIECE_CACHE[key] = dict(meta)
     return meta
 
@@ -1790,7 +1866,7 @@ def add_to_ann_index(
     new_embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    group_cap: int = _GROUP_CAP,
+    group_cap: int | None = None,
     check_existing: bool = True,
 ) -> None:
     """Incremental ingest into a persisted hierarchical index (the ANN
@@ -1832,8 +1908,16 @@ def add_to_ann_index(
     Python call per vector) — with the build's own hash sub-split
     bounding a skewed batch's hottest super at ``group_cap`` rows per
     task; only the super-centroid matrix (k1·d, the driver-resident
-    piece by design) is broadcast."""
+    piece by design) is broadcast.
+
+    ``group_cap=None`` (default, r10 ADVICE) resolves to the PERSISTED
+    build cap from ``meta/`` — the same rule as
+    ``ann_ivf_hier_topk_persisted`` — so an index persisted with a
+    smaller memory-bounding cap keeps its per-task row bound on ingest
+    without the caller repeating the knob."""
     meta = read_ann_index_meta(spark, path)
+    if group_cap is None:
+        group_cap = meta["group_cap"]
     store_vec = meta["has_vectors"]
     super_cent = _load_ann_supers(spark, path)
     hard = ivf_assign(
@@ -2036,9 +2120,29 @@ def _delete_partitioned_rows(
     for part in set(touched) - kept:
         hp = jvm.org.apache.hadoop.fs.Path(f"{dataset}/{part_col}={part}")
         hp.getFileSystem(hconf).delete(hp, True)
-    overwrite_partitions(
-        survivors.repartition(F.col(part_col)), dataset, [part_col]
-    )
+    if kept:
+        overwrite_partitions(
+            survivors.repartition(F.col(part_col)), dataset, [part_col]
+        )
+    else:
+        # a delete that emptied every touched partition may have emptied
+        # the whole dataset (r10 ADVICE): a root with zero parquet files
+        # fails schema inference in every subsequent load_*/add_to_*
+        # read. If no partition directory survived anywhere, pin the
+        # schema with one zero-row file inside a partition directory —
+        # readers then see a well-typed empty index instead of an
+        # unable-to-infer-schema error.
+        root = jvm.org.apache.hadoop.fs.Path(dataset)
+        fs = root.getFileSystem(hconf)
+        remaining = [
+            st.getPath().getName()
+            for st in fs.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith(part_col + "=")
+        ]
+        if not remaining:
+            survivors.drop(part_col).limit(0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{dataset}/{part_col}={touched[0]}")
     # evict the pre-delete file listing from the shared status cache so
     # readers in this session see the rewritten layout
     spark.catalog.refreshByPath(dataset)

@@ -1955,3 +1955,84 @@ def test_persisted_ivfpq_slim_layout_corpus_rerank_parity(spark, tmp_path):
         ann_ivfpq_topk_persisted(
             spark, slim, None, queries, k=2, nprobe=4, rerank=32
         ).collect()
+
+
+def test_persist_ann_index_corpus_mismatch_fails_loudly(spark, tmp_path):
+    """r10 ADVICE: persist_ann_index(embeddings=...) must refuse a
+    corpus frame that does not match the index — a member id absent
+    from the frame aborts the persist (no silently shrunken index), and
+    duplicate ids in the frame abort it too (no silently inflated
+    one)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    rng = np.random.default_rng(17)
+    pts = rng.standard_normal((300, 8))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(300)], schema
+    )
+    index, super_cent = ivf_hier_build(emb)
+    with pytest.raises(Exception, match="no vector in the passed"):
+        persist_ann_index(
+            index,
+            super_cent,
+            str(tmp_path / "idx_missing"),
+            embeddings=emb.filter(F.col("vec_id") % 2 == 0),
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        persist_ann_index(
+            index,
+            super_cent,
+            str(tmp_path / "idx_dup"),
+            embeddings=emb.unionByName(emb.filter(F.col("vec_id") < 5)),
+        )
+
+
+def test_ann_index_delete_all_leaves_readable_empty_index(spark, tmp_path):
+    """r10 ADVICE: a delete that empties the ENTIRE index must leave a
+    root whose schema still reads — subsequent load/add paths see a
+    well-typed empty index, not an unable-to-infer-schema error — and a
+    later add repopulates it."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ann_index,
+        delete_from_ann_index,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    rng = np.random.default_rng(19)
+    pts = rng.standard_normal((200, 8))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(200)], schema
+    )
+    path = str(tmp_path / "ann_index")
+    index, super_cent = ivf_hier_build(emb)
+    persist_ann_index(index, super_cent, path, embeddings=emb)
+    delete_from_ann_index(spark, path, emb.select("vec_id"))
+    members = spark.read.parquet(path + "/members")
+    assert members.count() == 0
+    assert {"vec_id", "child", "vec", "super"} <= set(members.columns)
+    # the empty index accepts a fresh ingest (add reads members/ for the
+    # idempotency check — this is the read the marker file keeps alive)
+    add_to_ann_index(spark, path, emb.filter(F.col("vec_id") < 50))
+    assert spark.read.parquet(path + "/members").count() == 50
