@@ -962,7 +962,8 @@ def persist_dedup_index(
     bands: int = 24,
     rows_per_band: int = 8,
     seed: int = 42,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    k_band_parts: int | None = None,
 ) -> None:
     """Persist a ``build_dedup_index`` output as the maintained
     fingerprint tier of the incremental-ingest flow (the dedup
@@ -974,18 +975,98 @@ def persist_dedup_index(
       deleted ids (the right-to-be-forgotten path rewrites a handful
       of directories, never the corpus-sized index) and an append
       lands new files only in its batch's buckets;
+    * ``banded/`` — (doc_id, sz, band, bucket) hive-PARTITIONED BY
+      ``bpart = pmod(bucket, k_band_parts)`` and sorted by (band,
+      bucket) within files: the LOOKUP-side projection (r10 verdict #1
+      — the dedup twin of the ANN tier's l34 move). An ingest batch
+      computes its own bucket set (bounded: ≤ |batch|·bands values)
+      and ``minhash_dedup_against_index_persisted`` reads ONLY those
+      buckets' partition directories — per-batch index bytes scale
+      with the batch's bucket footprint, never the corpus — with exact
+      bucket-size stats computed over the same pruned read (every
+      member of a (band, bucket) lives in one bpart partition, so
+      pruned counts ARE the true counts). A SINGLE partition level is
+      deliberate: partitioning by (band, bpart) would multiply the
+      directory count by ``bands`` for identical touched bytes, and at
+      bench scale the extra listing/footer overhead dominated the data
+      read (profiled r11) — one level keeps directories few and large
+      while the in-file (band, bucket) sort preserves row-group
+      skipping;
     * ``meta/`` — the signature parameters (bands, rows_per_band,
-      seed, n_buckets). ``add_to_dedup_index`` signs new batches with
-      the PERSISTED parameters — a mismatched caller cannot silently
-      corrupt the tier — and query helpers read them the same way.
+      seed, n_buckets, k_band_parts). ``add_to_dedup_index`` signs new
+      batches with the PERSISTED parameters — a mismatched caller
+      cannot silently corrupt the tier — and query helpers read them
+      the same way.
 
-    Partitioning on an id hash (not on band buckets) is deliberate:
-    the index is the VERIFY+banding input, consumed whole per ingest
-    batch by the asymmetric equi-join, while deletes and idempotency
-    checks are id-keyed point operations — the layout serves the
-    id-keyed mutations, the join's shuffle keys stay (band, bucket)
-    either way."""
+    Partitioning fingerprints/ on an id hash (not on band buckets) is
+    deliberate: it is the VERIFY input, read per batch only for the
+    candidates' id-hash buckets, while deletes and idempotency checks
+    are id-keyed point operations. The banded projection carries the
+    blocking side so neither consumer scans the whole tier.
+
+    PARTITION-COUNT SIZING (the flat-per-batch contract): a fixed-size
+    ingest batch touches ≤ |batch|·bands banded cells and ≤ |candidates|
+    fingerprint buckets, so per-batch bytes stay O(batch) only while
+    those sets are SMALL relative to the directory counts — with static
+    counts a growing corpus eventually puts the whole index behind
+    every batch's directories again. ``n_buckets=None`` /
+    ``k_band_parts=None`` (the defaults) therefore auto-size from the
+    index row count at ~2,000 fingerprint rows per id-hash bucket and
+    ~1,000 docs per (band, bpart) cell (clamped to [16, 65536] /
+    [8, 8192]): directory counts grow WITH the corpus, so a fixed
+    batch's touched fraction shrinks as the corpus grows (the
+    acceptance curve tools/dedup_index_stress.py records). Pass
+    explicit counts to pin a layout instead. Sizing targets ~500
+    fingerprint rows per id-hash bucket and ~1000 docs (·bands banded
+    rows, ~150 KB) per bpart directory, clamped so directory counts
+    never reach small-files territory; per-dir bytes then stay
+    CONSTANT as the corpus grows, so a batch's banded read is capped
+    at ~|batch|·bands·150 KB at ANY corpus size (the verify side is
+    flat in |candidates| the same way) — versus the pre-r11 operator's
+    unbounded O(corpus) re-band per batch.
+
+    The caller-asserted signature parameters are VALIDATED against the
+    index frame before anything is written (r10 ADVICE): one sampled
+    row must carry a sig of length bands·rows_per_band AND re-signing
+    that row's htok with the claimed seed must reproduce its sig
+    bitwise — otherwise meta/ would lie and ``add_to_dedup_index``
+    would sign batches with mismatched parameters, exactly the silent
+    corruption the meta tier exists to prevent."""
     spark = index.sparkSession
+    # the index frame is consumed up to three times below (sizing count,
+    # fingerprint write, banded write) and its lineage usually holds the
+    # MinHash kernel — pin it once so signatures are computed once
+    index = index.localCheckpoint(eager=False)
+    if n_buckets is None or k_band_parts is None:
+        n_rows = index.count()
+        if n_buckets is None:
+            n_buckets = max(16, min(65536, n_rows // 500))
+        if k_band_parts is None:
+            k_band_parts = max(8, min(32768, n_rows // 1000))
+    sample = index.select("doc_id", "htok", "sig").limit(1).collect()
+    if sample:
+        r = sample[0]
+        if len(r["sig"]) != bands * rows_per_band:
+            raise ValueError(
+                f"persist_dedup_index: index sig length {len(r['sig'])} != "
+                f"bands*rows_per_band = {bands}*{rows_per_band} — the index "
+                "was built with different banding than the caller asserts; "
+                "refusing to persist lying meta"
+            )
+        one = spark.createDataFrame(
+            [(int(r["doc_id"]), [int(h) for h in r["htok"]])],
+            schema="doc_id long, htok array<bigint>",
+        )
+        resig = _signatures_from_hashed(
+            one, num_hashes=bands * rows_per_band, seed=seed
+        ).first()["sig"]
+        if list(resig) != list(r["sig"]):
+            raise ValueError(
+                f"persist_dedup_index: re-signing a sampled doc with "
+                f"seed={seed} does not reproduce its stored sig — the index "
+                "was built with a different seed than the caller asserts; "
+                "refusing to persist lying meta"
+            )
     rows = index.select(
         "doc_id",
         "htok",
@@ -995,11 +1076,40 @@ def persist_dedup_index(
     rows.repartition(F.col("part")).write.mode("overwrite").partitionBy(
         "part"
     ).parquet(path + "/fingerprints")
+    _banded_projection(index, bands, rows_per_band, k_band_parts).repartition(
+        F.col("bpart")
+    ).sortWithinPartitions("band", "bucket").write.mode("overwrite").partitionBy(
+        "bpart"
+    ).parquet(path + "/banded")
     spark.createDataFrame(
-        [(int(bands), int(rows_per_band), int(seed), int(n_buckets), 1)],
-        schema="bands int, rows_per_band int, seed int, n_buckets int, layout_version int",
+        [(int(bands), int(rows_per_band), int(seed), int(n_buckets), int(k_band_parts), 2)],
+        schema=(
+            "bands int, rows_per_band int, seed int, n_buckets int, "
+            "k_band_parts int, layout_version int"
+        ),
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     _DEDUP_META_CACHE.pop(path, None)
+
+
+def _banded_projection(
+    index: DataFrame, bands: int, rows_per_band: int, k_band_parts: int
+) -> DataFrame:
+    """The lookup-side rows of the persisted tier: one (doc_id, sz,
+    band, bucket, bpart) row per (doc, band). ``sz`` (the token-set
+    size) rides along so the size-prune filter runs before any verify
+    read; ``bpart = pmod(bucket, k_band_parts)`` is the single hive
+    partition key (band stays a data column — see persist_dedup_index
+    on why one level beats two here)."""
+    b = _banded_buckets(index, "doc_id", bands, rows_per_band)
+    return b.select(
+        "doc_id",
+        F.col("_sz_doc_id").alias("sz"),
+        "band",
+        "bucket",
+        F.pmod(F.col("bucket").cast("long"), F.lit(k_band_parts))
+        .cast("int")
+        .alias("bpart"),
+    )
 
 
 _DEDUP_META_CACHE: dict[str, dict] = {}
@@ -1013,11 +1123,15 @@ def read_dedup_index_meta(spark: SparkSession, path: str) -> dict:
     if path in _DEDUP_META_CACHE:
         return dict(_DEDUP_META_CACHE[path])
     r = spark.read.parquet(path + "/meta").first()
+    d = r.asDict()
     meta = {
         "bands": int(r["bands"]),
         "rows_per_band": int(r["rows_per_band"]),
         "seed": int(r["seed"]),
         "n_buckets": int(r["n_buckets"]),
+        # pre-r11 (layout_version 1) tiers have no banded projection;
+        # k_band_parts=None signals consumers to take the full-index path
+        "k_band_parts": int(d["k_band_parts"]) if d.get("k_band_parts") is not None else None,
         "layout_version": int(r["layout_version"]),
     }
     _DEDUP_META_CACHE[path] = dict(meta)
@@ -1039,12 +1153,16 @@ def add_to_dedup_index(
 ) -> None:
     """Incremental ingest into the persisted fingerprint tier: sign the
     batch with the index's OWN persisted parameters (meta/ — never the
-    caller's) and append the new rows to their id-hash buckets.
-    Idempotent retry by default: the batch anti-joins against existing
-    ids in its own buckets (a read pruned to those partition
-    directories), so a re-run after a mid-append crash appends nothing
-    twice. Per-batch cost is the batch's signing + a bucket-local
-    append — the corpus is never re-signed (the D8 contract)."""
+    caller's) and append the new rows to their id-hash buckets AND to
+    the banded lookup projection's (band, bpart) partitions. Idempotent
+    retry by default: each dataset anti-joins the batch against its own
+    existing ids, both reads pruned to the batch's own partition
+    directories, so a re-run after a crash between the two appends
+    appends nothing twice to either (banded/ is written FIRST — the
+    worst mid-crash state is orphaned banded rows, which the verify
+    join neutralizes, never a fingerprinted doc invisible to lookups).
+    Per-batch cost is the batch's signing + two partition-local appends
+    — the corpus is never re-signed (the D8 contract)."""
     meta = read_dedup_index_meta(spark, path)
     batch = build_dedup_index(
         new_docs,
@@ -1070,9 +1188,44 @@ def add_to_dedup_index(
             .select(F.col("doc_id").cast("long").alias("doc_id"))
         )
         batch = batch.join(existing, "doc_id", "left_anti")
+    # the surviving batch feeds BOTH appends — materialize it once
+    batch = batch.localCheckpoint(eager=False)
+    if meta["k_band_parts"] is not None:
+        newb = _banded_projection(
+            batch, meta["bands"], meta["rows_per_band"], meta["k_band_parts"]
+        )
+        if check_existing:
+            # crash-retry healing for the banded side: drop docs whose
+            # banded rows already landed, reading only the batch's own
+            # bpart directories (≤ k_band_parts of them)
+            newb = newb.localCheckpoint(eager=False)
+            bparts = [
+                int(r["bpart"]) for r in newb.select("bpart").distinct().collect()
+            ]
+            existing_b = _read_banded_pruned(spark, path, bparts).select(
+                F.col("doc_id").cast("long").alias("doc_id")
+            )
+            newb = newb.join(existing_b.distinct(), "doc_id", "left_anti")
+        newb.repartition(F.col("bpart")).sortWithinPartitions(
+            "band", "bucket"
+        ).write.mode("append").partitionBy("bpart").parquet(path + "/banded")
     batch.repartition(F.col("part")).write.mode("append").partitionBy(
         "part"
     ).parquet(path + "/fingerprints")
+
+
+def _read_banded_pruned(
+    spark: SparkSession, path: str, bparts: list[int]
+) -> DataFrame:
+    """The banded projection restricted to a bounded bpart set — the
+    partition-pruned read every per-batch consumer uses. A plain
+    ``bpart IN (...)`` over the hive partition column, so Catalyst
+    prunes at file-listing time (PartitionFilters, zero data files
+    outside the set)."""
+    banded = spark.read.parquet(path + "/banded")
+    if not bparts:
+        return banded.limit(0)
+    return banded.filter(F.col("bpart").isin(sorted(set(int(b) for b in bparts))))
 
 
 def delete_from_dedup_index(
@@ -1084,31 +1237,122 @@ def delete_from_dedup_index(
     """Remove documents from the persisted fingerprint tier
     (retention / right-to-be-forgotten on the dedup side — the l36
     analogue the r9 verdict flagged as missing): anti-join + dynamic
-    partition overwrite of ONLY the id-hash buckets that held deleted
-    ids, via the shared partitioned-delete engine (same crash contract:
-    re-running the same delete converges). Deleted documents generate
-    no candidates in any subsequent ``minhash_dedup_against_index``
-    pass — they are gone from both the banding and the verify side."""
+    partition overwrite of ONLY the partitions that held deleted rows,
+    in BOTH datasets — the id-hash buckets of fingerprints/ and the
+    (band, bpart) directories of the banded projection. The banded
+    side's touched-partition list comes from re-banding just the DOOMED
+    docs (read from fingerprints pruned to the deleted ids' id-hash
+    buckets, BEFORE those buckets are rewritten), so the delete cost is
+    O(deleted docs' partition footprint), never an index scan.
+
+    Crash contract: banded/ is rewritten FIRST, then fingerprints/.
+    Re-running the same delete converges — a retry recomputes the
+    doomed set from whatever fingerprints still holds; if the banded
+    rewrite already happened it no-ops, and a crash after only the
+    banded rewrite merely hides the doomed docs from pruned lookups
+    until the retry finishes (staleness in the direction the delete is
+    already going, never a resurrected doc). Deleted documents generate
+    no candidates in any subsequent against-index pass — gone from both
+    the banding and the verify side."""
     from actuarial_reserve_modelling_spark.operators.similarity import (
         _delete_partitioned_rows,
     )
 
+    meta = read_dedup_index_meta(spark, path)
+    if meta["k_band_parts"] is not None:
+        del_ids = ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+        parts = [
+            int(r["part"])
+            for r in del_ids.select(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(meta["n_buckets"]))
+                .cast("int")
+                .alias("part")
+            )
+            .distinct()
+            .collect()
+        ]
+        doomed = (
+            spark.read.parquet(path + "/fingerprints")
+            .filter(F.col("part").isin(parts))
+            .join(del_ids, "doc_id", "left_semi")
+        )
+        doomed_banded = _banded_projection(
+            doomed, meta["bands"], meta["rows_per_band"], meta["k_band_parts"]
+        )
+        bparts = [
+            int(r["bpart"]) for r in doomed_banded.select("bpart").distinct().collect()
+        ]
+        _delete_banded_rows(spark, path + "/banded", del_ids, bparts)
     _delete_partitioned_rows(spark, path + "/fingerprints", ids, id_col, "part")
+
+
+def _delete_banded_rows(
+    spark: SparkSession,
+    dataset: str,
+    del_ids: DataFrame,
+    bparts: list[int],
+) -> None:
+    """Partition-pruned delete for the banded layout: read only the
+    bpart directories known to hold doomed rows, anti-join on doc_id,
+    drop fully-emptied directories, and dynamic-overwrite the survivors
+    (same crash contract as ``_delete_partitioned_rows``; a delete that
+    empties the whole dataset leaves one zero-row schema-bearing file
+    so readers keep working)."""
+    from actuarial_reserve_modelling_spark.sources.sinks import overwrite_partitions
+
+    if not bparts:
+        return
+    rows = _read_banded_pruned(spark, dataset.rsplit("/banded", 1)[0], bparts)
+    survivors = rows.join(del_ids, "doc_id", "left_anti").localCheckpoint()
+    kept = {int(r["bpart"]) for r in survivors.select("bpart").distinct().collect()}
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for bpart in set(bparts) - kept:
+        hp = jvm.org.apache.hadoop.fs.Path(f"{dataset}/bpart={bpart}")
+        hp.getFileSystem(hconf).delete(hp, True)
+    if kept:
+        overwrite_partitions(
+            survivors.repartition(F.col("bpart")).sortWithinPartitions(
+                "band", "bucket"
+            ),
+            dataset,
+            ["bpart"],
+        )
+    else:
+        root = jvm.org.apache.hadoop.fs.Path(dataset)
+        fs = root.getFileSystem(hconf)
+        remaining = [
+            st.getPath().getName()
+            for st in fs.listStatus(root)
+            if st.isDirectory() and st.getPath().getName().startswith("bpart=")
+        ]
+        if not remaining:
+            survivors.drop("bpart").limit(0).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{dataset}/bpart={sorted(bparts)[0]}")
+    spark.catalog.refreshByPath(dataset)
 
 
 def compact_dedup_index(
     spark: SparkSession, path: str, max_files_per_partition: int = 4
 ) -> int:
-    """Fold append-accumulated small files in the persisted fingerprint
-    tier's id-hash buckets (see
-    operators.similarity.compact_partitioned_index)."""
+    """Fold append-accumulated small files in BOTH persisted dedup
+    datasets — the fingerprint tier's id-hash buckets and (on v2
+    layouts) the banded projection's (band, bpart) directories (see
+    operators.similarity.compact_partitioned_index). Returns the total
+    number of partitions compacted across the two."""
     from actuarial_reserve_modelling_spark.operators.similarity import (
         compact_partitioned_index,
     )
 
-    return compact_partitioned_index(
+    n = compact_partitioned_index(
         spark, path + "/fingerprints", "part", max_files_per_partition
     )
+    if read_dedup_index_meta(spark, path)["k_band_parts"] is not None:
+        n += compact_partitioned_index(
+            spark, path + "/banded", "bpart", max_files_per_partition
+        )
+    return n
 
 
 def _banded_buckets(index: DataFrame, id_alias: str, bands: int, rows_per_band: int) -> DataFrame:
@@ -1193,6 +1437,124 @@ def minhash_dedup_against_index(
         index.select(F.col("doc_id").alias("index_id"), F.col("htok").alias("tok2")),
         "index_id",
     )
+    return _jaccard_score_filter(joined, threshold, round_before_filter=True).select(
+        "new_id", "index_id", "jac"
+    )
+
+
+def minhash_dedup_against_index_persisted(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.95,
+    text_col: str = "text",
+    max_bucket_size: int = 10_000,
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """``minhash_dedup_against_index`` against a PERSISTED tier, with
+    per-batch cost O(batch's bucket footprint) instead of O(index) —
+    the r10 verdict's one remaining scale-soft pattern, fixed the way
+    l34 fixed the ANN tier:
+
+    1. the batch signs itself with the persisted parameters and bands
+       into its own (band, bucket) set — bounded at ≤ |batch|·bands;
+    2. the BANDED projection is read pruned to the batch's bpart
+       partition directories (PartitionFilters — index bytes read
+       scale with the batch's bucket footprint, never the corpus), and
+       the skew-guard bucket sizes are computed over that same pruned
+       read: every member of a (band, bucket) lives in one bpart
+       partition, so the pruned counts are EXACT, maintained
+       implicitly by the add/delete paths instead of recomputed
+       index-wide;
+    3. candidates equi-join on (band, bucket), size-prune, and verify
+       against fingerprints/ read pruned to the candidates' id-hash
+       buckets (≤ n_buckets directories, a meta-bounded list).
+
+    The driver-side collects are bpart values (≤ k_band_parts ints)
+    and candidate id-hash buckets (≤ n_buckets ints) — nothing scales
+    with the corpus. Answers are identical to the full-scan operator
+    under the same parameters (pinned by the twin pytest); pre-r11
+    layouts without a banded projection fall back to the full path so
+    old tiers keep answering.
+
+    Same precondition as the full-scan operator: batch doc_ids should
+    be disjoint from index doc_ids unless ``exclude_same_id=False``."""
+    meta = read_dedup_index_meta(spark, path)
+    if meta["k_band_parts"] is None:
+        return minhash_dedup_against_index(
+            new_docs,
+            load_dedup_index(spark, path),
+            threshold=threshold,
+            bands=meta["bands"],
+            rows_per_band=meta["rows_per_band"],
+            seed=meta["seed"],
+            text_col=text_col,
+            max_bucket_size=max_bucket_size,
+            exclude_same_id=exclude_same_id,
+        )
+    bands, rpb = meta["bands"], meta["rows_per_band"]
+    new_index = build_dedup_index(
+        new_docs, bands=bands, rows_per_band=rpb, seed=meta["seed"], text_col=text_col
+    ).localCheckpoint(eager=False)
+    new_banded = _banded_projection(
+        new_index, bands, rpb, meta["k_band_parts"]
+    ).localCheckpoint(eager=False)
+    bparts = [
+        int(r["bpart"]) for r in new_banded.select("bpart").distinct().collect()
+    ]
+    idx_banded = _read_banded_pruned(spark, path, bparts)
+    # exact skew guard over the pruned read (step 2 above)
+    bucket_sizes = idx_banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    idx_banded = (
+        idx_banded.join(bucket_sizes, ["band", "bucket"])
+        .filter(F.col("_n") <= max_bucket_size)
+        .select(
+            F.col("doc_id").alias("index_id"),
+            F.col("sz").alias("_sz_index_id"),
+            "band",
+            "bucket",
+        )
+    )
+    cand = new_banded.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sz").alias("_sz_new_id"),
+        "band",
+        "bucket",
+    ).join(idx_banded, ["band", "bucket"])
+    if exclude_same_id:
+        cand = cand.filter(F.col("new_id") != F.col("index_id"))
+    cand = (
+        cand.filter(
+            F.least("_sz_new_id", "_sz_index_id")
+            >= F.lit(threshold - 1e-6) * F.greatest("_sz_new_id", "_sz_index_id")
+        )
+        .select("new_id", "index_id")
+        .distinct()
+        # the candidate set is consumed twice (id-bucket collect below +
+        # verify join) — pin it so the banded join runs once
+        .localCheckpoint()
+    )
+    cparts = [
+        int(r["part"])
+        for r in cand.select(
+            F.pmod(F.xxhash64(F.col("index_id")), F.lit(meta["n_buckets"]))
+            .cast("int")
+            .alias("part")
+        )
+        .distinct()
+        .collect()
+    ]
+    fp = (
+        spark.read.parquet(path + "/fingerprints")
+        .filter(F.col("part").isin(cparts))
+        .select(F.col("doc_id").alias("index_id"), F.col("htok").alias("tok2"))
+    )
+    joined = cand.join(
+        new_index.select(F.col("doc_id").alias("new_id"), F.col("htok").alias("tok1")),
+        "new_id",
+    ).join(fp, "index_id")
     return _jaccard_score_filter(joined, threshold, round_before_filter=True).select(
         "new_id", "index_id", "jac"
     )

@@ -2151,7 +2151,7 @@ def _delete_partitioned_rows(
 def compact_partitioned_index(
     spark: SparkSession,
     dataset: str,
-    part_col: str,
+    part_col: str | list[str],
     max_files_per_partition: int = 4,
 ) -> int:
     """OPTIMIZE for the persisted index tiers: every ``add_to_*`` call
@@ -2169,22 +2169,36 @@ def compact_partitioned_index(
 
     Wrappers: ``compact_ann_index`` (members/super),
     ``compact_ivfpq_index`` (codes/cluster), and the dedup tier's
-    fingerprints/part all route here."""
+    fingerprints/part and banded/(band, bpart) all route here —
+    ``part_col`` accepts a single column or the multi-column hive key
+    of two-level layouts."""
     from actuarial_reserve_modelling_spark.sources.sinks import overwrite_partitions
 
+    part_cols = [part_col] if isinstance(part_col, str) else list(part_col)
     rows = spark.read.parquet(dataset)
     hot = [
-        int(r[part_col])
-        for r in rows.select(F.col(part_col), F.col("_metadata.file_path").alias("f"))
-        .groupBy(part_col)
+        tuple(int(r[c]) for c in part_cols)
+        for r in rows.select(*part_cols, F.col("_metadata.file_path").alias("f"))
+        .groupBy(*part_cols)
         .agg(F.count_distinct("f").alias("nf"))
         .filter(F.col("nf") > max_files_per_partition)
         .collect()
     ]
     if not hot:
         return 0
-    packed = rows.filter(F.col(part_col).isin(hot)).localCheckpoint()
-    overwrite_partitions(packed.repartition(F.col(part_col)), dataset, [part_col])
+    if len(part_cols) == 1:
+        cond = F.col(part_cols[0]).isin([t[0] for t in hot])
+    else:
+        cond = None
+        for t in hot:
+            term = F.lit(True)
+            for c, v in zip(part_cols, t):
+                term = term & (F.col(c) == v)
+            cond = term if cond is None else (cond | term)
+    packed = rows.filter(cond).localCheckpoint()
+    overwrite_partitions(
+        packed.repartition(*[F.col(c) for c in part_cols]), dataset, part_cols
+    )
     spark.catalog.refreshByPath(dataset)
     return len(hot)
 

@@ -67,6 +67,13 @@ def plant_twins(
         *[c for c in emb.columns if c != id_col],
     )
 
+_PLANTED_TOP1_ORACLE = """
+    SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
+           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 50 = 0
+    """
+
+
 # Shared CTE: distinct non-empty whitespace tokens, mirrored by
 # operators.dedup.TOKENS on the Spark side.
 _WORDS_CTE = """
@@ -986,48 +993,75 @@ def l20_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l25_ann_ivf_index_add", "L3,D8 (incremental IVF index add + query)", oracle=None)
+@register(
+    "l25_ann_ivf_index_add",
+    "L3,D8 (incremental IVF index add + query, planted hash oracle)",
+    oracle=_PLANTED_TOP1_ORACLE,
+)
 def l25_ann_ivf_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental similarity-search ingest: centroids trained ONCE on
-    the existing corpus (vec_id % 3 != 0), the new batch (vec_id % 3
-    == 0) assigned map-side against those frozen centroids — no
-    retraining, no rebuild — and queries probe the UNION index
-    (operators/similarity.py::ann_ivf_topk_indexed). The ANN analogue
-    of the l18/l19 index tiers: per-batch cost is the batch assignment,
-    not the corpus. Deterministic but k-means-dependent => rows-only;
-    the pytest asserts add-batch ≡ whole-corpus assignment under the
-    same centroids."""
+    """Incremental similarity-search ingest, now HASH-GRADE (r10
+    verdict task #4 — this row rode ``no_oracle`` while its code path
+    had planted-twin twins): centroids trained ONCE on the existing
+    corpus, the new batch — exact twins (id+100000) of every 50th
+    vector — assigned map-side against those frozen centroids
+    (``ivf_assign``, no retraining, no rebuild) and appended to the
+    lists; queries probe the UNION index
+    (operators/similarity.py::ann_ivf_topk_indexed). A twin assigns to
+    exactly its source's list (identical assignment arithmetic), the
+    twin-query's nearest probed list is that same list, and the exact
+    re-rank pins the sim-1.0 source at rank 1 (self excluded) — so the
+    add path's correctness is the hash: a lost or misrouted add batch
+    drops its twins from the lists and rank 1 stops being the source.
+    General recall of the indexed path stays in the pytest
+    (add-batch ≡ whole-corpus assignment under the same centroids)."""
     from actuarial_reserve_modelling_spark.operators.similarity import (
         ann_ivf_topk_indexed,
         ivf_assign,
         ivf_train_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    old = emb.filter(F.col("vec_id") % 3 != 0)
-    new = emb.filter(F.col("vec_id") % 3 == 0)
-    centroids = ivf_train_centroids(old, n_centroids=16)
-    lists = ivf_assign(old, centroids).unionByName(ivf_assign(new, centroids))
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ann_ivf_topk_indexed(lists, centroids, emb, queries, k=5, nprobe=6)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = plant_twins(emb, 50)
+    centroids = ivf_train_centroids(emb, n_centroids=16)
+    lists = ivf_assign(emb, centroids).unionByName(ivf_assign(planted, centroids))
+    return ann_ivf_topk_indexed(
+        lists, centroids, emb.unionByName(planted), planted, k=1, nprobe=4
+    )
 
 
-@register("l26_ann_ivfpq_topk", "L3 (IVF-PQ composite, the production ANN shape)", oracle=None)
+@register(
+    "l26_ann_ivfpq_topk",
+    "L3 (IVF-PQ composite, the production ANN shape, planted hash oracle)",
+    oracle=_PLANTED_TOP1_ORACLE,
+)
 def l26_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via IVF-PQ (operators/similarity.py::
-    ann_ivfpq_topk): coarse 16-list quantizer + 8×16 product
-    quantization of the residuals, queries scan only their 6 probed
-    lists' codes via per-query LUT ADC (inner-product decomposition:
-    IP(q, c+r) = q·c + q·r), exact cosine re-rank of the top-8k.
-    Combines IVF's scan pruning with PQ's compression — the composite
-    every production vector store ships. Approximate ⇒ rows-only; the
-    pytest asserts recall vs exact and run-to-run determinism."""
+    """IVF-PQ composite (operators/similarity.py::ann_ivfpq_topk):
+    coarse 16-list quantizer + 8×16 product quantization of the
+    residuals, queries scan only their probed lists' codes via
+    per-query LUT ADC (inner-product decomposition:
+    IP(q, c+r) = q·c + q·r), exact cosine re-rank of the shortlist —
+    the composite every production vector store ships. Now HASH-GRADE
+    via the planted-twin construction (r10 verdict task #4; this row's
+    ``no_oracle`` predated l3i): every 50th vector's exact twin
+    queries at k=1 with a 32-row exact rerank window, the twin's code
+    word equals its source's, and rank 1 is the sim-1.0 source
+    deterministically. Differs from l3i in probe width (nprobe=6, the
+    row's original production setting). General recall stays in the
+    rows-only pytest (recall vs exact + determinism)."""
     from actuarial_reserve_modelling_spark.operators.similarity import ann_ivfpq_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = plant_twins(emb, 50)
+    corpus = emb.unionByName(planted)
     return ann_ivfpq_topk(
-        emb, queries, k=5, n_centroids=16, nprobe=6, m_subspaces=8, n_codes=16, rerank=8
+        corpus,
+        planted,
+        k=1,
+        n_centroids=16,
+        nprobe=6,
+        m_subspaces=8,
+        n_codes=16,
+        rerank=32,
     )
 
 
@@ -1107,7 +1141,7 @@ def l27b_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l29_segment_dedup",
-    "L1,L5,D5 (CCNet-style line/segment-level boilerplate removal)",
+    "L8,L1,L5,D5 (CCNet-style line/segment-level boilerplate removal)",
     oracle="""
     WITH tok AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -1269,12 +1303,6 @@ def l27c_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs=ivf_cosine_pairs(corpus, threshold=0.9, nprobe=2, n_iters=1),
     )
 
-
-_PLANTED_TOP1_ORACLE = """
-    SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
-           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
-    FROM embeddings WHERE vec_id % 50 = 0
-    """
 
 
 @register(
@@ -1620,3 +1648,68 @@ def l36_ann_index_delete_persisted(spark: SparkSession, sf_dir: str) -> DataFram
         delete_from_ann_index(spark, out, sources)
         staging_commit(root)
     return ann_ivf_hier_topk_persisted(spark, out, None, queries, k=1)
+
+
+@register(
+    "l40_dedup_banded_persisted",
+    "L2,D8,S7 (banded lookup projection: partition-pruned against-index dedup)",
+    oracle=f"""
+    WITH {_WORDS_CTE},
+    c AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
+    i AS (
+        SELECT a.doc_id new_id, b.doc_id index_id, count(*) k
+        FROM words a JOIN words b USING (w)
+        WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0 AND b.doc_id % 5 <> 2
+        GROUP BY 1, 2
+    )
+    SELECT new_id, index_id,
+           round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) AS jac
+    FROM i JOIN c c1 ON new_id = c1.doc_id JOIN c c2 ON index_id = c2.doc_id
+    WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
+    """,
+)
+def l40_dedup_banded_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l38's lifecycle through the r11 BANDED lookup path (the l34 move
+    applied to MinHash — r10 verdict task #1): ``persist_dedup_index``
+    writes the (band, bpart)-partitioned banded projection alongside
+    the id-hash fingerprints; ``add_to_dedup_index`` (corpus docs
+    %4=1) and ``delete_from_dedup_index`` (docs %5=2) maintain BOTH
+    datasets; the ingest check then runs
+    ``minhash_dedup_against_index_persisted`` — the batch reads ONLY
+    its own (band, bpart) partition directories and the candidates'
+    id-hash buckets, per-batch index bytes O(batch footprint) instead
+    of the full-index re-band l38's operator pays. Answer = the exact
+    all-pairs jac ≥ 0.95 set over the SURVIVING index (b=16 r=16
+    banding recall argument as l19): a lost add drops pairs, a
+    left-behind delete re-emits a deleted index_id, an unmaintained
+    banded projection drops every pair of the added docs — all
+    hash-mismatch against the oracle."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        add_to_dedup_index,
+        build_dedup_index,
+        delete_from_dedup_index,
+        minhash_dedup_against_index_persisted,
+        persist_dedup_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    root, fresh = staging_dir("l40", sf_dir)
+    out = root + "/dedup_index"
+    if fresh:
+        base = build_dedup_index(
+            corpus.filter(F.col("doc_id") % 4 != 1), bands=16, rows_per_band=16
+        )
+        persist_dedup_index(base, out, bands=16, rows_per_band=16)
+        add_to_dedup_index(spark, out, corpus.filter(F.col("doc_id") % 4 == 1))
+        delete_from_dedup_index(
+            spark, out, corpus.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+        )
+        staging_commit(root)
+    return minhash_dedup_against_index_persisted(
+        spark, out, docs.filter(F.col("doc_id") % 3 == 0), threshold=0.95
+    )

@@ -32,6 +32,85 @@ REGISTRY: dict[str, Query] = {}
 # every query that has never appeared in a driver CORRECTNESS_r*.json,
 # plus queries added or rewritten this round. Names not yet registered
 # are skipped (harmless); everything else keeps registration order.
+_ROUND11_FRONT = [
+    # 1) queries ADDED or whose code paths CHANGED in round 11 — they
+    #    lead the window to (re-)earn driver evidence on the new code:
+    #    - l40: NEW — the banded lookup projection of the persisted
+    #      dedup tier (persist → add → delete → PRUNED against-index
+    #      check), the r10 verdict's #1 task.
+    "l40_dedup_banded_persisted",
+    #    - l38: the persist/add/delete paths now maintain the banded
+    #      projection, validate caller-asserted banding against the
+    #      index before writing meta, and auto-size bucket counts.
+    "l38_dedup_index_delete_persisted",
+    #    - l25/l26: re-pointed at planted-twin constructions through
+    #      the SAME code paths (incremental IVF add; IVF-PQ composite)
+    #      — the last two ANN-family rows riding no_oracle (r10 task 4).
+    "l25_ann_ivf_index_add",
+    "l26_ann_ivfpq_topk",
+    #    - a6b/a10c/a16b: NEW — bound-companions for the approx
+    #      aggregates (exact value + within-bound flag, the a13b
+    #      pattern; r10 task 5), shrinking rows-only to the MC/recall
+    #      rows that are legitimately stochastic.
+    "a6b_approx_distinct_bound",
+    "a10c_approx_percentile_bound",
+    "a16b_hll_union_bound",
+    #    - l34/l35/l36: persist_ann_index grew loud corpus-mismatch
+    #      guards (left join + raise), add_to_ann_index resolves
+    #      group_cap from meta/, delete-all leaves a readable empty
+    #      layout — re-earn on the hardened paths.
+    "l34_ann_index_persisted",
+    "l35_ann_index_add_persisted",
+    "l36_ann_index_delete_persisted",
+    #    - t13/t10: the ingest gates now auto-compact by file-count
+    #      threshold every epoch (r10 task 3) — re-earn through the
+    #      compaction-active default.
+    "t13_ann_index_ingest_gate",
+    "t10_incremental_ingest_dedup",
+    #    - l29: L8 tag added (coverage-map fix); unchanged code.
+    "l29_segment_dedup",
+    # 2) window fill: rows whose latest driver evidence is oldest
+    #    (d7-era), oldest first, so the long tail keeps refreshing.
+    "a1_a2_global_agg",
+    "a5_count_distinct",
+    "a7_rollup",
+    "a7b_cube",
+    "a8_distinct",
+    "f1_f2_string_funcs",
+    "f3_math_funcs",
+    "f4_date_funcs",
+    "f4b_date_arith",
+    "f5_array_funcs",
+    "f6_struct_map",
+    "f7_json_extract",
+    "f8_case_coalesce",
+    "j2b_full_outer_join",
+    "j4b_pure_range_join",
+    "j6_cross_join",
+    "o1_o3_topk",
+    "o2_ntile_bucketing",
+    "o4_union_all",
+    "o5_except_intersect",
+    "q_pivot",
+    "q_sql_correlated_subquery",
+    "s4_listing_source",
+    "t1_stream_batch_equivalence",
+    "t2_tumbling_window",
+    "t3_sliding_window",
+    "t4_session_window",
+    "t7_stream_stream_join",
+    "ts1_resample_locf",
+    "w10_cohort_retention",
+    "w1_ranking",
+    "w2_lag_lead",
+    "w3_running_agg",
+    "w4_topk_per_group",
+    "a4_groupby_q1",
+    "j1_broadcast_join_agg",
+    "j2_left_outer_join",
+    "j5_asof_join",
+]
+
 _ROUND10_FRONT = [
     # 1) queries ADDED or whose code paths CHANGED in round 10 — they
     #    lead the window to (re-)earn driver evidence on the new code:
@@ -346,8 +425,8 @@ def load_all() -> dict[str, Query]:
         window_queries2,
     )
 
-    front = [n for n in _ROUND10_FRONT if n in REGISTRY]
-    front += [n for n in _ROUND9_FRONT if n in REGISTRY and n not in front]
+    front = [n for n in _ROUND11_FRONT if n in REGISTRY]
+    front += [n for n in _ROUND10_FRONT if n in REGISTRY and n not in front]
     seen = set(front)
     ordered = front + [n for n in REGISTRY if n not in seen]
     return {n: REGISTRY[n] for n in ordered}

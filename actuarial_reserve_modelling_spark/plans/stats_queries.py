@@ -498,3 +498,116 @@ def s12_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits=16,
         ).alias("zkey3"),
     )
+
+
+@register(
+    "a6b_approx_distinct_bound",
+    "A6 (hash-grade bound companion for HLL++ approx distinct)",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS exact_n_cust,
+           CAST(1 AS INT) AS within_bound
+    FROM orders
+    """,
+)
+def a6b_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-grade companion for a6 (r10 verdict task #5, the a13b
+    pattern generalized): the engine computes BOTH the HLL++ estimate
+    and the exact distinct and emits (exact_n_cust, within_bound) where
+    within_bound pins |approx − exact| ≤ 5·rsd·exact — a 5σ envelope
+    for the sketch's rsd=0.02 accuracy contract, deterministic for
+    fixed data (HLL merge is order-insensitive). DuckDB reproduces the
+    exact count and expects the bound to hold; a sketch regression
+    (wrong registers, broken merge) flips within_bound and
+    hash-mismatches. a6 keeps the rows-only view of the raw estimate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("exact_n_cust"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= F.lit(0.1) * F.countDistinct("o_custkey")
+        )
+        .cast("int")
+        .alias("within_bound"),
+    )
+
+
+@register(
+    "a10c_approx_percentile_bound",
+    "A6 (hash-grade rank-error bound companion for the GK sketch)",
+    oracle="""
+    SELECT round(median(o_totalprice), 2) AS med_exact,
+           CAST(1 AS INT) AS within_bound
+    FROM orders
+    """,
+)
+def a10c_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-grade companion for a10b: the Greenwald-Khanna sketch
+    guarantees RANK error ≤ n/accuracy, so the engine computes the
+    approx median (accuracy=10000), counts how many rows fall at or
+    below it, and pins |rank − n/2| ≤ n/1000 + 1 (10× the guarantee,
+    deterministic for fixed data). Emitted alongside the exact median
+    (rounded) that DuckDB reproduces — a sketch regression moves the
+    approx value's rank outside the envelope and flips within_bound."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.median("o_totalprice"), 2).alias("med_exact"),
+    )
+    return (
+        orders.join(F.broadcast(stats))
+        .agg(
+            F.first("med_exact").alias("med_exact"),
+            (
+                F.abs(
+                    F.sum((F.col("o_totalprice") <= F.col("ap")).cast("long"))
+                    - F.first("n") / F.lit(2.0)
+                )
+                <= F.first("n") / F.lit(1000.0) + F.lit(1.0)
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "a16b_hll_union_bound",
+    "A6 (hash-grade bound companion for DataSketches HLL union)",
+    oracle="""
+    SELECT count(DISTINCT c_custkey) AS exact_total,
+           CAST(1 AS INT) AS within_bound
+    FROM customer
+    """,
+)
+def a16b_hll_union_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-grade companion for a16: build one DataSketches HLL sketch
+    per market segment, union them, and pin the merged estimate within
+    ±5% of the exact distinct (lgK=12 ⇒ rsd ≈ 1.6%, so 5% ≈ 3σ;
+    deterministic for fixed data). DuckDB reproduces the exact count
+    and expects within_bound=1 — a broken sketch build or a lossy
+    union flips it. The mergeability being tested is the 100 TB
+    property: per-partition sketches union to the global estimate
+    without recounting."""
+    cust = load_table(spark, sf_dir, "customer")
+    est = (
+        cust.groupBy("c_mktsegment")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sketch"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+    )
+    return (
+        cust.agg(F.countDistinct("c_custkey").alias("exact_total"))
+        .join(F.broadcast(est))
+        .select(
+            "exact_total",
+            (
+                F.abs(F.col("est") - F.col("exact_total"))
+                <= F.lit(0.05) * F.col("exact_total")
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+    )

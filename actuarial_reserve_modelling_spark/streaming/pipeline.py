@@ -285,6 +285,8 @@ def incremental_ingest_dedup(
     seed: DataFrame | None = None,
     state_partitions: int = 8,
     compact_every: int | None = None,
+    auto_compact: int | None = 16,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Continuous-ingest exact dedup: stream document batches (one
     micro-batch each, in order) and admit only documents whose
@@ -313,6 +315,14 @@ def incremental_ingest_dedup(
     digest prefix so the anti-join prunes instead of scanning every
     index file per batch.
 
+    ``auto_compact`` (r10 verdict #3 — compaction must not depend on
+    the caller remembering a cadence): when the index has accreted
+    more than this many epoch directories, the next epoch folds them
+    before reading — file counts stay bounded at production batch
+    cadence by DEFAULT, with the same only-committed-epochs safety as
+    ``compact_every`` (both run at the start of a later epoch, after
+    the retry hygiene). Set ``None`` to disable.
+
     Returns the accepted rows ``(doc_id, fingerprint, batch)``.
     """
     import atexit
@@ -326,8 +336,12 @@ def incremental_ingest_dedup(
         content_fingerprints,
     )
 
-    work = tempfile.mkdtemp(prefix="arm_ingest_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    if work_dir is None:
+        work = tempfile.mkdtemp(prefix="arm_ingest_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+    else:
+        work = work_dir
+        os.makedirs(work, exist_ok=True)
     idx_dir = os.path.join(work, "index")
     out_dir = os.path.join(work, "accepted")
     ckpt = os.path.join(work, "ckpt")
@@ -358,7 +372,17 @@ def incremental_ingest_dedup(
         # end of the writing epoch would bake a possibly-uncommitted
         # epoch into the compacted generation, where the hygiene delete
         # above could no longer remove it on retry
-        if compact_every and bid > 0 and bid % compact_every == 0 and _has_index():
+        cadence_due = compact_every and bid > 0 and bid % compact_every == 0
+        auto_due = (
+            auto_compact
+            and bid > 0
+            and sum(
+                1 for d in os.listdir(idx_dir)
+                if os.path.isdir(os.path.join(idx_dir, d))
+            )
+            > auto_compact
+        )
+        if (cadence_due or auto_due) and _has_index():
             from actuarial_reserve_modelling_spark.sources.sinks import (
                 compact_parquet_dir,
             )
@@ -754,6 +778,8 @@ def incremental_ann_ingest(
     k: int = 1,
     state_partitions: int = 8,
     compact_every: int | None = None,
+    auto_compact: int | None = 8,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Continuous ingest with the PERSISTED hierarchical ANN index as
     the gate state (the L10 tier driving a T-row stream — t12's
@@ -784,7 +810,16 @@ def incremental_ann_ingest(
     later batches re-admit through the epoch-keyed overwrite sink
     while ``add_to_ann_index``'s pruned anti-join drops already-indexed
     ids (the S7 pattern). ``compact_every`` folds append-accumulated
-    member files via ``compact_ann_index`` every N batches.
+    member files via ``compact_ann_index`` every N batches;
+    ``auto_compact`` (r10 verdict #3, ON by default) additionally runs
+    the threshold form EVERY epoch — ``compact_ann_index`` itself
+    rewrites only partitions whose file count exceeds the threshold,
+    so the per-epoch cost is one metadata aggregate when nothing is
+    hot, and file counts stay bounded at production batch cadence
+    without the caller remembering a cadence. Both are safe mid-stream:
+    members/ holds only job-committed rows (a retried add heals via
+    the anti-join, never via file removal), and compaction preserves
+    contents exactly.
 
     Sizing contract: the cross-batch query rides the ANN family's
     bounded-query-batch contract (the batch is broadcast into the
@@ -814,8 +849,12 @@ def incremental_ann_ingest(
         persist_ann_index,
     )
 
-    work = tempfile.mkdtemp(prefix="arm_ann_ingest_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    if work_dir is None:
+        work = tempfile.mkdtemp(prefix="arm_ann_ingest_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+    else:
+        work = work_dir
+        os.makedirs(work, exist_ok=True)
     idx_dir = os.path.join(work, "ann_index")
     out_dir = os.path.join(work, "admitted")
     ckpt = os.path.join(work, "ckpt")
@@ -823,8 +862,11 @@ def incremental_ann_ingest(
 
     def _step(batch_df: DataFrame, bid: int) -> None:
         shutil.rmtree(os.path.join(out_dir, f"e{bid}"), ignore_errors=True)
-        if compact_every and bid > 0 and bid % compact_every == 0:
+        have_index = os.path.exists(os.path.join(idx_dir, "supers"))
+        if compact_every and bid > 0 and bid % compact_every == 0 and have_index:
             compact_ann_index(spark, idx_dir, max_files_per_partition=state_partitions)
+        if auto_compact and bid > 0 and have_index:
+            compact_ann_index(spark, idx_dir, max_files_per_partition=auto_compact)
         vecs = batch_df.select("vec_id", "embedding")
         # 1) within-batch exact collapse: one row per distinct vector,
         # minimum id wins (first-wins under the deterministic id order)

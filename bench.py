@@ -72,8 +72,16 @@ BAND3_BUDGET_SEC = 24.2
 # the cost at sf0.1 is ~8 fixed driver-side jobs — meta/supers/probe
 # collects + broadcast builds — not data volume, so the budget guards
 # the job COUNT of the pruned path as much as its bytes).
-BAND4 = ["l34_persisted_query"]
-BAND4_BUDGET_SEC = 5.8
+# r11 (VERDICT r10 task 2): + the persisted IVF-PQ query path
+# (l37_persisted_query — pruned ADC scan + stored-vector rerank), same
+# contract: index built in warmup, query-only timed, per-slot budget =
+# 1.25x its cold number at introduction so a regression in EITHER
+# pruned path fails the gate independently.
+BAND4 = ["l34_persisted_query", "l37_persisted_query"]
+# l37 introduced r11 at cold 1.95 s (loaded box, loadavg ~4-5.7; the
+# idle number is lower, so 1.25x the loaded cold is a conservative gate)
+BAND4_BUDGETS = {"l34_persisted_query": 5.8, "l37_persisted_query": 2.45}
+BAND4_BUDGET_SEC = round(sum(BAND4_BUDGETS.values()), 2)
 
 
 def _build_persisted_ann_index(spark, sf_dir) -> str:
@@ -98,7 +106,24 @@ def _build_persisted_ann_index(spark, sf_dir) -> str:
     return path
 
 
-def _bench_queries(spark, sf_dir, ann_index_path=None):
+def _build_persisted_ivfpq_index(spark, sf_dir) -> str:
+    """Warmup-side build of the persisted IVF-PQ index for the band-4
+    l37 slot (r10 verdict task 2): codebooks trained + codes written
+    once, untimed; the slot then times only the pruned ADC query."""
+    import tempfile
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        persist_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="arm_bench_l37_") + "/ivfpq_index"
+    persist_ivfpq_index(emb, path)
+    return path
+
+
+def _bench_queries(spark, sf_dir, ann_index_path=None, ivfpq_index_path=None):
     from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
     from actuarial_reserve_modelling_spark.functions.reserves import simulate_reserves
     from actuarial_reserve_modelling_spark.plans.registry import load_all
@@ -116,6 +141,19 @@ def _bench_queries(spark, sf_dir, ann_index_path=None):
         )
         return ann_ivf_hier_topk_persisted(
             spark, ann_index_path, None, queries, k=5
+        )
+
+    def l37_persisted_query(spark, sf_dir):
+        from actuarial_reserve_modelling_spark.operators.similarity import (
+            ann_ivfpq_topk_persisted,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+        )
+        return ann_ivfpq_topk_persisted(
+            spark, ivfpq_index_path, None, queries, k=5
         )
 
     def m0_reserve(spark, sf_dir):
@@ -156,6 +194,9 @@ def _bench_queries(spark, sf_dir, ann_index_path=None):
         "l27c_semantic_dedup_ivf": registry["l27c_semantic_dedup_ivf"].spark_fn,
         # round-10 addition (band 4): the persisted-ANN query-only path
         "l34_persisted_query": l34_persisted_query,
+        # round-11 addition (band 4): the persisted IVF-PQ query-only
+        # path — pruned ADC scan + stored-vector rerank
+        "l37_persisted_query": l37_persisted_query,
     }
     return picks
 
@@ -253,10 +294,13 @@ def main() -> None:
         load_table(spark, sf_dir, "documents").limit(64), threshold=0.95
     ).write.mode("overwrite").format("noop").save()
     warmup_sec = round(time.time() - t0, 3)
-    # untimed build of the persisted ANN index for the band-4 slot
+    # untimed builds of the persisted indexes for the band-4 slots
     t0 = time.time()
     ann_index_path = _build_persisted_ann_index(spark, sf_dir)
     ann_build_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivfpq_index_path = _build_persisted_ivfpq_index(spark, sf_dir)
+    ivfpq_build_sec = round(time.time() - t0, 3)
 
     # two passes per query: pass 1 (cold — includes per-plan codegen and
     # cache warm-up) is the HEADLINE number, directly comparable to the
@@ -276,7 +320,9 @@ def main() -> None:
     errors: dict[str, str] = {}
     loadavg_per_query: dict[str, float] = {}
     all_names = []
-    for name, fn in _bench_queries(spark, sf_dir, ann_index_path).items():
+    for name, fn in _bench_queries(
+        spark, sf_dir, ann_index_path, ivfpq_index_path
+    ).items():
         all_names.append(name)
         loadavg_per_query[name] = round(os.getloadavg()[0], 2)
         for target in (timings, steady):
@@ -305,6 +351,25 @@ def main() -> None:
     band4 = [q for q in BAND4 if q in timings]
     band4_total = round(sum(timings[q] for q in band4), 3)
     band4_complete = set(BAND4) <= set(timings)
+    # band 4 gates PER SLOT (each pruned path regresses independently)
+    band4_slot_ok = {
+        q: (q in timings and timings[q] <= BAND4_BUDGETS[q]) for q in BAND4
+    }
+    # noise adjudication (VERDICT r10 task 8): BASELINE.md documents the
+    # box-noise signature — slot-uniform inflation with the 1-minute
+    # loadavg climbing across the sweep (the 13.65 s run climbed
+    # 1.5→3.7; idle runs stay ≤1.5). Flag the run when the per-slot
+    # loadavg trace shows that signature, so a band-gate failure
+    # self-adjudicates in the stored artifact without a judge-side
+    # re-run. Informational: gates still report raw pass/fail.
+    la_trace = list(loadavg_per_query.values())
+    noise_flag = bool(
+        la_trace
+        and (
+            max(la_trace) >= 0.15 * (os.cpu_count() or 32)
+            or (la_trace[-1] - la_trace[0]) >= 2.0
+        )
+    )
     print(
         json.dumps(
             {
@@ -332,11 +397,32 @@ def main() -> None:
                 "value4": band4_total,
                 "value4_scope": band4,
                 "value4_budget": BAND4_BUDGET_SEC,
-                "value4_ok": band4_complete and band4_total <= BAND4_BUDGET_SEC,
+                "value4_budgets": BAND4_BUDGETS,
+                "value4_slot_ok": band4_slot_ok,
+                "value4_ok": band4_complete and all(band4_slot_ok.values()),
                 "value4_complete": band4_complete,
+                # noise adjudication: band-gate failures in a flagged run
+                # should be read against BASELINE.md's variance envelope
+                "noise_flag": noise_flag,
+                "noise_detail": {
+                    "loadavg_first": la_trace[0] if la_trace else None,
+                    "loadavg_last": la_trace[-1] if la_trace else None,
+                    "loadavg_max": max(la_trace) if la_trace else None,
+                },
+                "gates_failed_while_noisy": noise_flag
+                and not (
+                    (band2_complete and band2_total <= BAND2_BUDGET_SEC)
+                    and (
+                        band3_complete
+                        and (BAND3_BUDGET_SEC is None or band3_total <= BAND3_BUDGET_SEC)
+                    )
+                    and band4_complete
+                    and all(band4_slot_ok.values())
+                ),
                 "session_spinup_sec": session_spinup,
                 "warmup_sec": warmup_sec,
                 "ann_index_build_sec": ann_build_sec,
+                "ivfpq_index_build_sec": ivfpq_build_sec,
                 "loadavg_per_query": loadavg_per_query,
                 "recall": recall,
                 "recall_ok": recall_ok,

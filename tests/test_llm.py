@@ -2036,3 +2036,111 @@ def test_ann_index_delete_all_leaves_readable_empty_index(spark, tmp_path):
     # idempotency check — this is the read the marker file keeps alive)
     add_to_ann_index(spark, path, emb.filter(F.col("vec_id") < 50))
     assert spark.read.parquet(path + "/members").count() == 50
+
+
+def test_persisted_dedup_banded_lookup_pruned(spark, tmp_path):
+    """r11 banded projection (the l34 move applied to MinHash): the
+    persisted tier's lookup side must (a) maintain banded/ rows 1:1
+    with fingerprints·bands through persist → add (idempotent retry) →
+    delete, (b) answer ``minhash_dedup_against_index_persisted``
+    IDENTICALLY to the full-scan operator over the reloaded tier,
+    (c) read only the batch's own (band, bpart) partition directories
+    (PartitionFilters; files touched ≪ files total for a small batch),
+    (d) keep answering after compaction, and (e) survive a delete-all
+    with a readable empty layout."""
+    import glob
+
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        _read_banded_pruned,
+        add_to_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        delete_from_dedup_index,
+        load_dedup_index,
+        minhash_dedup_against_index,
+        minhash_dedup_against_index_persisted,
+        persist_dedup_index,
+        read_dedup_index_meta,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "dedup_index")
+    base = build_dedup_index(
+        corpus.filter(F.col("doc_id") % 4 != 1), bands=16, rows_per_band=16
+    )
+    persist_dedup_index(
+        base, path, bands=16, rows_per_band=16, n_buckets=16, k_band_parts=16
+    )
+    meta = read_dedup_index_meta(spark, path)
+    assert meta["k_band_parts"] == 16 and meta["layout_version"] == 2
+    add_to_dedup_index(spark, path, corpus.filter(F.col("doc_id") % 4 == 1))
+    add_to_dedup_index(spark, path, corpus.filter(F.col("doc_id") % 4 == 1))
+    delete_from_dedup_index(
+        spark, path, corpus.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    )
+    # (a) banded rows track fingerprints exactly (no dup/orphan rows)
+    n_fp = spark.read.parquet(path + "/fingerprints").count()
+    assert spark.read.parquet(path + "/banded").count() == n_fp * 16
+    # (b) pruned lookup == full-scan twin, exactly
+    full = {
+        tuple(r)
+        for r in minhash_dedup_against_index(
+            new, load_dedup_index(spark, path), threshold=0.95,
+            bands=16, rows_per_band=16,
+        ).collect()
+    }
+    pruned = {
+        tuple(r)
+        for r in minhash_dedup_against_index_persisted(
+            spark, path, new, threshold=0.95
+        ).collect()
+    }
+    assert pruned == full and len(full) > 0
+    # (c) a small batch's banded read is partition-pruned
+    tiny = build_dedup_index(
+        docs.filter(F.col("doc_id") % 97 == 0), bands=16, rows_per_band=16
+    )
+    from actuarial_reserve_modelling_spark.operators.dedup import _banded_projection
+
+    bparts = [
+        int(r["bpart"])
+        for r in _banded_projection(tiny, 16, 16, 16)
+        .select("bpart")
+        .distinct()
+        .collect()
+    ]
+    touched = {
+        r["f"]
+        for r in _read_banded_pruned(spark, path, bparts)
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    }
+    total = glob.glob(path + "/banded/bpart=*/*.parquet")
+    assert len(total) > 0
+    # every touched file lives in one of the batch's own bpart dirs
+    assert {f.split("bpart=")[1].split("/")[0] for f in touched} <= {
+        str(b) for b in bparts
+    }
+    plan = _read_banded_pruned(spark, path, bparts)._jdf.queryExecution()
+    assert "PartitionFilters" in plan.executedPlan().toString()
+    # (d) compaction preserves answers
+    compact_dedup_index(spark, path, max_files_per_partition=1)
+    assert {
+        tuple(r)
+        for r in minhash_dedup_against_index_persisted(
+            spark, path, new, threshold=0.95
+        ).collect()
+    } == full
+    # (e) delete-all leaves a readable empty tier that accepts re-adds
+    delete_from_dedup_index(
+        spark, path, spark.read.parquet(path + "/fingerprints").select("doc_id")
+    )
+    assert spark.read.parquet(path + "/fingerprints").count() == 0
+    assert spark.read.parquet(path + "/banded").count() == 0
+    add_to_dedup_index(spark, path, corpus.filter(F.col("doc_id") % 4 == 1))
+    n_re = spark.read.parquet(path + "/fingerprints").count()
+    assert n_re > 0
+    assert spark.read.parquet(path + "/banded").count() == n_re * 16

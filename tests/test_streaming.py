@@ -687,3 +687,94 @@ def test_incremental_ann_ingest_closed_form_and_compaction(spark):
         ).collect()
     }
     assert got_compacted == got
+
+
+def test_ingest_auto_compaction_bounds_files(spark, tmp_path):
+    """r10 verdict #3: the continuous-ingest loops must bound file
+    counts WITHOUT the caller remembering a cadence. Many small batches
+    through (a) the t13 ANN gate keep members/ partitions at or under
+    the auto_compact file threshold (+1 for the current epoch's own
+    append) while admitting the identical set as an uncompacted run,
+    and (b) the t10 exact gate keep the fingerprint index's directory
+    count bounded instead of one-dir-per-epoch-forever."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_ann_ingest,
+        incremental_ingest_dedup,
+    )
+    from .conftest import SF_SMOKE
+
+    # (a) ANN gate: 6 micro-batches, every add appends files
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    batches = [emb.filter(F.col("vec_id") % 6 == i) for i in range(6)]
+    wd_auto = str(tmp_path / "ann_auto")
+    got_auto = {
+        (r["vec_id"], r["batch"])
+        for r in incremental_ann_ingest(
+            spark, batches, cache_key="test_auto_c1", auto_compact=2,
+            work_dir=wd_auto,
+        ).collect()
+    }
+    wd_off = str(tmp_path / "ann_off")
+    got_off = {
+        (r["vec_id"], r["batch"])
+        for r in incremental_ann_ingest(
+            spark, batches, cache_key="test_auto_c2", auto_compact=None,
+            work_dir=wd_off,
+        ).collect()
+    }
+    assert got_auto == got_off and len(got_auto) == emb.count()
+
+    def files_per_super(wd):
+        out = {}
+        for sdir in glob.glob(wd + "/ann_index/members/super=*"):
+            out[sdir] = len(
+                [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+            )
+        return out
+
+    per_auto = files_per_super(wd_auto)
+    per_off = files_per_super(wd_off)
+    # compaction runs at epoch START; the final epoch's append can add
+    # one file past the threshold
+    assert max(per_auto.values()) <= 2 + 1, per_auto
+    # and the trigger mattered: the uncompacted run exceeds the bound
+    assert max(per_off.values()) > 3, per_off
+
+    # (b) exact gate: epoch dirs bounded vs one-per-epoch
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    dbatches = [docs.filter(F.col("doc_id") % 6 == i) for i in range(6)]
+    wd_d = str(tmp_path / "ded_auto")
+    accepted = incremental_ingest_dedup(
+        spark, dbatches, cache_key="test_auto_d1", auto_compact=2, work_dir=wd_d
+    )
+    assert accepted.count() > 0
+    n_dirs = len(
+        [
+            d
+            for d in os.listdir(wd_d + "/index")
+            if os.path.isdir(os.path.join(wd_d, "index", d))
+        ]
+    )
+    assert n_dirs <= 2 + 2, n_dirs  # folded generation + recent epochs
+    wd_d_off = str(tmp_path / "ded_off")
+    accepted_off = incremental_ingest_dedup(
+        spark, dbatches, cache_key="test_auto_d2", auto_compact=None,
+        work_dir=wd_d_off,
+    )
+    assert {tuple(r) for r in accepted.collect()} == {
+        tuple(r) for r in accepted_off.collect()
+    }
+    n_dirs_off = len(
+        [
+            d
+            for d in os.listdir(wd_d_off + "/index")
+            if os.path.isdir(os.path.join(wd_d_off, "index", d))
+        ]
+    )
+    assert n_dirs_off == 6
