@@ -3192,3 +3192,92 @@ def lsh_cosine_dedup_against_index(
     return sims.select(
         "new_id", "index_id", F.round("sim", 6).alias("sim")
     ).filter(F.col("sim") >= threshold)
+
+
+def mine_hard_negatives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    k: int = 1,
+    margin: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    positive_id_col: str = "positive_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Contrastive hard-negative mining for embedding-model training
+    (the ANCE/RocketQA curation step, arXiv:2007.00808 /
+    arXiv:2010.08191): for every (anchor, positive) pair, surface the
+    ``k`` corpus vectors MOST similar to the anchor that are neither
+    the anchor nor its labeled positive, then drop candidates whose
+    similarity reaches ``pos_sim - margin`` — the standard
+    false-negative denoise (a "negative" nearly as close as the
+    positive is more likely an unlabeled positive than a useful
+    training signal).
+
+    ``anchors`` carries (``id_col``, ``vec_col``, ``positive_id_col``);
+    positives are resolved against ``embeddings`` by id (anchors whose
+    positive id is absent from the corpus produce no output — an inner
+    join, so a mislabeled pair surfaces as a missing row, not a NULL).
+
+    Exact path (default): the anchor batch broadcasts against the
+    corpus — the same bounded-query contract as ``cosine_topk``; the
+    corpus streams through executors once, no shuffle beyond the final
+    per-anchor top-k. Scale path: pass ``candidates`` (anchor_id,
+    cand_id — e.g. from ``ann_ivf_hier_topk_persisted`` with a larger
+    k) and only those pairs are scored — the ANN-mined-negatives shape
+    used at corpus scale, where brute force is off the table.
+
+    All sims are rounded to 6 dp BEFORE the margin filter and ranking
+    (the repo-wide cross-engine float convention); ranks are assigned
+    AFTER the margin filter, so the output is the k hardest SAFE
+    negatives per anchor, ties by candidate id. Output (anchor_id,
+    positive_id, negative_id, rank, pos_sim, neg_sim).
+    """
+    q = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(positive_id_col).alias("positive_id"),
+        F.col(vec_col).alias("qvec"),
+        dot(vec_col, vec_col).alias("dqq"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        dot(vec_col, vec_col).alias("dcc"),
+    )
+    # pos_sim: one equi-join against the corpus on the positive's id —
+    # |anchors| rows out, broadcast back onto the scored candidates
+    pos = (
+        q.join(c, q.positive_id == c.cand_id)
+        .select(
+            "anchor_id",
+            F.round(cosine_from_sq("qvec", "cvec", "dqq", "dcc"), 6).alias("pos_sim"),
+        )
+    )
+    if candidates is not None:
+        scored = (
+            candidates.select("anchor_id", "cand_id")
+            .join(q, "anchor_id")
+            .join(c, "cand_id")
+        )
+    else:
+        scored = c.crossJoin(F.broadcast(q))
+    sims = (
+        scored.filter(
+            (F.col("cand_id") != F.col("anchor_id"))
+            & (F.col("cand_id") != F.col("positive_id"))
+        )
+        .select(
+            "anchor_id",
+            "positive_id",
+            F.col("cand_id").alias("negative_id"),
+            F.round(cosine_from_sq("qvec", "cvec", "dqq", "dcc"), 6).alias("neg_sim"),
+        )
+        .join(F.broadcast(pos), "anchor_id")
+        .filter(F.col("neg_sim") <= F.col("pos_sim") - F.lit(float(margin)))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("neg_sim").desc(), "negative_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "positive_id", "negative_id", "rank", "pos_sim", "neg_sim")
+    )

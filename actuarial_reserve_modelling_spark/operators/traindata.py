@@ -840,3 +840,68 @@ def chunk_documents(
             ).alias("chunk_md5"),
         )
     )
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual rebalancing
+    rule of XLM-R, Conneau et al. arXiv:1911.02116 §3.1, also used for
+    source mixing in large pretraining corpora): the target share of
+    domain d is ``p_d^alpha / sum_e p_e^alpha`` where ``p_d`` is the
+    domain's ACTUAL share of corpus tokens. ``alpha = 1`` keeps natural
+    proportions, ``alpha = 0`` forces uniform, and the working range
+    (0.2-0.7) upsamples the tail without letting any head domain
+    dominate. Complements ``domain_mix_weights`` (explicit hand-set
+    targets) — here the target mixture is DERIVED from the corpus
+    itself, no per-domain configuration.
+
+    Output (domain, n_docs, n_tokens, actual_share, target_share,
+    weight) with ``weight = target_share / actual_share`` — the
+    multiplier ``weighted_sample`` / an epoch-repetition schedule
+    applies per document of that domain, same contract as
+    ``domain_mix_weights``. Token-less domains get target and weight 0
+    (nothing to upsample; pinned so the IEEE inf/NaN edge can't leak).
+    Shares and weight rounded to 6 dp.
+
+    One hash aggregate over (domain) with per-row token counts inside
+    codegen — the shuffle is |domains| rows at any corpus size; the
+    pow() normalization runs on the domain-level table (tens of rows)
+    via a broadcast of its one-row total.
+    """
+    n_tok = F.size(F.expr(f"filter(split({text_col}, ' '), x -> x != '')"))
+    per_domain = docs.select(
+        F.col(domain_col).alias("domain"), n_tok.alias("_t")
+    ).groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").cast("bigint").alias("n_tokens"),
+    )
+    total = per_domain.agg(F.sum("n_tokens").alias("_total"))
+    actual = F.col("n_tokens") / F.col("_total")
+    scaled = F.when(
+        F.col("n_tokens") > 0, F.pow(actual, F.lit(float(alpha)))
+    ).otherwise(F.lit(0.0))
+    with_actual = per_domain.crossJoin(F.broadcast(total)).withColumn(
+        "_scaled", scaled
+    )
+    norm = with_actual.agg(F.sum("_scaled").alias("_norm"))
+    target = F.col("_scaled") / F.col("_norm")
+    return (
+        with_actual.crossJoin(F.broadcast(norm))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round(actual, 6).alias("actual_share"),
+            F.round(
+                F.when(F.col("n_tokens") > 0, target).otherwise(F.lit(0.0)), 6
+            ).alias("target_share"),
+            F.round(
+                F.when(F.col("n_tokens") > 0, target / actual).otherwise(F.lit(0.0)),
+                6,
+            ).alias("weight"),
+        )
+    )

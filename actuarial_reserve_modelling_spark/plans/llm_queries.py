@@ -1713,3 +1713,74 @@ def l40_dedup_banded_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_against_index_persisted(
         spark, out, docs.filter(F.col("doc_id") % 3 == 0), threshold=0.95
     )
+
+
+@register(
+    "l41_hard_negative_mining",
+    "L3,D9 (contrastive hard-negative mining with margin denoise)",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        WHERE vec_id % 25 = 0
+    ),
+    anchors AS (
+        SELECT vec_id AS anchor_id, vec_id + 100000 AS positive_id, embedding
+        FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2500
+    ),
+    pos AS (
+        SELECT a.anchor_id, {_COS} AS pos_sim
+        FROM anchors a JOIN corpus b ON b.vec_id = a.positive_id
+    ),
+    negs AS (
+        SELECT a.anchor_id, a.positive_id, b.vec_id AS negative_id,
+               {_COS} AS neg_sim
+        FROM anchors a JOIN corpus b
+          ON b.vec_id <> a.anchor_id AND b.vec_id <> a.positive_id
+    )
+    SELECT anchor_id, positive_id, negative_id, CAST(rank AS BIGINT) AS rank,
+           pos_sim, neg_sim
+    FROM (
+        SELECT n.anchor_id, n.positive_id, n.negative_id,
+               row_number() OVER (PARTITION BY n.anchor_id
+                                  ORDER BY n.neg_sim DESC, n.negative_id) AS rank,
+               p.pos_sim, n.neg_sim
+        FROM negs n JOIN pos p USING (anchor_id)
+        WHERE n.neg_sim <= p.pos_sim - 0.55
+    ) WHERE rank <= 3
+    """,
+)
+def l41_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.py::
+    mine_hard_negatives; ANCE arXiv:2007.00808): planted twins are the
+    labeled positives (sim 1.0 by construction), and each anchor's 3
+    hardest SAFE negatives — most-similar corpus vectors excluding the
+    anchor, its twin, and anything within 0.55 of the positive — are
+    surfaced with their sims. The margin BITES on this corpus (top
+    non-identical cosines reach ~0.5 > 1.0 − 0.55 = 0.45), so the
+    false-negative denoise filter is exercised, not vacuous; ranks are
+    assigned after it. Anchor batch bounded (vec_id < 2500, every
+    25th ⇒ ≤ 100 queries) per the broadcast bounded-query contract;
+    the corpus side streams, never shuffles. Exact brute-force path ⇒
+    the oracle replays the identical arithmetic; the ANN-candidate
+    scale path shares the scoring/denoise code."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = plant_twins(emb, 25)
+    corpus = emb.unionByName(planted)
+    anchors = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)).select(
+        "vec_id", "embedding", (F.col("vec_id") + 100000).alias("positive_id")
+    )
+    out = mine_hard_negatives(corpus, anchors, k=3, margin=0.55)
+    return out.select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "pos_sim",
+        "neg_sim",
+    )

@@ -39,6 +39,13 @@ _ROUND11_FRONT = [
     #      dedup tier (persist → add → delete → PRUNED against-index
     #      check), the r10 verdict's #1 task.
     "l40_dedup_banded_persisted",
+    #    - l41/l42: NEW — contrastive hard-negative mining with margin
+    #      denoise (exact brute-force path; the ANN-candidate scale
+    #      path shares the scoring code) and temperature-scaled domain
+    #      mixture (derived targets, the XLM-R rule complementing
+    #      l28's explicit targets).
+    "l41_hard_negative_mining",
+    "l42_temperature_mix",
     #    - l38: the persist/add/delete paths now maintain the banded
     #      projection, validate caller-asserted banding against the
     #      index before writing meta, and auto-size bucket counts.

@@ -669,3 +669,49 @@ def l33_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=64, stride=48)
+
+
+@register(
+    "l42_temperature_mix",
+    "D9,A4 (temperature-scaled domain mixture, derived targets)",
+    oracle="""
+    WITH per AS (
+        SELECT lang AS domain, count(*) AS n_docs,
+               CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    sc AS (
+        SELECT p.domain, p.n_docs, p.n_tokens,
+               p.n_tokens / CAST(t.t AS DOUBLE) AS actual,
+               CASE WHEN p.n_tokens > 0
+                    THEN pow(p.n_tokens / CAST(t.t AS DOUBLE), 0.3)
+                    ELSE 0.0 END AS scaled
+        FROM per p CROSS JOIN tot t
+    ),
+    nrm AS (SELECT sum(scaled) AS s FROM sc)
+    SELECT domain, n_docs, n_tokens,
+           round(actual, 6) AS actual_share,
+           round(CASE WHEN n_tokens > 0 THEN scaled / n.s ELSE 0.0 END, 6)
+               AS target_share,
+           round(CASE WHEN n_tokens > 0 THEN (scaled / n.s) / actual
+                      ELSE 0.0 END, 6) AS weight
+    FROM sc CROSS JOIN nrm n
+    """,
+)
+def l42_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (operators/traindata.py::
+    temperature_mix_weights; XLM-R arXiv:1911.02116 §3.1): target share
+    of each language is its token share raised to alpha=0.3 and
+    renormalized — upsamples tail languages without hand-set targets
+    (l28 covers the explicit-target form). The whole computation after
+    the one |domains|-row hash aggregate runs on the domain-level
+    table via two broadcast one-row totals; the oracle reproduces the
+    identical pow/normalize arithmetic."""
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        temperature_mix_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix_weights(docs, alpha=0.3, domain_col="lang")

@@ -2144,3 +2144,80 @@ def test_persisted_dedup_banded_lookup_pruned(spark, tmp_path):
     n_re = spark.read.parquet(path + "/fingerprints").count()
     assert n_re > 0
     assert spark.read.parquet(path + "/banded").count() == n_re * 16
+
+
+def test_mine_hard_negatives_excludes_self_and_positive(spark):
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    anchors = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding", (F.col("vec_id") + 100000).alias("positive_id")
+    )
+    out = mine_hard_negatives(corpus, anchors, k=5, margin=0.05).collect()
+    assert out, "expected at least one mined triplet"
+    for r in out:
+        assert r["negative_id"] != r["anchor_id"]
+        assert r["negative_id"] != r["positive_id"]
+        # twin positives are exact duplicates: pos_sim is 1.0
+        assert r["pos_sim"] == 1.0
+        # denoise contract: every surfaced negative respects the margin
+        assert r["neg_sim"] <= r["pos_sim"] - 0.05
+        assert 1 <= r["rank"] <= 5
+
+
+def test_mine_hard_negatives_margin_binds_and_can_empty(spark):
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    anchors = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding", (F.col("vec_id") + 100000).alias("positive_id")
+    )
+    loose = mine_hard_negatives(corpus, anchors, k=3, margin=0.0)
+    tight = mine_hard_negatives(corpus, anchors, k=3, margin=0.6)
+    # the margin binds on MEMBERSHIP, not count: anchors refill their
+    # top-3 from below the cutoff, so compare the picked sets and the
+    # ceiling (loose tops out ~0.45 on this corpus, above 1.0-0.6)
+    assert loose.agg(F.max("neg_sim")).first()[0] > 0.4
+    assert tight.agg(F.max("neg_sim")).first()[0] <= 0.4
+    assert loose.exceptAll(tight).count() > 0, "0.6 margin must change the picks"
+    # margin 2.0: cosine can never sit 2 below the positive -> empty
+    assert mine_hard_negatives(corpus, anchors, k=3, margin=2.0).count() == 0
+    # anchors whose positive id is absent from the corpus emit nothing
+    orphan = anchors.withColumn("positive_id", F.col("positive_id") + 7_000_000)
+    assert mine_hard_negatives(corpus, orphan, k=3, margin=0.0).count() == 0
+
+
+def test_mine_hard_negatives_candidates_path_matches_bruteforce(spark):
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    anchors = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding", (F.col("vec_id") + 100000).alias("positive_id")
+    )
+    # candidate set = the FULL cross product => identical answer to the
+    # brute-force path (the ANN path feeds a subset of this frame)
+    cand = anchors.select(F.col("vec_id").alias("anchor_id")).crossJoin(
+        corpus.select(F.col("vec_id").alias("cand_id"))
+    )
+    brute = mine_hard_negatives(corpus, anchors, k=3, margin=0.05)
+    viacand = mine_hard_negatives(corpus, anchors, k=3, margin=0.05, candidates=cand)
+    assert brute.exceptAll(viacand).count() == 0
+    assert viacand.exceptAll(brute).count() == 0

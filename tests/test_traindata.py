@@ -503,3 +503,48 @@ def test_bpe_duckdb_oracle_matches_trainer_on_self_pairs(spark, tmp_path):
         for r in con.execute(_bpe_merges_oracle_sql(4)).fetchall()
     ]
     assert oracle == got, (oracle, got)
+
+
+def test_temperature_mix_alpha_edges(spark):
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        temperature_mix_weights,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    # alpha=1: target == actual, every weight 1 (natural proportions)
+    nat = temperature_mix_weights(docs, alpha=1.0).collect()
+    for r in nat:
+        assert abs(r["target_share"] - r["actual_share"]) <= 2e-6
+        assert abs(r["weight"] - 1.0) <= 1e-4
+    # alpha=0: uniform targets across the token-bearing domains
+    uni = temperature_mix_weights(docs, alpha=0.0).collect()
+    live = [r for r in uni if r["n_tokens"] > 0]
+    for r in live:
+        assert abs(r["target_share"] - 1.0 / len(live)) <= 2e-6
+    # working alpha: shares still sum to 1 and the tail is upsampled
+    # relative to natural proportions while the head is downsampled
+    mid = temperature_mix_weights(docs, alpha=0.3).collect()
+    assert abs(sum(r["target_share"] for r in mid) - 1.0) <= 1e-5
+    head = max(mid, key=lambda r: r["n_tokens"])
+    tail = min((r for r in mid if r["n_tokens"] > 0), key=lambda r: r["n_tokens"])
+    assert head["weight"] < 1.0 < tail["weight"]
+
+
+def test_temperature_mix_tokenless_domain_pinned_zero(spark):
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        temperature_mix_weights,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    empty = spark.createDataFrame(
+        [(10_000_000, "", "xx"), (10_000_001, " ", "xx")], "doc_id long, text string, lang string"
+    )
+    out = {
+        r["domain"]: r
+        for r in temperature_mix_weights(docs.unionByName(empty), alpha=0.3).collect()
+    }
+    assert out["xx"]["n_tokens"] == 0
+    assert out["xx"]["target_share"] == 0.0
+    assert out["xx"]["weight"] == 0.0
+    # live domains renormalize among themselves
+    assert abs(sum(r["target_share"] for r in out.values()) - 1.0) <= 1e-5

@@ -86,6 +86,12 @@ def _l11b_queries(spark: SparkSession, sf: str) -> DataFrame:
     return chunks.filter((F.col("doc_id") * 1000 + F.col("chunk_idx")) % 29 == 0)
 
 
+def _l41_anchors(spark: SparkSession, sf: str) -> DataFrame:
+    return _table("embeddings")(spark, sf).filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)
+    )
+
+
 def _a13_sketch(spark: SparkSession, sf: str) -> DataFrame:
     cust = _table("customer")(spark, sf).filter(F.col("c_mktsegment") == "BUILDING")
     return cust.agg(
@@ -214,6 +220,42 @@ ALLOWED: dict[str, Allow] = {
         "contract, like l3e-l3i); IVF/LSH are the scale path",
         probe=_l11b_queries,
         max_rows=1_000,
+    ),
+    "a10c_approx_percentile_bound": Allow(
+        "BroadcastNestedLoopJoin",
+        "one-row (approx-median, n, exact-median) scalar aggregate "
+        "broadcast back onto orders for the rank-envelope count",
+        probe=_scalar_agg("orders", lambda: F.count(F.lit(1)).alias("n")),
+        max_rows=1,
+    ),
+    "a16b_hll_union_bound": Allow(
+        "BroadcastNestedLoopJoin",
+        "one-row merged-HLL estimate crossJoined with the one-row "
+        "exact-distinct aggregate (both sides scalar by construction)",
+        probe=_scalar_agg("customer", lambda: F.count(F.lit(1)).alias("n")),
+        max_rows=1,
+    ),
+    "l41_hard_negative_mining": Allow(
+        "BroadcastNestedLoopJoin",
+        "exact brute-force mining path: the anchor batch (vec_id<2500, "
+        "every 25th => <=100 rows at any sf) broadcasts against the "
+        "streamed corpus — the cosine_topk bounded-query contract; the "
+        "ANN-candidate path is the corpus-scale alternative",
+        probe=_l41_anchors,
+        max_rows=1_000,
+    ),
+    "l42_temperature_mix": Allow(
+        "BroadcastNestedLoopJoin",
+        "two one-row scalar broadcasts (corpus token total, pow-share "
+        "normalizer) onto the |domains|-row aggregate — every BNLJ "
+        "side is bounded by domain cardinality",
+        probe=_scalar_agg("documents", lambda: F.count(F.lit(1)).alias("n")),
+        max_rows=1,
+        # reviewed: the token-total crossJoin appears twice (the scaled
+        # domain table feeds both the normalizer aggregate and the
+        # final select) + the one-row normalizer crossJoin — all three
+        # sides are one-row scalars or the |domains|-row aggregate
+        max_occurrences=3,
     ),
     "u1c_reserve_risk_measures": Allow(
         "BroadcastNestedLoopJoin",
