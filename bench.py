@@ -77,10 +77,26 @@ BAND3_BUDGET_SEC = 24.2
 # contract: index built in warmup, query-only timed, per-slot budget =
 # 1.25x its cold number at introduction so a regression in EITHER
 # pruned path fails the gate independently.
-BAND4 = ["l34_persisted_query", "l37_persisted_query"]
+# r11 (VERDICT r10 task 1 follow-through): + the persisted DEDUP
+# tier's pruned ingest path (l40_persisted_ingest — banded-projection
+# partition pruning, per-batch bytes O(batch), the hot path the l40
+# correctness row checks), same contract: index built in warmup,
+# ingest-only timed, per-slot budget = 1.25x its cold number at
+# introduction so all THREE pruned persisted paths gate independently.
+BAND4 = ["l34_persisted_query", "l37_persisted_query", "l40_persisted_ingest"]
 # l37 introduced r11 at cold 1.95 s (loaded box, loadavg ~4-5.7; the
 # idle number is lower, so 1.25x the loaded cold is a conservative gate)
-BAND4_BUDGETS = {"l34_persisted_query": 5.8, "l37_persisted_query": 2.45}
+BAND4_BUDGETS = {
+    "l34_persisted_query": 5.8,
+    "l37_persisted_query": 2.45,
+    # introduced r11 at cold 5.73 s on a near-idle box (loadavg ~3
+    # decaying; steady 4.03 s). At sf0.1 the cost is the batch's
+    # signing + a near-complete bucket overlap (5k docs cover most
+    # (band, bpart) dirs — the pruning win is a scale property, see
+    # the BASELINE.md stress table); the gate guards the job count
+    # and the batch-signing path round over round.
+    "l40_persisted_ingest": 7.15,
+}
 BAND4_BUDGET_SEC = round(sum(BAND4_BUDGETS.values()), 2)
 
 
@@ -123,7 +139,33 @@ def _build_persisted_ivfpq_index(spark, sf_dir) -> str:
     return path
 
 
-def _bench_queries(spark, sf_dir, ann_index_path=None, ivfpq_index_path=None):
+def _build_persisted_dedup_index(spark, sf_dir) -> str:
+    """Warmup-side build of the persisted dedup fingerprint tier for
+    the band-4 l40 slot: the corpus (doc_id%3≠0) is signed and
+    persisted once, untimed; the slot then times only the PRUNED
+    against-index ingest of the new batch — per-batch banded reads
+    bounded by the batch's own bucket set, the property the r10
+    verdict's task 1 introduced."""
+    import tempfile
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        build_dedup_index,
+        persist_dedup_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="arm_bench_l40_") + "/dedup_index"
+    base = build_dedup_index(
+        docs.filter(F.col("doc_id") % 3 != 0), bands=16, rows_per_band=16
+    )
+    persist_dedup_index(base, path, bands=16, rows_per_band=16)
+    return path
+
+
+def _bench_queries(
+    spark, sf_dir, ann_index_path=None, ivfpq_index_path=None, dedup_index_path=None
+):
     from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
     from actuarial_reserve_modelling_spark.functions.reserves import simulate_reserves
     from actuarial_reserve_modelling_spark.plans.registry import load_all
@@ -154,6 +196,17 @@ def _bench_queries(spark, sf_dir, ann_index_path=None, ivfpq_index_path=None):
         )
         return ann_ivfpq_topk_persisted(
             spark, ivfpq_index_path, None, queries, k=5
+        )
+
+    def l40_persisted_ingest(spark, sf_dir):
+        from actuarial_reserve_modelling_spark.operators.dedup import (
+            minhash_dedup_against_index_persisted,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        return minhash_dedup_against_index_persisted(
+            spark, dedup_index_path, docs.filter(F.col("doc_id") % 3 == 0),
+            threshold=0.95,
         )
 
     def m0_reserve(spark, sf_dir):
@@ -197,6 +250,9 @@ def _bench_queries(spark, sf_dir, ann_index_path=None, ivfpq_index_path=None):
         # round-11 addition (band 4): the persisted IVF-PQ query-only
         # path — pruned ADC scan + stored-vector rerank
         "l37_persisted_query": l37_persisted_query,
+        # round-11 addition (band 4): the persisted dedup tier's PRUNED
+        # against-index ingest — banded-projection partition pruning
+        "l40_persisted_ingest": l40_persisted_ingest,
     }
     return picks
 
@@ -301,6 +357,9 @@ def main() -> None:
     t0 = time.time()
     ivfpq_index_path = _build_persisted_ivfpq_index(spark, sf_dir)
     ivfpq_build_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_index_path = _build_persisted_dedup_index(spark, sf_dir)
+    dedup_build_sec = round(time.time() - t0, 3)
 
     # two passes per query: pass 1 (cold — includes per-plan codegen and
     # cache warm-up) is the HEADLINE number, directly comparable to the
@@ -321,7 +380,7 @@ def main() -> None:
     loadavg_per_query: dict[str, float] = {}
     all_names = []
     for name, fn in _bench_queries(
-        spark, sf_dir, ann_index_path, ivfpq_index_path
+        spark, sf_dir, ann_index_path, ivfpq_index_path, dedup_index_path
     ).items():
         all_names.append(name)
         loadavg_per_query[name] = round(os.getloadavg()[0], 2)
@@ -423,6 +482,7 @@ def main() -> None:
                 "warmup_sec": warmup_sec,
                 "ann_index_build_sec": ann_build_sec,
                 "ivfpq_index_build_sec": ivfpq_build_sec,
+                "dedup_index_build_sec": dedup_build_sec,
                 "loadavg_per_query": loadavg_per_query,
                 "recall": recall,
                 "recall_ok": recall_ok,
