@@ -1784,3 +1784,52 @@ def l41_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_sim",
         "neg_sim",
     )
+
+
+@register(
+    "l41b_hard_negative_ann_planted",
+    "L3,D9 (hash-grade evidence for the ANN-candidate mining scale path)",
+    oracle="""
+    SELECT vec_id AS anchor_id, vec_id + 100000 AS positive_id,
+           vec_id + 200000 AS negative_id, CAST(1 AS BIGINT) AS rank,
+           CAST(1.0 AS DOUBLE) AS pos_sim, CAST(1.0 AS DOUBLE) AS neg_sim
+    FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2500
+    """,
+)
+def l41b_hard_negative_ann_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic slice of mine_hard_negatives' ANN-candidate SCALE
+    path (l41 covers the exact brute-force path): every 25th vector is
+    planted TWICE (twin1 at +100000 = the labeled positive, twin2 at
+    +200000 = a known sim-1.0 decoy). The hierarchical-IVF candidate
+    stage surfaces all three identical copies with probability 1
+    (identical vectors share every probed list — the l3g argument),
+    the exact rerank scores them 1.0, and mining excludes the anchor
+    and its positive, leaving twin2 as the rank-1 hard negative with
+    neg_sim exactly 1.0 (margin 0: 1.0 ≤ pos_sim − 0). A broken
+    candidate plumbing (lost anchor column, positive not excluded,
+    margin misapplied) changes ids or sims and hash-mismatches."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk,
+        mine_hard_negatives,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twin1 = plant_twins(emb, 25)
+    twin2 = plant_twins(emb, 25, offset=200000)
+    corpus = emb.unionByName(twin1).unionByName(twin2)
+    src = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500))
+    anchors = src.select(
+        "vec_id", "embedding", (F.col("vec_id") + 100000).alias("positive_id")
+    )
+    cand = ann_ivf_hier_topk(corpus, src, k=4).select(
+        F.col("query_id").alias("anchor_id"), F.col("neighbor_id").alias("cand_id")
+    )
+    out = mine_hard_negatives(corpus, anchors, k=1, margin=0.0, candidates=cand)
+    return out.select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "pos_sim",
+        "neg_sim",
+    )

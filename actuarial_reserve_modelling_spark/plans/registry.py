@@ -45,6 +45,7 @@ _ROUND11_FRONT = [
     #      mixture (derived targets, the XLM-R rule complementing
     #      l28's explicit targets).
     "l41_hard_negative_mining",
+    "l41b_hard_negative_ann_planted",
     "l42_temperature_mix",
     #    - l38: the persist/add/delete paths now maintain the banded
     #      projection, validate caller-asserted banding against the
