@@ -1833,3 +1833,57 @@ def l41b_hard_negative_ann_planted(spark: SparkSession, sf_dir: str) -> DataFram
         "pos_sim",
         "neg_sim",
     )
+
+
+@register(
+    "l43_vecsig_index_persisted",
+    "L2,L4,D8,S7 (persisted vector near-dup tier: build, add, delete, pruned ingest)",
+    oracle="""
+    SELECT vec_id + 100000 AS new_id, vec_id AS index_id,
+           CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 4 <> 2
+    """,
+)
+def l43_vecsig_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lifecycle of the persisted VECTOR near-dup tier — the
+    embedding analogue of l40's MinHash lifecycle, closing the last
+    O(index)-per-batch ingest pattern (t12's gate previously re-read
+    the whole signature index per batch inside
+    lsh_cosine_dedup_against_index): ``persist_vecsig_index`` writes
+    the corpus half (vec_id%4≠1) spart/id-hash partitioned;
+    ``add_to_vecsig_index`` signs the rest (%4=1) with the PERSISTED
+    parameters and appends partition-locally;
+    ``delete_from_vecsig_index`` removes every %4=2 vector from both
+    datasets by touched-partition rewrite. The ingest check
+    (``lsh_cosine_dedup_against_index_persisted`` on exact twins of
+    every 5th vector) reads ONLY the batch's spart directories and the
+    candidates' id-hash buckets; identical vectors collide in every
+    table with probability 1 and no non-identical pair reaches τ=0.9
+    on this corpus (the l4b argument), so the answer is exactly the
+    twins whose source SURVIVES the delete: a lost add drops pairs, a
+    left-behind delete re-emits a deleted index_id, an unmaintained
+    signature dataset drops every added vector's pair — all
+    hash-mismatch against the oracle."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_vecsig_index,
+        delete_from_vecsig_index,
+        lsh_cosine_dedup_against_index_persisted,
+        persist_vecsig_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root, fresh = staging_dir("l43", sf_dir)
+    out = root + "/vecsig_index"
+    if fresh:
+        persist_vecsig_index(emb.filter(F.col("vec_id") % 4 != 1), out)
+        add_to_vecsig_index(spark, out, emb.filter(F.col("vec_id") % 4 == 1))
+        delete_from_vecsig_index(
+            spark, out, emb.filter(F.col("vec_id") % 4 == 2).select("vec_id")
+        )
+        staging_commit(root)
+    batch = plant_twins(emb, 5)
+    return lsh_cosine_dedup_against_index_persisted(spark, out, batch, threshold=0.9)

@@ -47,6 +47,17 @@ _ROUND11_FRONT = [
     "l41_hard_negative_mining",
     "l41b_hard_negative_ann_planted",
     "l42_temperature_mix",
+    #    - l43: NEW — the persisted VECTOR near-dup tier (build → add →
+    #      delete → pruned against-index ingest), closing the last
+    #      O(index)-per-batch pattern (t12's gate previously re-read
+    #      the whole signature index per batch).
+    "l43_vecsig_index_persisted",
+    #    - t12/t11: re-based onto the partition-pruned persisted tiers
+    #      (vecsig / dedup fingerprint + fpart-partitioned exact tier)
+    #      — same admitted sets (replay-convergent same-id exclusion),
+    #      new code paths re-earn driver evidence.
+    "t12_semantic_ingest_gate",
+    "t11_neardup_ingest_gate",
     #    - l38: the persist/add/delete paths now maintain the banded
     #      projection, validate caller-asserted banding against the
     #      index before writing meta, and auto-size bucket counts.

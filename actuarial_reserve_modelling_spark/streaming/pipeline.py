@@ -446,40 +446,53 @@ def incremental_neardup_ingest(
     rows_per_band: int = 16,
     state_partitions: int = 8,
     compact_every: int | None = None,
+    auto_compact: int | None = 8,
+    fp_parts: int = 64,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """The FULL continuous-ingest gate — the production loop a training
-    corpus actually runs: per arriving batch,
+    corpus actually runs — riding PARTITION-PRUNED persisted tiers
+    (r11: both tiers previously re-read their whole index per batch;
+    now per-batch index I/O is the batch's own partition footprint):
+    per arriving batch,
 
     1. **exact tier** — within-batch first-wins on the normalized
-       content fingerprint, then anti-join against the persisted
-       fingerprint index;
+       content fingerprint, then a check against the persisted
+       fingerprint dataset read pruned to the batch's OWN fingerprint-
+       hash partitions (``fpart = pmod(xxhash64(fingerprint),
+       fp_parts)``); index rows carry (fingerprint, doc_id) and
+       SAME-id matches don't reject, so a replayed epoch whose rows
+       already landed converges instead of rejecting itself;
     2. **within-batch near-dup tier** — MinHash-LSH pairs over the
        batch's exact survivors, connected components
-       (``dedup_clusters``), keep each cluster's minimum doc_id (the
-       cluster-representative contract: deterministic and parallel,
-       unlike the order-dependent greedy sequential gate);
+       (``dedup_clusters``), keep each cluster's minimum doc_id;
     3. **cross-batch near-dup tier** — survivors checked AGAINST the
-       persisted signature index via the asymmetric LSH equi-join
-       (``minhash_dedup_against_index``); any hit rejects;
-    4. admitted docs append their fingerprints AND their (htok, sig)
-       index rows, so later batches dedup against them without ever
-       re-scanning earlier data.
+       persisted dedup tier (``minhash_dedup_against_index_persisted``
+       — banded projection read pruned to the batch's bucket set, the
+       l40 path; same-id pairs excluded, so replays converge by the
+       same argument: different-id near-dups of a replayed batch were
+       already collapsed by the within-batch tier, deterministically);
+    4. admitted docs append to BOTH tiers partition-locally
+       (``add_to_dedup_index``'s pruned anti-join + the fingerprint
+       dataset's pruned anti-join make re-appends no-ops). Rejected
+       docs contribute NOTHING — the index stays linear in the KEPT
+       corpus, not the ingested stream.
 
-    Epoch-keyed overwrite sinks make retried micro-batches idempotent
-    (the S7 pattern). Rejected docs contribute NOTHING to the index —
-    only admitted content gates the future, which is what keeps the
-    index linear in the KEPT corpus, not the ingested stream.
-    ``compact_every``: compact BOTH indexes (fingerprints and
-    signatures) into few large files at the start of every Nth epoch —
-    only fully committed epochs are ever folded (the epoch's own
-    leftovers are deleted by the retry hygiene first). A crash mid-
-    compaction can leave rows present in both the compacted generation
-    and a not-yet-removed epoch dir; duplicate index rows only
-    duplicate candidate pairs, which the gate's distinct absorbs.
+    Batch 0 bootstraps the dedup tier (``persist_dedup_index`` on its
+    admitted set — meta/ is written last, so its presence is the
+    commit marker; a retry re-persists over partial state).
+    ``auto_compact`` (ON by default) runs the threshold form of
+    ``compact_dedup_index`` + the fingerprint dataset's
+    ``compact_partitioned_index`` every epoch — only partitions whose
+    file count exceeds the threshold are rewritten; ``compact_every``
+    additionally folds on a fixed cadence. Compaction preserves
+    contents exactly, so the admitted set is invariant to it (pinned
+    by the pytest).
 
     Iterative CC inside + sequential batch dependence ⇒ not
-    SQL-expressible: verified by a pytest against an independent pure-
-    Python reference implementing the same contract.
+    SQL-expressible in closed form: the registry oracle replays the
+    batches in SQL, and a pytest verifies the gate against an
+    independent pure-Python reference implementing the same contract.
 
     Returns admitted rows ``(doc_id, batch)``.
     """
@@ -491,59 +504,78 @@ def incremental_neardup_ingest(
     from pyspark.sql import Window
 
     from actuarial_reserve_modelling_spark.operators.dedup import (
-        build_dedup_index,
+        add_to_dedup_index,
+        compact_dedup_index,
         dedup_clusters,
-        minhash_dedup_against_index,
+        minhash_dedup_against_index_persisted,
         minhash_near_dup_pairs,
+        persist_dedup_index,
+        build_dedup_index,
+    )
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        compact_partitioned_index,
     )
     from actuarial_reserve_modelling_spark.operators.textstats import (
         content_fingerprints,
     )
 
-    work = tempfile.mkdtemp(prefix="arm_neardup_ingest_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    if work_dir is None:
+        work = tempfile.mkdtemp(prefix="arm_neardup_ingest_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+    else:
+        work = work_dir
+        os.makedirs(work, exist_ok=True)
     fp_dir = os.path.join(work, "fp_index")
-    sig_dir = os.path.join(work, "sig_index")
+    idx_dir = os.path.join(work, "dedup_index")
     out_dir = os.path.join(work, "admitted")
     ckpt = os.path.join(work, "ckpt")
-    for d in (fp_dir, sig_dir, out_dir):
-        os.makedirs(d)
+    os.makedirs(out_dir, exist_ok=True)
 
-    def _has_files(d: str) -> bool:
-        for _, _, files in os.walk(d):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+    def _have_index() -> bool:
+        return os.path.exists(os.path.join(idx_dir, "meta"))
+
+    def _have_fp() -> bool:
+        return os.path.exists(fp_dir)
+
+    _fpart = F.pmod(F.xxhash64(F.col("fingerprint")), F.lit(fp_parts)).cast("int")
 
     def _step(batch_df: DataFrame, bid: int) -> None:
-        # retry hygiene (see incremental_ingest_dedup): a failed prior
-        # attempt of this epoch may have appended to either index; those
-        # appends would reject the epoch's own survivors on re-run.
-        for d in (fp_dir, sig_dir, out_dir):
-            shutil.rmtree(os.path.join(d, f"e{bid}"), ignore_errors=True)
-        if compact_every and bid > 0 and bid % compact_every == 0:
-            from actuarial_reserve_modelling_spark.sources.sinks import (
-                compact_parquet_dir,
-            )
-
-            for d in (fp_dir, sig_dir):
-                if _has_files(d):
-                    compact_parquet_dir(spark, d, target_files=state_partitions)
-        # 1) exact tier
-        fp = content_fingerprints(batch_df)
+        shutil.rmtree(os.path.join(out_dir, f"e{bid}"), ignore_errors=True)
+        cadence_due = compact_every and bid > 0 and bid % compact_every == 0
+        if (cadence_due or auto_compact) and bid > 0:
+            cap = state_partitions if cadence_due else auto_compact
+            if _have_index():
+                compact_dedup_index(spark, idx_dir, max_files_per_partition=cap)
+            if _have_fp():
+                compact_partitioned_index(
+                    spark, fp_dir, "fpart", max_files_per_partition=cap
+                )
+        # 1) exact tier: within-batch first-wins, then the pruned
+        # same-id-excluding check against the fingerprint dataset
+        fp = content_fingerprints(batch_df).withColumn("fpart", _fpart)
         w = Window.partitionBy("fingerprint").orderBy("doc_id")
         first = (
             fp.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select("doc_id", "fingerprint")
+            .select("doc_id", "fingerprint", "fpart")
+            .localCheckpoint(eager=True)
         )
-        if _has_files(fp_dir):
+        if _have_fp():
+            fparts = [
+                int(r["fpart"]) for r in first.select("fpart").distinct().collect()
+            ]
             seen = (
-                spark.read.option("recursiveFileLookup", "true")
-                .parquet(fp_dir)
-                .select("fingerprint")
+                spark.read.parquet(fp_dir)
+                .filter(F.col("fpart").isin(fparts))
+                .select("fingerprint", F.col("doc_id").alias("_idx_id"))
             )
-            first = first.join(seen, "fingerprint", "left_anti")
+            hit = (
+                first.join(seen, "fingerprint")
+                .filter(F.col("doc_id") != F.col("_idx_id"))
+                .select("doc_id")
+                .distinct()
+            )
+            first = first.join(hit, "doc_id", "left_anti")
         docs_e = batch_df.join(first.select("doc_id"), "doc_id").localCheckpoint(
             eager=True
         )
@@ -566,34 +598,54 @@ def incremental_neardup_ingest(
             docs_e = docs_e.join(non_reps, "doc_id", "left_anti").localCheckpoint(
                 eager=True
             )
-        # 3) cross-batch near-dup vs persisted signature index
-        if _has_files(sig_dir):
-            idx = spark.read.option("recursiveFileLookup", "true").parquet(sig_dir)
+        # 3) cross-batch near-dup vs the persisted dedup tier (pruned)
+        if _have_index():
             hits = (
-                minhash_dedup_against_index(
-                    docs_e,
-                    idx,
-                    threshold=threshold,
-                    bands=bands,
-                    rows_per_band=rows_per_band,
+                minhash_dedup_against_index_persisted(
+                    spark, idx_dir, docs_e, threshold=threshold
                 )
                 .select(F.col("new_id").alias("doc_id"))
                 .distinct()
             )
             admitted = docs_e.join(hits, "doc_id", "left_anti")
+            bootstrapped = False
         else:
             admitted = docs_e
+            bootstrapped = True
         admitted = admitted.localCheckpoint(eager=True)
-        # 4) epoch-keyed index + sink appends (overwrite = retry-safe)
-        content_fingerprints(admitted).select("fingerprint").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(fp_dir, f"e{bid}"))
-        build_dedup_index(
-            admitted, bands=bands, rows_per_band=rows_per_band
-        ).write.mode("overwrite").parquet(os.path.join(sig_dir, f"e{bid}"))
-        admitted.select(
-            "doc_id", F.lit(bid).cast("int").alias("batch")
-        ).write.mode("overwrite").parquet(os.path.join(out_dir, f"e{bid}"))
+        # 4) epoch-keyed admitted sink, then partition-local tier
+        # appends derived from the committed sink
+        out_epoch = os.path.join(out_dir, f"e{bid}")
+        admitted.select("doc_id", "text").withColumn(
+            "batch", F.lit(bid).cast("int")
+        ).write.mode("overwrite").parquet(out_epoch)
+        committed = spark.read.parquet(out_epoch).select("doc_id", "text")
+        if bootstrapped:
+            persist_dedup_index(
+                build_dedup_index(
+                    committed, bands=bands, rows_per_band=rows_per_band
+                ),
+                idx_dir,
+                bands=bands,
+                rows_per_band=rows_per_band,
+            )
+        else:
+            add_to_dedup_index(spark, idx_dir, committed)
+        newfp = content_fingerprints(committed).withColumn("fpart", _fpart)
+        if _have_fp():
+            newfp = newfp.localCheckpoint(eager=False)
+            fparts = [
+                int(r["fpart"]) for r in newfp.select("fpart").distinct().collect()
+            ]
+            existing = (
+                spark.read.parquet(fp_dir)
+                .filter(F.col("fpart").isin(fparts))
+                .select(F.col("doc_id").cast("long").alias("doc_id"))
+            )
+            newfp = newfp.join(existing, "doc_id", "left_anti")
+        newfp.select("doc_id", "fingerprint", "fpart").repartition(
+            F.col("fpart")
+        ).write.mode("append").partitionBy("fpart").parquet(fp_dir)
 
     stream = staged_ordered_source(
         spark, [b.select("doc_id", "text") for b in batches], cache_key
@@ -610,7 +662,11 @@ def incremental_neardup_ingest(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
-    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .select("doc_id", "batch")
+    )
 
 
 def incremental_semantic_ingest(
@@ -624,31 +680,44 @@ def incremental_semantic_ingest(
     dim: int = 64,
     state_partitions: int = 8,
     compact_every: int | None = None,
+    auto_compact: int | None = 8,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Continuous-ingest SEMANTIC dedup — the embedding-tier gate a
     multimodal/RAG corpus runs alongside the text gate
-    (``incremental_neardup_ingest``): per arriving batch of
-    (vec_id, embedding),
+    (``incremental_neardup_ingest``), riding the PERSISTED vector-
+    signature tier (r11: before, every batch re-read and re-shuffled
+    the ENTIRE signature index inside
+    ``lsh_cosine_dedup_against_index`` — the O(index)-per-batch
+    pattern the verdicts flagged on the ANN rerank and MinHash lookup;
+    now per-batch index I/O is the batch's own partition footprint):
+    per arriving batch of (vec_id, embedding),
 
     1. **within-batch tier** — hyperplane-LSH pairs over the batch
        (``lsh_cosine_pairs``), connected components
        (``dedup_clusters``), keep each cluster's minimum id;
     2. **cross-batch tier** — survivors checked AGAINST the persisted
-       signature index via the asymmetric (table, sig) equi-join
-       (``lsh_cosine_dedup_against_index``); any verified cosine ≥ τ
-       hit rejects;
-    3. admitted vectors append their (id, table, sig) signature rows
-       AND their (id, embedding) rows to the two persisted indexes, so
-       later batches dedup against them without re-signing earlier
-       data. Rejected vectors contribute NOTHING — the index stays
-       linear in the KEPT corpus.
+       tier via ``lsh_cosine_dedup_against_index_persisted``: sigs/
+       read pruned to the batch's own spart directories, vectors/ to
+       the candidates' id-hash buckets; any verified cosine ≥ τ hit
+       rejects;
+    3. admitted vectors ``add_to_vecsig_index`` into their own
+       partition directories — the index stays linear in the KEPT
+       corpus and later batches never re-sign or re-scan earlier data.
 
-    Epoch-keyed overwrite sinks + pre-step retry hygiene make retried
-    micro-batches idempotent (the S7 pattern shared with the text
-    gates); ``compact_every`` folds fully committed epochs of both
-    indexes into few large files. Identical vectors sign identically
-    in every table, so exact re-encounters are rejected with
-    probability 1 — the property the registry oracle exploits.
+    Batch 0 bootstraps the tier (``persist_vecsig_index`` on its
+    admitted set — overwrite clears partial state); retried later
+    batches re-admit through the epoch-keyed overwrite sink while the
+    add path's pruned anti-join drops already-indexed ids (the S7
+    pattern shared with the ANN gate). ``auto_compact`` (ON by
+    default) runs the threshold form of ``compact_vecsig_index`` every
+    epoch — only partitions whose file count exceeds the threshold are
+    rewritten, so the per-epoch cost is one metadata aggregate when
+    nothing is hot and file counts stay bounded at production batch
+    cadence; ``compact_every`` additionally folds on a fixed cadence.
+    Identical vectors sign identically in every table, so exact
+    re-encounters are rejected with probability 1 — the property the
+    registry oracle exploits.
 
     Iterative CC inside + sequential batch dependence ⇒ not
     SQL-expressible in general; the planted-duplicate registry query
@@ -663,37 +732,35 @@ def incremental_semantic_ingest(
 
     from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
     from actuarial_reserve_modelling_spark.operators.similarity import (
-        hyperplane_signatures_multi,
-        lsh_cosine_dedup_against_index,
+        add_to_vecsig_index,
+        compact_vecsig_index,
+        lsh_cosine_dedup_against_index_persisted,
         lsh_cosine_pairs,
+        persist_vecsig_index,
     )
 
-    work = tempfile.mkdtemp(prefix="arm_sem_ingest_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
-    sig_dir = os.path.join(work, "sig_index")
-    vec_dir = os.path.join(work, "vec_index")
+    if work_dir is None:
+        work = tempfile.mkdtemp(prefix="arm_sem_ingest_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+    else:
+        work = work_dir
+        os.makedirs(work, exist_ok=True)
+    idx_dir = os.path.join(work, "vecsig_index")
     out_dir = os.path.join(work, "admitted")
     ckpt = os.path.join(work, "ckpt")
-    for d in (sig_dir, vec_dir, out_dir):
-        os.makedirs(d)
+    os.makedirs(out_dir, exist_ok=True)
 
-    def _has_files(d: str) -> bool:
-        for _, _, files in os.walk(d):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+    def _have_index() -> bool:
+        return os.path.exists(os.path.join(idx_dir, "meta"))
 
     def _step(batch_df: DataFrame, bid: int) -> None:
-        for d in (sig_dir, vec_dir, out_dir):
-            shutil.rmtree(os.path.join(d, f"e{bid}"), ignore_errors=True)
-        if compact_every and bid > 0 and bid % compact_every == 0:
-            from actuarial_reserve_modelling_spark.sources.sinks import (
-                compact_parquet_dir,
+        shutil.rmtree(os.path.join(out_dir, f"e{bid}"), ignore_errors=True)
+        if compact_every and bid > 0 and bid % compact_every == 0 and _have_index():
+            compact_vecsig_index(
+                spark, idx_dir, max_files_per_partition=state_partitions
             )
-
-            for d in (sig_dir, vec_dir):
-                if _has_files(d):
-                    compact_parquet_dir(spark, d, target_files=state_partitions)
+        if auto_compact and bid > 0 and _have_index():
+            compact_vecsig_index(spark, idx_dir, max_files_per_partition=auto_compact)
         vecs = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
         # 1) within-batch semantic clustering → cluster representatives
         pairs = (
@@ -717,36 +784,39 @@ def incremental_semantic_ingest(
             vecs = vecs.join(non_reps, "vec_id", "left_anti").localCheckpoint(
                 eager=True
             )
-        # 2) cross-batch check vs the persisted indexes
-        if _has_files(sig_dir):
+        if not _have_index():
+            # batch 0 (or its retry): bootstrap the persisted tier on
+            # the admitted set; persist's overwrite clears partial state
+            persist_vecsig_index(
+                vecs,
+                idx_dir,
+                num_planes=num_planes,
+                num_tables=num_tables,
+                seed=seed,
+                dim=dim,
+            )
+            admitted = vecs
+            bootstrapped = True
+        else:
+            # 2) cross-batch check, pruned to the batch's own partitions
             hits = (
-                lsh_cosine_dedup_against_index(
-                    vecs,
-                    spark.read.option("recursiveFileLookup", "true").parquet(sig_dir),
-                    spark.read.option("recursiveFileLookup", "true").parquet(vec_dir),
-                    threshold=threshold,
-                    num_planes=num_planes,
-                    num_tables=num_tables,
-                    seed=seed,
-                    dim=dim,
+                lsh_cosine_dedup_against_index_persisted(
+                    spark, idx_dir, vecs, threshold=threshold
                 )
                 .select(F.col("new_id").alias("vec_id"))
                 .distinct()
             )
             admitted = vecs.join(hits, "vec_id", "left_anti")
-        else:
-            admitted = vecs
-        # 3) epoch-keyed sinks; index appends derive from the committed
-        # admitted sink (cheap re-read) so the dedup plan runs once
+            bootstrapped = False
+        # 3) epoch-keyed sink; the index append derives from the
+        # committed sink (cheap re-read) so the dedup plan runs once
         out_epoch = os.path.join(out_dir, f"e{bid}")
         admitted.select("vec_id", "embedding").withColumn(
             "batch", F.lit(bid).cast("int")
         ).write.mode("overwrite").parquet(out_epoch)
-        committed = spark.read.parquet(out_epoch).select("vec_id", "embedding")
-        committed.write.mode("overwrite").parquet(os.path.join(vec_dir, f"e{bid}"))
-        hyperplane_signatures_multi(
-            committed, num_planes, num_tables, seed, dim
-        ).write.mode("overwrite").parquet(os.path.join(sig_dir, f"e{bid}"))
+        if not bootstrapped:
+            committed = spark.read.parquet(out_epoch).select("vec_id", "embedding")
+            add_to_vecsig_index(spark, idx_dir, committed)
 
     stream = staged_ordered_source(
         spark, [b.select("vec_id", "embedding") for b in batches], cache_key

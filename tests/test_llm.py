@@ -2221,3 +2221,93 @@ def test_mine_hard_negatives_candidates_path_matches_bruteforce(spark):
     viacand = mine_hard_negatives(corpus, anchors, k=3, margin=0.05, candidates=cand)
     assert brute.exceptAll(viacand).count() == 0
     assert viacand.exceptAll(brute).count() == 0
+
+
+def test_vecsig_tier_lifecycle_and_pruned_parity(spark, tmp_path):
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_vecsig_index,
+        compact_vecsig_index,
+        delete_from_vecsig_index,
+        load_vecsig_index,
+        lsh_cosine_dedup_against_index,
+        lsh_cosine_dedup_against_index_persisted,
+        persist_vecsig_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "vecsig")
+    persist_vecsig_index(emb.filter(F.col("vec_id") % 4 != 1), path)
+    add_to_vecsig_index(spark, path, emb.filter(F.col("vec_id") % 4 == 1))
+    delete_from_vecsig_index(
+        spark, path, emb.filter(F.col("vec_id") % 4 == 2).select("vec_id")
+    )
+    batch = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    pruned = {
+        (r["new_id"], r["index_id"], r["sim"])
+        for r in lsh_cosine_dedup_against_index_persisted(
+            spark, path, batch, threshold=0.9
+        ).collect()
+    }
+    # parity: the pruned path answers EXACTLY like the in-memory
+    # operator over the reloaded tier (pruning changes reads, never
+    # the candidate algebra)
+    sig_idx, vec_idx = load_vecsig_index(spark, path)
+    full = {
+        (r["new_id"], r["index_id"], r["sim"])
+        for r in lsh_cosine_dedup_against_index(
+            batch, sig_idx, vec_idx, threshold=0.9
+        ).collect()
+    }
+    assert pruned == full
+    # planted expectation: every surviving source pairs with its twin
+    n = emb.count()
+    expect = {
+        (s + 100000, s, 1.0) for s in range(0, n, 5) if s % 4 != 2
+    }
+    assert pruned == expect
+    # idempotent re-add changes nothing; compaction preserves answers
+    add_to_vecsig_index(spark, path, emb.filter(F.col("vec_id") % 4 == 1))
+    compact_vecsig_index(spark, path, max_files_per_partition=1)
+    again = {
+        (r["new_id"], r["index_id"], r["sim"])
+        for r in lsh_cosine_dedup_against_index_persisted(
+            spark, path, batch, threshold=0.9
+        ).collect()
+    }
+    assert again == expect
+
+
+def test_vecsig_tier_delete_all_and_missing_meta(spark, tmp_path):
+    import pytest as _pytest
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_vecsig_index,
+        delete_from_vecsig_index,
+        lsh_cosine_dedup_against_index_persisted,
+        persist_vecsig_index,
+        read_vecsig_index_meta,
+    )
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 40)
+    )
+    path = str(tmp_path / "vecsig_small")
+    # missing meta raises loudly, and the failure is not cached
+    with _pytest.raises(Exception, match="persist_vecsig_index first"):
+        read_vecsig_index_meta(spark, path)
+    persist_vecsig_index(emb, path)
+    assert read_vecsig_index_meta(spark, path)["num_tables"] == 24
+    # deleting every row leaves a readable empty tier
+    delete_from_vecsig_index(spark, path, emb.select("vec_id"))
+    batch = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    assert (
+        lsh_cosine_dedup_against_index_persisted(spark, path, batch).count() == 0
+    )
+    # and a later add repopulates it
+    add_to_vecsig_index(spark, path, emb)
+    out = lsh_cosine_dedup_against_index_persisted(spark, path, batch)
+    assert out.count() == emb.count()
