@@ -3384,7 +3384,14 @@ def persist_vecsig_index(
         if n_buckets is None:
             n_buckets = max(16, min(65536, n_rows // 500))
         if k_sig_parts is None:
-            k_sig_parts = max(8, min(32768, (n_rows * num_tables) // 1000))
+            # ~1000 VECTORS (·num_tables sig rows ≈ 180 KB) per spart
+            # directory — the dedup tier's banded sizing. Profiled r11:
+            # sizing per sig ROW instead gave 24× more directories of
+            # ~7 KB each and file-listing dominated the pruned read
+            # (29 s vs 12 s full-scan at 512k); per-vector sizing keeps
+            # directories few and large while the per-batch touched
+            # cap stays ≤ |batch|·num_tables·dir_bytes at any corpus
+            k_sig_parts = max(8, min(32768, n_rows // 1000))
     sigs = hyperplane_signatures_multi(
         vecs, num_planes, num_tables, seed, dim
     ).withColumn("spart", _vecsig_spart(k_sig_parts))
