@@ -746,7 +746,8 @@ def test_ingest_auto_compaction_bounds_files(spark, tmp_path):
     # and the trigger mattered: the uncompacted run exceeds the bound
     assert max(per_off.values()) > 3, per_off
 
-    # (b) exact gate: epoch dirs bounded vs one-per-epoch
+    # (b) exact gate (r11 fpart-partitioned index): files per
+    # fingerprint-hash partition bounded vs one-append-per-epoch
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
     dbatches = [docs.filter(F.col("doc_id") % 6 == i) for i in range(6)]
     wd_d = str(tmp_path / "ded_auto")
@@ -754,14 +755,6 @@ def test_ingest_auto_compaction_bounds_files(spark, tmp_path):
         spark, dbatches, cache_key="test_auto_d1", auto_compact=2, work_dir=wd_d
     )
     assert accepted.count() > 0
-    n_dirs = len(
-        [
-            d
-            for d in os.listdir(wd_d + "/index")
-            if os.path.isdir(os.path.join(wd_d, "index", d))
-        ]
-    )
-    assert n_dirs <= 2 + 2, n_dirs  # folded generation + recent epochs
     wd_d_off = str(tmp_path / "ded_off")
     accepted_off = incremental_ingest_dedup(
         spark, dbatches, cache_key="test_auto_d2", auto_compact=None,
@@ -770,11 +763,18 @@ def test_ingest_auto_compaction_bounds_files(spark, tmp_path):
     assert {tuple(r) for r in accepted.collect()} == {
         tuple(r) for r in accepted_off.collect()
     }
-    n_dirs_off = len(
-        [
-            d
-            for d in os.listdir(wd_d_off + "/index")
-            if os.path.isdir(os.path.join(wd_d_off, "index", d))
-        ]
-    )
-    assert n_dirs_off == 6
+
+    def files_per_fpart(wd):
+        out = {}
+        for pdir in glob.glob(wd + "/index/fpart=*"):
+            out[pdir] = len(
+                [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            )
+        return out
+
+    per_d_auto = files_per_fpart(wd_d)
+    per_d_off = files_per_fpart(wd_d_off)
+    # compaction runs at epoch START; the final epoch's append can add
+    # one file past the threshold
+    assert max(per_d_auto.values()) <= 2 + 1, per_d_auto
+    assert max(per_d_off.values()) > 3, per_d_off
