@@ -42,6 +42,10 @@ HEADLINERS = {
     "l34_ann_index_persisted": "persisted-index query: the members scan carries the query batch's probed supers as PartitionFilters AND returns the stored vectors — per-batch I/O is the probed fraction of the index, zero corpus files (r10 vector-bearing layout)",
     "l37_ivfpq_index_persisted": "persisted IVF-PQ query: probed-cluster predicate prunes the cluster-partitioned codes scan (PartitionFilters); ADC scores the 32x-compressed codes; rerank reads the stored vectors from the same pruned rows",
     "l38_dedup_index_delete_persisted": "persisted fingerprint tier after add+delete: asymmetric (band,bucket) equi-join new-batch x surviving index — no index self-join; deleted ids are gone from both banding and verify sides",
+    "l40_dedup_banded_persisted": "PRUNED persisted-dedup ingest: the banded scan carries the batch's own bpart set as PartitionFilters (per-batch index bytes O(batch footprint), never a full re-band); bucket-size skew stats computed over the same pruned read; verify reads fingerprints pruned to the candidates' id-hash buckets",
+    "l43_vecsig_index_persisted": "PRUNED persisted vector near-dup ingest: the sigs scan carries the batch's own spart set as PartitionFilters; (table,sig) equi-join candidates; exact-cosine verify reads vectors/ pruned to the candidates' id-hash buckets — the pre-r11 gate shuffled the whole signature index per batch",
+    "l41_hard_negative_mining": "exact mining path: bounded anchor batch broadcast (cosine_topk contract); one equi-join resolves pos_sim; margin filter BEFORE the per-anchor rank window, so only safe negatives are ranked",
+    "l41b_hard_negative_ann_planted": "ANN-candidate mining scale path: candidates come from the hierarchical-IVF index (no corpus cross join anywhere); scoring joins only |anchors|*k_cand candidate rows; margin+rank identical to the exact path",
 }
 
 
