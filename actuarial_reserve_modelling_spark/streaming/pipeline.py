@@ -957,10 +957,28 @@ def incremental_ann_ingest(
             persist_ann_index(index, super_cent, idx_dir, embeddings=reps)
             admitted = reps
         else:
-            # 2) pruned query against the persisted tier
+            # 2) pruned query against the persisted tier. The same-id
+            # exclusion is the replay-convergence guard (r11, the
+            # contract the other three gates share): ids are unique
+            # across the stream, so in the normal flow a query never
+            # meets its own id — but a micro-batch retried after its
+            # add_to_ann_index already committed WOULD find each of its
+            # vectors in the index at sim 1.0 under its own id, reject
+            # everything, and overwrite its epoch sink empty (silent
+            # data loss). Excluding the query's own id makes the replay
+            # recompute the identical admitted set instead: different-id
+            # exact twins were already collapsed by the within-batch
+            # tier, deterministically, both times.
+            # k+1 so the excluded self can't shadow a true duplicate
+            # out of the window on replay; rejection depends only on
+            # the MAX non-self sim ≥ τ, so normal-flow decisions are
+            # bit-identical to the plain k query
             hits = (
-                ann_ivf_hier_topk_persisted(spark, idx_dir, None, reps, k=k)
-                .filter(F.col("sim") >= threshold)
+                ann_ivf_hier_topk_persisted(spark, idx_dir, None, reps, k=k + 1)
+                .filter(
+                    (F.col("sim") >= threshold)
+                    & (F.col("query_id") != F.col("neighbor_id"))
+                )
                 .select(F.col("query_id").alias("vec_id"))
                 .distinct()
             )

@@ -778,3 +778,57 @@ def test_ingest_auto_compaction_bounds_files(spark, tmp_path):
     # one file past the threshold
     assert max(per_d_auto.values()) <= 2 + 1, per_d_auto
     assert max(per_d_off.values()) > 3, per_d_off
+
+
+def test_ann_gate_replay_self_hit_excluded(spark, tmp_path):
+    """r11: the t13 gate's replay-convergence invariant at the operator
+    level — a micro-batch retried AFTER its add_to_ann_index committed
+    finds each of its vectors in the index under its own id at sim 1.0;
+    the gate's same-id exclusion must not let that self-hit reject the
+    batch (silent empty-epoch data loss), while a bitwise-identical
+    vector under a DIFFERENT id must still reject."""
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ann_index,
+        ann_ivf_hier_topk_persisted,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 120)
+    )
+    path = str(tmp_path / "gate_replay" / "ann_index")
+    index, supers = ivf_hier_build(emb)
+    persist_ann_index(index, supers, path, embeddings=emb)
+
+    def gate_hits(batch, k=1):
+        # the exact hits expression the t13 gate uses (k+1, same-id
+        # excluded, threshold on sim)
+        return (
+            ann_ivf_hier_topk_persisted(spark, path, None, batch, k=k + 1)
+            .filter(
+                (F.col("sim") >= 0.999999)
+                & (F.col("query_id") != F.col("neighbor_id"))
+            )
+            .select(F.col("query_id").alias("vec_id"))
+            .distinct()
+        )
+
+    # replay shape: the batch IS the indexed set, same ids — nothing
+    # may reject (pre-fix, every vector self-hit at sim 1.0)
+    assert gate_hits(emb).count() == 0
+    # different-id exact twins must still reject every source, even at
+    # k=1 where the self-hit would otherwise shadow them
+    twins = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    add_to_ann_index(spark, path, twins)
+    hits = {r["vec_id"] for r in gate_hits(emb).collect()}
+    expect = {r["vec_id"] for r in emb.filter(F.col("vec_id") % 3 == 0).collect()}
+    assert hits == expect
