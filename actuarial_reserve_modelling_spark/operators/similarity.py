@@ -3379,8 +3379,20 @@ def persist_vecsig_index(
     marker: every reader requires it)."""
     spark = vecs.sparkSession
     vecs = vecs.select("vec_id", "embedding").localCheckpoint(eager=False)
+    # duplicate ids would silently duplicate rows in BOTH datasets (and
+    # every later verify join's output) — the persist_ann_index ADVICE
+    # class; one metadata-light aggregate fails loudly instead
+    counts = vecs.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("vec_id").alias("d")
+    ).first()
+    n_rows = int(counts["n"])
+    if n_rows != int(counts["d"]):
+        raise ValueError(
+            f"persist_vecsig_index: {n_rows - int(counts['d'])} duplicate "
+            "vec_id rows in the input — the tier requires unique ids "
+            "(dedupe or re-key before persisting)"
+        )
     if n_buckets is None or k_sig_parts is None:
-        n_rows = vecs.count()
         if n_buckets is None:
             n_buckets = max(16, min(65536, n_rows // 500))
         if k_sig_parts is None:

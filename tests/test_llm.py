@@ -2311,3 +2311,20 @@ def test_vecsig_tier_delete_all_and_missing_meta(spark, tmp_path):
     add_to_vecsig_index(spark, path, emb)
     out = lsh_cosine_dedup_against_index_persisted(spark, path, batch)
     assert out.count() == emb.count()
+
+
+def test_vecsig_persist_rejects_duplicate_ids(spark, tmp_path):
+    import pytest as _pytest
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        persist_vecsig_index,
+    )
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 20)
+    )
+    dup = emb.unionByName(emb.limit(3))
+    with _pytest.raises(ValueError, match="duplicate vec_id"):
+        persist_vecsig_index(dup, str(tmp_path / "dup_idx"))
