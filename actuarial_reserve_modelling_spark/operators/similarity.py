@@ -3254,8 +3254,11 @@ def mine_hard_negatives(
         )
     )
     if candidates is not None:
+        # distinct: a duplicated candidate pair would otherwise occupy
+        # two of the k ranked slots (row_number ranks duplicates apart)
         scored = (
             candidates.select("anchor_id", "cand_id")
+            .distinct()
             .join(q, "anchor_id")
             .join(c, "cand_id")
         )
@@ -3454,7 +3457,10 @@ def add_to_vecsig_index(
     batch with the index's OWN persisted parameters and append to both
     datasets' own partition directories. Idempotent retry by default:
     each dataset anti-joins the batch against its existing ids, both
-    reads pruned to the batch's own partitions. sigs/ is written FIRST
+    reads pruned to the batch's own partitions (batch ids must be
+    unique WITHIN the batch — the gates collapse within-batch
+    duplicates first; the anti-join only guards re-ingesting
+    already-indexed ids). sigs/ is written FIRST
     — the worst mid-crash state is orphaned signature rows, which the
     verify join's inner join on vectors/ neutralizes, never an indexed
     vector invisible to lookups (the dedup tier's crash contract)."""
