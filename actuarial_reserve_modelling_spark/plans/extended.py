@@ -343,3 +343,42 @@ def s7_resume_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE walk(k, root, depth, bal) AS (
+        SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DOUBLE)
+        FROM customer WHERE c_custkey <= 50
+        UNION ALL
+        SELECT c2.c_custkey, w.root, w.depth + 1,
+               w.bal + CAST(c2.c_acctbal AS DOUBLE)
+        FROM walk w JOIN customer c2
+          ON c2.c_custkey = CAST(floor(w.k / 2.0) AS BIGINT)
+        WHERE w.k > 1
+    )
+    SELECT root, CAST(max(depth) AS INT) AS levels,
+           round(max(bal), 2) AS path_bal
+    FROM walk GROUP BY root
+"""
+
+
+@register(
+    "q_recursive_cte",
+    "U4,A4 (SQL surface: WITH RECURSIVE — iterative closure inside Catalyst)",
+    oracle=_RECURSIVE_SQL,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x WITH RECURSIVE): walk each anchor
+    customer's binary-tree ancestor chain (parent key = floor(k/2))
+    accumulating depth and the running acctbal path sum — the
+    transitive-closure / hierarchy-rollup SQL shape (BOM explosions,
+    org charts) that previously needed a driver-side loop
+    (dedup_clusters-style) or an external iteration. Catalyst executes
+    the recursion as iterated UnionLoop steps with the same bounded
+    anchor set per level; the oracle replays the identical recursion
+    in DuckDB (floats added in the same recursion order, rounded at
+    the end). Anchors bounded (c_custkey <= 50, depth <= 6) so the
+    per-level join is a broadcast against the dim-sized customer
+    table."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

@@ -52,6 +52,10 @@ _ROUND11_FRONT = [
     #      O(index)-per-batch pattern (t12's gate previously re-read
     #      the whole signature index per batch).
     "l43_vecsig_index_persisted",
+    #    - q_recursive_cte: NEW — WITH RECURSIVE (Spark 4.x) hierarchy
+    #      walk, the SQL-surface closure shape that previously needed a
+    #      driver-side loop.
+    "q_recursive_cte",
     #    - t12/t11: re-based onto the partition-pruned persisted tiers
     #      (vecsig / dedup fingerprint + fpart-partitioned exact tier)
     #      — same admitted sets (replay-convergent same-id exclusion),
