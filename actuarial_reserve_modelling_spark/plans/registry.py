@@ -78,6 +78,11 @@ _ROUND11_FRONT = [
     "a6b_approx_distinct_bound",
     "a10c_approx_percentile_bound",
     "a16b_hll_union_bound",
+    #    - o6b: NEW — the same bound-companion pattern for the seeded
+    #      Bernoulli sampler (realized fraction within 4 sigma of p,
+    #      deterministic for fixed data+seed), so every rows-only row
+    #      now has a hash-green companion.
+    "o6b_tablesample_bound",
     #    - l34/l35/l36: persist_ann_index grew loud corpus-mismatch
     #      guards (left join + raise), add_to_ann_index resolves
     #      group_cap from meta/, delete-all leaves a readable empty

@@ -611,3 +611,40 @@ def a16b_hll_union_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_bound"),
         )
     )
+
+
+@register(
+    "o6b_tablesample_bound",
+    "O3 (hash-grade bound companion for seeded Bernoulli sampling)",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total, CAST(1 AS INT) AS within_bound
+    FROM lineitem
+    """,
+)
+def o6b_tablesample_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-grade companion for o6 (the a13b/a6b pattern): the Bernoulli
+    sampler's RNG is engine-specific, so the SAMPLE itself stays
+    rows-only — but its statistical contract is checkable. The engine
+    samples at p=0.1 (seed 42), computes the realized fraction, and
+    pins |frac − p| ≤ 4σ with σ = sqrt(p(1−p)/n) — a ~6e-5 failure
+    probability for a correct sampler, and DETERMINISTIC for fixed data
+    and seed, so the driver can hash-compare. Emitted alongside the
+    exact total DuckDB reproduces; a broken sampler (wrong fraction,
+    double-sampling, seed drift) flips within_bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(F.count(F.lit(1)).alias("n_total"))
+    sampled = li.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    return (
+        stats.join(F.broadcast(sampled))
+        .select(
+            F.col("n_total").cast("bigint").alias("n_total"),
+            (
+                F.abs(F.col("n_sampled") / F.col("n_total") - F.lit(0.1))
+                <= F.lit(4.0) * F.sqrt(F.lit(0.09) / F.col("n_total"))
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+    )

@@ -235,6 +235,13 @@ ALLOWED: dict[str, Allow] = {
         probe=_scalar_agg("customer", lambda: F.count(F.lit(1)).alias("n")),
         max_rows=1,
     ),
+    "o6b_tablesample_bound": Allow(
+        "BroadcastNestedLoopJoin",
+        "one-row sampled-count aggregate crossJoined with the one-row "
+        "exact-total aggregate (both sides scalar by construction)",
+        probe=_scalar_agg("lineitem", lambda: F.count(F.lit(1)).alias("n")),
+        max_rows=1,
+    ),
     "l41_hard_negative_mining": Allow(
         "BroadcastNestedLoopJoin",
         "exact brute-force mining path: the anchor batch (vec_id<2500, "
