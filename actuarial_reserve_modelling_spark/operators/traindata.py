@@ -905,3 +905,64 @@ def temperature_mix_weights(
             ).alias("weight"),
         )
     )
+
+
+def epoch_repetition_plan(
+    docs: DataFrame,
+    weights: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 42,
+) -> DataFrame:
+    """Materialize per-domain mixture weights into the per-document
+    EPOCH REPETITION PLAN the trainer actually consumes — the step
+    between ``domain_mix_weights`` / ``temperature_mix_weights`` and
+    the data loader: a document with weight w is emitted
+    ``floor(w) + [u < frac(w)]`` times, where u ∈ (0,1) derives from
+    the md5 of (id, salt) — the same content-addressed convention as
+    ``weighted_sample``, so the plan reproduces across reruns,
+    partitionings, and engines, and E[repeats] = w exactly per domain
+    (stochastic rounding, not biased truncation). Weight < 1 domains
+    are downsampled by the same rule (w = 0.66 keeps 66% of docs once);
+    weight 0 / unknown domains emit nothing.
+
+    Output one row per (doc, repetition): (doc_id, domain, n_repeats,
+    rep_idx) with rep_idx in [1, n_repeats] — ready to union into an
+    epoch manifest or feed ``shuffle_shards`` (salt the shard shuffle
+    per epoch for fresh permutations of the repeated stream).
+
+    Scale shape: the weights table is |domains| rows (broadcast); the
+    repeat expansion is a per-row ``explode`` of a ≤ ceil(max w)-long
+    sequence inside codegen — no shuffle at all, output bytes scale
+    with the repeated corpus (which is the contract: this IS the
+    epoch stream).
+    """
+    w = weights.select(
+        F.col("domain").alias(domain_col), F.col("weight").cast("double").alias("_w")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    n = (
+        F.floor("_w")
+        + (u < (F.col("_w") - F.floor("_w"))).cast("bigint")
+    ).cast("int")
+    return (
+        docs.select(id_col, domain_col)
+        .join(F.broadcast(w), domain_col)
+        .withColumn("n_repeats", n)
+        .filter(F.col("n_repeats") >= 1)
+        .select(
+            id_col,
+            F.col(domain_col).alias("domain"),
+            "n_repeats",
+            F.explode(F.sequence(F.lit(1), F.col("n_repeats"))).alias("rep_idx"),
+        )
+    )

@@ -47,6 +47,10 @@ _ROUND11_FRONT = [
     "l41_hard_negative_mining",
     "l41b_hard_negative_ann_planted",
     "l42_temperature_mix",
+    #    - l44: NEW — the mixture weights materialized into the
+    #      per-document epoch repetition plan (stochastic rounding on
+    #      the content hash; E[repeats] = w, deterministic per doc).
+    "l44_epoch_repetition",
     #    - l43: NEW — the persisted VECTOR near-dup tier (build → add →
     #      delete → pruned against-index ingest), closing the last
     #      O(index)-per-batch pattern (t12's gate previously re-read

@@ -715,3 +715,63 @@ def l42_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_mix_weights(docs, alpha=0.3, domain_col="lang")
+
+
+@register(
+    "l44_epoch_repetition",
+    "D9,F5 (mixture weights materialized into the epoch repetition plan)",
+    oracle="""
+    WITH per AS (
+        SELECT lang AS domain, CAST(sum(len(list_filter(string_split(text, ' '),
+               x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    sc AS (
+        SELECT p.domain, p.n_tokens, p.n_tokens / CAST(t.t AS DOUBLE) AS actual,
+               CASE WHEN p.n_tokens > 0
+                    THEN pow(p.n_tokens / CAST(t.t AS DOUBLE), 0.3)
+                    ELSE 0.0 END AS scaled
+        FROM per p CROSS JOIN tot t
+    ),
+    nrm AS (SELECT sum(scaled) AS s FROM sc),
+    w AS (
+        SELECT domain,
+               round(CASE WHEN n_tokens > 0 THEN (scaled / n.s) / actual
+                          ELSE 0.0 END, 6) AS weight
+        FROM sc CROSS JOIN nrm n
+    ),
+    plan AS (
+        SELECT d.doc_id, d.lang AS domain,
+               CAST(floor(w.weight) +
+                    CASE WHEN (CAST(('0x' || substr(md5(d.doc_id || ':42'), 1, 15))
+                               AS BIGINT) + 1.0) / 1152921504606846976.0
+                         < w.weight - floor(w.weight) THEN 1 ELSE 0 END AS INT)
+                   AS n_repeats
+        FROM documents d JOIN w ON w.domain = d.lang
+    )
+    SELECT doc_id, domain, n_repeats, CAST(unnest(range(1, n_repeats + 1)) AS INT)
+           AS rep_idx
+    FROM plan WHERE n_repeats >= 1
+    """,
+)
+def l44_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture weights (l42, alpha=0.3) materialized into
+    the per-document epoch repetition plan (operators/traindata.py::
+    epoch_repetition_plan): floor(w) repeats plus one stochastic-
+    rounding repeat keyed on the content hash — E[repeats] = w per
+    domain, deterministic per document, engine-portable (the oracle
+    replays the identical md5-derived u and the identical rounded
+    weights). Zero shuffles: the weights broadcast and the repeat
+    expansion is a codegen explode."""
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        epoch_repetition_plan,
+        temperature_mix_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = temperature_mix_weights(docs, alpha=0.3, domain_col="lang")
+    out = epoch_repetition_plan(docs, weights, domain_col="lang")
+    return out.select(
+        "doc_id", "domain", "n_repeats", F.col("rep_idx").cast("int").alias("rep_idx")
+    )

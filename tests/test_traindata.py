@@ -548,3 +548,45 @@ def test_temperature_mix_tokenless_domain_pinned_zero(spark):
     assert out["xx"]["weight"] == 0.0
     # live domains renormalize among themselves
     assert abs(sum(r["target_share"] for r in out.values()) - 1.0) <= 1e-5
+
+
+def test_epoch_repetition_plan_expectation_and_determinism(spark):
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        epoch_repetition_plan,
+        temperature_mix_weights,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    weights = temperature_mix_weights(docs, alpha=0.3)
+    plan = epoch_repetition_plan(docs, weights).cache()
+    try:
+        # per-domain realized repeats track the weight (stochastic
+        # rounding: E[repeats] = w; 60-220 docs/domain → loose bound)
+        per_dom = {
+            r["domain"]: r["reps"] / r["docs"]
+            for r in plan.groupBy("domain")
+            .agg(
+                F.countDistinct("doc_id").alias("docs"),
+                F.count(F.lit(1)).alias("reps"),
+            )
+            .collect()
+        }
+        w = {r["domain"]: r["weight"] for r in weights.collect()}
+        for dom, realized in per_dom.items():
+            # realized reps/doc conditioned on >=1; compare unconditional
+            n_docs_total = docs.filter(F.col("lang") == dom).count()
+            total_reps = plan.filter(F.col("domain") == dom).count()
+            assert abs(total_reps / n_docs_total - w[dom]) <= 0.35, (
+                dom, total_reps / n_docs_total, w[dom],
+            )
+        # rep_idx is a dense 1..n_repeats sequence per doc
+        bad = plan.groupBy("doc_id", "n_repeats").agg(
+            F.count(F.lit(1)).alias("k"), F.max("rep_idx").alias("mx")
+        ).filter((F.col("k") != F.col("n_repeats")) | (F.col("mx") != F.col("n_repeats")))
+        assert bad.count() == 0
+        # determinism under repartition
+        again = epoch_repetition_plan(docs.repartition(13), weights)
+        assert plan.exceptAll(again).count() == 0
+        assert again.exceptAll(plan).count() == 0
+    finally:
+        plan.unpersist()

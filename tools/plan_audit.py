@@ -264,6 +264,16 @@ ALLOWED: dict[str, Allow] = {
         # sides are one-row scalars or the |domains|-row aggregate
         max_occurrences=3,
     ),
+    "l44_epoch_repetition": Allow(
+        "BroadcastNestedLoopJoin",
+        "inherits l42's weights subplan: the token-total crossJoin "
+        "(appearing twice via the shared scaled table) + the one-row "
+        "normalizer crossJoin; the docs join itself is a hash equi-join "
+        "on the domain column",
+        probe=_scalar_agg("documents", lambda: F.count(F.lit(1)).alias("n")),
+        max_rows=1,
+        max_occurrences=3,
+    ),
     "u1c_reserve_risk_measures": Allow(
         "BroadcastNestedLoopJoin",
         "single posexploded VaR-level table (len(quantiles) rows) "
