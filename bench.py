@@ -83,7 +83,15 @@ BAND3_BUDGET_SEC = 24.2
 # correctness row checks), same contract: index built in warmup,
 # ingest-only timed, per-slot budget = 1.25x its cold number at
 # introduction so all THREE pruned persisted paths gate independently.
-BAND4 = ["l34_persisted_query", "l37_persisted_query", "l40_persisted_ingest"]
+# r11 (same contract): + the persisted VECSIG tier's pruned lookup
+# (l43_persisted_ingest — the vector near-dup analogue of l40), so all
+# FOUR persisted pruned paths gate independently.
+BAND4 = [
+    "l34_persisted_query",
+    "l37_persisted_query",
+    "l40_persisted_ingest",
+    "l43_persisted_ingest",
+]
 # l37 introduced r11 at cold 1.95 s (loaded box, loadavg ~4-5.7; the
 # idle number is lower, so 1.25x the loaded cold is a conservative gate)
 BAND4_BUDGETS = {
@@ -96,6 +104,11 @@ BAND4_BUDGETS = {
     # the BASELINE.md stress table); the gate guards the job count
     # and the batch-signing path round over round.
     "l40_persisted_ingest": 7.15,
+    # introduced r11 at cold 1.82 s (moderately loaded box, steady
+    # 1.44 s) — the cheapest pruned path: one spart-pruned signature
+    # equi-join + the id-hash-pruned vector verify, ~4 driver jobs.
+    # Budget = 1.25x the cold at introduction.
+    "l43_persisted_ingest": 2.3,
 }
 BAND4_BUDGET_SEC = round(sum(BAND4_BUDGETS.values()), 2)
 
@@ -163,8 +176,31 @@ def _build_persisted_dedup_index(spark, sf_dir) -> str:
     return path
 
 
+def _build_persisted_vecsig_index(spark, sf_dir) -> str:
+    """Warmup-side build of the persisted vector-signature tier for the
+    band-4 l43 slot: the corpus embeddings are signed and persisted
+    once, untimed; the slot then times only the PRUNED against-index
+    lookup of a twin batch."""
+    import tempfile
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        persist_vecsig_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="arm_bench_l43_") + "/vecsig_index"
+    persist_vecsig_index(emb, path)
+    return path
+
+
 def _bench_queries(
-    spark, sf_dir, ann_index_path=None, ivfpq_index_path=None, dedup_index_path=None
+    spark,
+    sf_dir,
+    ann_index_path=None,
+    ivfpq_index_path=None,
+    dedup_index_path=None,
+    vecsig_index_path=None,
 ):
     from actuarial_reserve_modelling_spark.catalog import load_table, synthetic_portfolio
     from actuarial_reserve_modelling_spark.functions.reserves import simulate_reserves
@@ -207,6 +243,19 @@ def _bench_queries(
         return minhash_dedup_against_index_persisted(
             spark, dedup_index_path, docs.filter(F.col("doc_id") % 3 == 0),
             threshold=0.95,
+        )
+
+    def l43_persisted_ingest(spark, sf_dir):
+        from actuarial_reserve_modelling_spark.operators.similarity import (
+            lsh_cosine_dedup_against_index_persisted,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        batch = emb.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 300000).alias("vec_id"), "embedding"
+        )
+        return lsh_cosine_dedup_against_index_persisted(
+            spark, vecsig_index_path, batch, threshold=0.9
         )
 
     def m0_reserve(spark, sf_dir):
@@ -253,6 +302,9 @@ def _bench_queries(
         # round-11 addition (band 4): the persisted dedup tier's PRUNED
         # against-index ingest — banded-projection partition pruning
         "l40_persisted_ingest": l40_persisted_ingest,
+        # round-11 addition (band 4): the persisted VECSIG tier's
+        # pruned lookup — spart partition pruning + id-hash verify
+        "l43_persisted_ingest": l43_persisted_ingest,
     }
     return picks
 
@@ -360,6 +412,9 @@ def main() -> None:
     t0 = time.time()
     dedup_index_path = _build_persisted_dedup_index(spark, sf_dir)
     dedup_build_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    vecsig_index_path = _build_persisted_vecsig_index(spark, sf_dir)
+    vecsig_build_sec = round(time.time() - t0, 3)
 
     # two passes per query: pass 1 (cold — includes per-plan codegen and
     # cache warm-up) is the HEADLINE number, directly comparable to the
@@ -380,7 +435,8 @@ def main() -> None:
     loadavg_per_query: dict[str, float] = {}
     all_names = []
     for name, fn in _bench_queries(
-        spark, sf_dir, ann_index_path, ivfpq_index_path, dedup_index_path
+        spark, sf_dir, ann_index_path, ivfpq_index_path, dedup_index_path,
+        vecsig_index_path,
     ).items():
         all_names.append(name)
         loadavg_per_query[name] = round(os.getloadavg()[0], 2)
@@ -483,6 +539,7 @@ def main() -> None:
                 "ann_index_build_sec": ann_build_sec,
                 "ivfpq_index_build_sec": ivfpq_build_sec,
                 "dedup_index_build_sec": dedup_build_sec,
+                "vecsig_index_build_sec": vecsig_build_sec,
                 "loadavg_per_query": loadavg_per_query,
                 "recall": recall,
                 "recall_ok": recall_ok,
