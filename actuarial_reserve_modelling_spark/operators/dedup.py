@@ -1037,12 +1037,13 @@ def persist_dedup_index(
     # fingerprint write, banded write) and its lineage usually holds the
     # MinHash kernel — pin it once so signatures are computed once
     index = index.localCheckpoint(eager=False)
-    if n_buckets is None or k_band_parts is None:
-        n_rows = index.count()
-        if n_buckets is None:
-            n_buckets = max(16, min(65536, n_rows // 500))
-        if k_band_parts is None:
-            k_band_parts = max(8, min(32768, n_rows // 1000))
+    # counted unconditionally (r12): n_rows seeds the advisory stats/
+    # the adaptive lookup routing consumes, not just the auto-sizing
+    n_rows = index.count()
+    if n_buckets is None:
+        n_buckets = max(16, min(65536, n_rows // 500))
+    if k_band_parts is None:
+        k_band_parts = max(8, min(32768, n_rows // 1000))
     sample = index.select("doc_id", "htok", "sig").limit(1).collect()
     if sample:
         r = sample[0]
@@ -1081,6 +1082,13 @@ def persist_dedup_index(
     ).sortWithinPartitions("band", "bucket").write.mode("overwrite").partitionBy(
         "bpart"
     ).parquet(path + "/banded")
+    # advisory corpus size for the adaptive lookup routing (r12) —
+    # before meta/ so the commit marker still lands last
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        _write_index_stats,
+    )
+
+    _write_index_stats(spark, path, n_rows)
     spark.createDataFrame(
         [(int(bands), int(rows_per_band), int(seed), int(n_buckets), int(k_band_parts), 2)],
         schema=(
@@ -1212,6 +1220,19 @@ def add_to_dedup_index(
     batch.repartition(F.col("part")).write.mode("append").partitionBy(
         "part"
     ).parquet(path + "/fingerprints")
+    # advisory stats for the adaptive routing (r12): incremented AFTER
+    # both appends (a crash before this line undercounts, which only
+    # biases routing toward the full scan); the count is over the
+    # checkpointed batch frame, so it is batch-bounded and re-uses the
+    # materialization the writes already paid for
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        _write_index_stats,
+        read_index_stats,
+    )
+
+    n_before = read_index_stats(spark, path)
+    if n_before is not None:
+        _write_index_stats(spark, path, n_before + batch.count())
 
 
 def _read_banded_pruned(
@@ -1259,7 +1280,12 @@ def delete_from_dedup_index(
     )
 
     meta = read_dedup_index_meta(spark, path)
+    n_before = n_doomed = None
     if meta["k_band_parts"] is not None:
+        from actuarial_reserve_modelling_spark.operators.similarity import (
+            read_index_stats,
+        )
+
         del_ids = ids.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
         parts = [
             int(r["part"])
@@ -1276,6 +1302,13 @@ def delete_from_dedup_index(
             .filter(F.col("part").isin(parts))
             .join(del_ids, "doc_id", "left_semi")
         )
+        n_before = read_index_stats(spark, path)
+        if n_before is not None:
+            # advisory-stats decrement (r12): counted BEFORE the
+            # rewrites mutate fingerprints/ (doomed derives from it);
+            # cost bounded by the deleted ids' bucket footprint
+            doomed = doomed.localCheckpoint(eager=False)
+            n_doomed = doomed.count()
         doomed_banded = _banded_projection(
             doomed, meta["bands"], meta["rows_per_band"], meta["k_band_parts"]
         )
@@ -1284,6 +1317,12 @@ def delete_from_dedup_index(
         ]
         _delete_banded_rows(spark, path + "/banded", del_ids, bparts)
     _delete_partitioned_rows(spark, path + "/fingerprints", ids, id_col, "part")
+    if n_before is not None and n_doomed is not None:
+        from actuarial_reserve_modelling_spark.operators.similarity import (
+            _write_index_stats,
+        )
+
+        _write_index_stats(spark, path, n_before - n_doomed)
 
 
 def _delete_banded_rows(
@@ -1404,6 +1443,25 @@ def minhash_dedup_against_index(
     new_index = build_dedup_index(
         new_docs, bands=bands, rows_per_band=rows_per_band, seed=seed, text_col=text_col
     ).localCheckpoint(eager=False)
+    return _against_index_full_scan(
+        new_index, index, threshold, bands, rows_per_band, max_bucket_size,
+        exclude_same_id,
+    )
+
+
+def _against_index_full_scan(
+    new_index: DataFrame,
+    index: DataFrame,
+    threshold: float,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int,
+    exclude_same_id: bool,
+) -> DataFrame:
+    """Body of ``minhash_dedup_against_index`` after the batch is
+    signed — split out (r12) so the adaptive router can feed an
+    ALREADY-BUILT batch index to the full-scan side without re-signing
+    the batch."""
     idx_banded = _banded_buckets(index, "index_id", bands, rows_per_band)
     # skew guard on the corpus side, where the mass is
     bucket_sizes = idx_banded.groupBy("band", "bucket").agg(
@@ -1442,6 +1500,15 @@ def minhash_dedup_against_index(
     )
 
 
+# Adaptive routing crossover for the persisted dedup tier (r12): the
+# r11 stress sweep (tools/dedup_index_stress.py, BASELINE.md) measured
+# the pruned lookup overtaking the full scan at a 512k-doc corpus for a
+# 200-doc × 16-band batch (3,200 banded cells) — pruned 12.3 s vs full
+# 13.1 s, with full ahead at 32k/128k where fixed driver-job overhead
+# dominates. 512k / 3,200 = 160 corpus rows per batch cell.
+_DEDUP_ROUTE_CELLS_FACTOR = 160
+
+
 def minhash_dedup_against_index_persisted(
     spark: SparkSession,
     path: str,
@@ -1450,6 +1517,7 @@ def minhash_dedup_against_index_persisted(
     text_col: str = "text",
     max_bucket_size: int = 10_000,
     exclude_same_id: bool = True,
+    route: str = "auto",
 ) -> DataFrame:
     """``minhash_dedup_against_index`` against a PERSISTED tier, with
     per-batch cost O(batch's bucket footprint) instead of O(index) —
@@ -1478,7 +1546,24 @@ def minhash_dedup_against_index_persisted(
     old tiers keep answering.
 
     Same precondition as the full-scan operator: batch doc_ids should
-    be disjoint from index doc_ids unless ``exclude_same_id=False``."""
+    be disjoint from index doc_ids unless ``exclude_same_id=False``.
+
+    ``route`` (r12): ``"auto"`` (default) picks pruned vs full scan
+    from the tier's advisory row count (stats/, maintained by
+    persist/add/delete) against the batch's banded-cell footprint —
+    below ``_DEDUP_ROUTE_CELLS_FACTOR`` · |batch|·bands the pruned
+    path's ~6 fixed driver jobs cost more than scanning the whole
+    (still-small) index, the measured small-scale regression the r11
+    verdict asked to close. Both sides are answer-identical (twin
+    pytest), so routing is pure performance; unknown stats (pre-r12
+    tier, crashed stats rewrite) routes pruned — the scale-safe side.
+    ``"pruned"`` / ``"full"`` force a side (stress tools, tests)."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        read_index_stats,
+    )
+
+    if route not in ("auto", "pruned", "full"):
+        raise ValueError(f"route must be auto|pruned|full, got {route!r}")
     meta = read_dedup_index_meta(spark, path)
     if meta["k_band_parts"] is None:
         return minhash_dedup_against_index(
@@ -1499,9 +1584,28 @@ def minhash_dedup_against_index_persisted(
     new_banded = _banded_projection(
         new_index, bands, rpb, meta["k_band_parts"]
     ).localCheckpoint(eager=False)
-    bparts = [
-        int(r["bpart"]) for r in new_banded.select("bpart").distinct().collect()
-    ]
+    # ONE footprint job serves both the routing decision (total banded
+    # rows = |batch|·bands) and the pruned read's directory set
+    foot = new_banded.groupBy("bpart").agg(F.count(F.lit(1)).alias("_n")).collect()
+    bparts = [int(r["bpart"]) for r in foot]
+    n_batch_cells = sum(int(r["_n"]) for r in foot)
+    if route == "auto":
+        n_index = read_index_stats(spark, path)
+        use_pruned = (
+            n_index is None or n_index >= _DEDUP_ROUTE_CELLS_FACTOR * n_batch_cells
+        )
+    else:
+        use_pruned = route == "pruned"
+    if not use_pruned:
+        return _against_index_full_scan(
+            new_index,
+            load_dedup_index(spark, path),
+            threshold,
+            bands,
+            rpb,
+            max_bucket_size,
+            exclude_same_id,
+        )
     idx_banded = _read_banded_pruned(spark, path, bparts)
     # exact skew guard over the pruned read (step 2 above)
     bucket_sizes = idx_banded.groupBy("band", "bucket").agg(
@@ -1533,8 +1637,10 @@ def minhash_dedup_against_index_persisted(
         .select("new_id", "index_id")
         .distinct()
         # the candidate set is consumed twice (id-bucket collect below +
-        # verify join) — pin it so the banded join runs once
-        .localCheckpoint()
+        # verify join) — lazily pinned so the banded join runs once,
+        # materialized BY the cparts collect (r12: one job where r11
+        # spent two — eager checkpoint then a separate collect)
+        .localCheckpoint(eager=False)
     )
     cparts = [
         int(r["part"])

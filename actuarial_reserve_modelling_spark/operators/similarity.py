@@ -2223,6 +2223,51 @@ def compact_ivfpq_index(
     )
 
 
+# ---------------------------------------------------------------------------
+# Advisory corpus-size stats for the persisted tiers (r12): one bigint,
+# maintained incrementally by persist/add/delete, consumed by the
+# adaptive pruned-vs-full routing in the against-index lookups. Kept in
+# its OWN stats/ dataset — NOT meta/ — because meta/ is the tier's
+# commit marker and must stay write-once (a crash mid-overwrite of
+# meta/ would brick the tier; a crash mid-overwrite of stats/ merely
+# loses the advisory count, and every consumer treats a missing or
+# unreadable stats/ as "unknown" and takes the conservative pruned
+# path). Stale-by-one-batch counts are harmless for the same reason:
+# routing is a performance decision, never a correctness one (both
+# paths are answer-identical, pinned by the twin pytests).
+# ---------------------------------------------------------------------------
+
+_INDEX_STATS_CACHE: dict[str, int] = {}
+
+
+def read_index_stats(spark: SparkSession, path: str) -> int | None:
+    """The tier's advisory corpus row count, or None when stats/ is
+    absent (pre-r12 tier) or unreadable (crash mid-rewrite). Cached per
+    process; ``_write_index_stats`` evicts on every update."""
+    if path in _INDEX_STATS_CACHE:
+        return _INDEX_STATS_CACHE[path]
+    try:
+        r = spark.read.parquet(path + "/stats").first()
+        n = int(r["n_rows"]) if r is not None else None
+    except Exception:
+        return None
+    if n is not None:
+        _INDEX_STATS_CACHE[path] = n
+    return n
+
+
+def _write_index_stats(spark: SparkSession, path: str, n_rows: int) -> None:
+    """Overwrite the advisory row count (one tiny single-file dataset)
+    and evict the per-process cache. Written AFTER the data-bearing
+    datasets in every maintenance path, so a crash before this line
+    leaves an undercount — which only biases routing toward the
+    full-scan twin, never toward a wrong answer."""
+    spark.createDataFrame(
+        [(int(max(0, n_rows)),)], schema="n_rows bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+    _INDEX_STATS_CACHE.pop(path, None)
+
+
 def ann_ivf_hier_topk_persisted(
     spark: SparkSession,
     path: str,
@@ -3147,6 +3192,7 @@ def lsh_cosine_dedup_against_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int = 10_000,
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """Incremental embedding near-dup check — the vector analogue of
     ``minhash_dedup_against_index``: (new_id, index_id, sim ≥ τ) pairs
@@ -3176,11 +3222,12 @@ def lsh_cosine_dedup_against_index(
         .filter(F.col("_n") <= max_bucket_size)
         .drop("_n")
     )
-    cand = (
-        new_sigs.join(idx_sigs, ["table", "sig"])
-        .select("new_id", "index_id")
-        .distinct()
-    )
+    cand = new_sigs.join(idx_sigs, ["table", "sig"])
+    if exclude_same_id:
+        # replay shape (same contract as the persisted lookup): a batch
+        # whose ids are already indexed must not self-reject
+        cand = cand.filter(F.col("new_id") != F.col("index_id"))
+    cand = cand.select("new_id", "index_id").distinct()
     a = new_vecs.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("e1"))
     b = vec_index.select(F.col(id_col).alias("index_id"), F.col(vec_col).alias("e2"))
     # batch Arrow kernel verify (bit-identical sequential sums); the
@@ -3245,11 +3292,17 @@ def mine_hard_negatives(
         dot(vec_col, vec_col).alias("dcc"),
     )
     # pos_sim: one equi-join against the corpus on the positive's id —
-    # |anchors| rows out, broadcast back onto the scored candidates
+    # |anchors| rows out, broadcast back onto the scored candidates.
+    # positive_id rides along so the join below keys on the full
+    # (anchor, positive) pair: an anchor listed with several positives
+    # would otherwise cross-multiply here, pairing each candidate row
+    # with the OTHER positive's pos_sim (wrong margin) and letting the
+    # duplicated rows share one anchor's k ranked slots.
     pos = (
         q.join(c, q.positive_id == c.cand_id)
         .select(
             "anchor_id",
+            "positive_id",
             F.round(cosine_from_sq("qvec", "cvec", "dqq", "dcc"), 6).alias("pos_sim"),
         )
     )
@@ -3275,10 +3328,14 @@ def mine_hard_negatives(
             F.col("cand_id").alias("negative_id"),
             F.round(cosine_from_sq("qvec", "cvec", "dqq", "dcc"), 6).alias("neg_sim"),
         )
-        .join(F.broadcast(pos), "anchor_id")
+        .join(F.broadcast(pos), ["anchor_id", "positive_id"])
         .filter(F.col("neg_sim") <= F.col("pos_sim") - F.lit(float(margin)))
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.col("neg_sim").desc(), "negative_id")
+    # ranked per (anchor, positive) pair — the docstring contract; an
+    # anchor with two positives gets k negatives for EACH pair
+    w = Window.partitionBy("anchor_id", "positive_id").orderBy(
+        F.col("neg_sim").desc(), "negative_id"
+    )
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -3418,6 +3475,9 @@ def persist_vecsig_index(
     ).repartition(F.col("part")).write.mode("overwrite").partitionBy("part").parquet(
         path + "/vectors"
     )
+    # advisory corpus size for the adaptive lookup routing (r12) —
+    # before meta/ so the commit marker still lands last
+    _write_index_stats(spark, path, n_rows)
     spark.createDataFrame(
         [
             (
@@ -3493,9 +3553,16 @@ def add_to_vecsig_index(
             .select(F.col("vec_id").cast("long").alias("vec_id"))
         )
         rows = rows.join(existing_v, "vec_id", "left_anti")
+    n_before = read_index_stats(spark, path)
+    if n_before is not None:
+        # the stats maintenance re-counts the appended frame — pin it
+        # so the anti-join runs once (batch-bounded either way)
+        rows = rows.localCheckpoint(eager=False)
     rows.repartition(F.col("part")).write.mode("append").partitionBy("part").parquet(
         path + "/vectors"
     )
+    if n_before is not None:
+        _write_index_stats(spark, path, n_before + rows.count())
 
 
 def _read_sigs_pruned(
@@ -3547,6 +3614,12 @@ def delete_from_vecsig_index(
         .join(del_ids, "vec_id", "left_semi")
         .select("vec_id", "embedding")
     )
+    n_before = read_index_stats(spark, path)
+    if n_before is not None:
+        # counted BEFORE the rewrites below mutate vectors/ (doomed is
+        # derived from it); cost bounded by the deleted ids' footprint
+        doomed = doomed.localCheckpoint(eager=False)
+        n_doomed = doomed.count()
     doomed_sigs = hyperplane_signatures_multi(
         doomed, meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
     ).withColumn("spart", _vecsig_spart(meta["k_sig_parts"]))
@@ -3590,6 +3663,8 @@ def delete_from_vecsig_index(
                 ).parquet(f"{path}/sigs/spart={sparts[0]}")
         spark.catalog.refreshByPath(path + "/sigs")
     _delete_partitioned_rows(spark, path + "/vectors", del_ids, "vec_id", "part")
+    if n_before is not None:
+        _write_index_stats(spark, path, n_before - n_doomed)
 
 
 def compact_vecsig_index(
@@ -3605,6 +3680,17 @@ def compact_vecsig_index(
     return n
 
 
+# Adaptive routing crossover for the persisted vector tier (r12): the
+# pruned path wins once the corpus outgrows the batch's signature-cell
+# footprint — tools/vecsig_stress.py (BASELINE.md r11) measured full
+# scan ahead through 512k vectors for a 200-vector batch (4,800 sig
+# rows), with the documented crossover at the cell-saturation point
+# n ≈ 1000 · |batch| · num_tables ≈ 4.8M (k_sig_parts sizes at
+# n/1000, so below that every spart directory is touched and pruning
+# buys nothing while its fixed driver jobs cost ~3 s).
+_VECSIG_ROUTE_CELLS_FACTOR = 1000
+
+
 def lsh_cosine_dedup_against_index_persisted(
     spark: SparkSession,
     path: str,
@@ -3612,6 +3698,7 @@ def lsh_cosine_dedup_against_index_persisted(
     threshold: float = 0.9,
     max_bucket_size: int = 10_000,
     exclude_same_id: bool = True,
+    route: str = "auto",
 ) -> DataFrame:
     """``lsh_cosine_dedup_against_index`` against the PERSISTED tier,
     with per-batch cost O(batch's signature footprint) instead of
@@ -3634,7 +3721,21 @@ def lsh_cosine_dedup_against_index_persisted(
     candidate id-hash buckets (≤ n_buckets ints) — nothing scales with
     the corpus. Answers are identical to the in-memory operator under
     the same parameters (identical vectors collide in every table with
-    probability 1, so exact re-encounters are always found)."""
+    probability 1, so exact re-encounters are always found).
+
+    ``route`` (r12): ``"auto"`` (default) picks pruned vs the
+    full-scan twin from the tier's advisory row count (stats/,
+    maintained by persist/add/delete) against the batch's signature
+    footprint — below ``_VECSIG_ROUTE_CELLS_FACTOR`` · |batch·tables|
+    the fixed driver-job overhead of pruning costs more than just
+    scanning the whole (still-small) index, the measured 2× small-
+    scale regression the r11 verdict asked to close. Both paths return
+    identical answers (twin pytest), so routing is pure performance.
+    ``"pruned"`` / ``"full"`` force a side (stress tools, tests).
+    Unknown stats (pre-r12 tier, crashed stats rewrite) routes pruned
+    — the scale-safe side."""
+    if route not in ("auto", "pruned", "full"):
+        raise ValueError(f"route must be auto|pruned|full, got {route!r}")
     meta = read_vecsig_index_meta(spark, path)
     batch = new_vecs.select("vec_id", "embedding").localCheckpoint(eager=False)
     new_sigs = (
@@ -3644,7 +3745,33 @@ def lsh_cosine_dedup_against_index_persisted(
         .withColumn("spart", _vecsig_spart(meta["k_sig_parts"]))
         .localCheckpoint(eager=False)
     )
-    sparts = [int(r["spart"]) for r in new_sigs.select("spart").distinct().collect()]
+    # ONE footprint job serves both the routing decision (total sig
+    # rows = |batch|·num_tables) and the pruned read's directory set
+    foot = new_sigs.groupBy("spart").agg(F.count(F.lit(1)).alias("_n")).collect()
+    sparts = [int(r["spart"]) for r in foot]
+    n_batch_cells = sum(int(r["_n"]) for r in foot)
+    if route == "auto":
+        n_index = read_index_stats(spark, path)
+        use_pruned = (
+            n_index is None
+            or n_index >= _VECSIG_ROUTE_CELLS_FACTOR * n_batch_cells
+        )
+    else:
+        use_pruned = route == "pruned"
+    if not use_pruned:
+        sig_index, vec_index = load_vecsig_index(spark, path)
+        return lsh_cosine_dedup_against_index(
+            batch,
+            sig_index,
+            vec_index,
+            threshold=threshold,
+            num_planes=meta["num_planes"],
+            num_tables=meta["num_tables"],
+            seed=meta["seed"],
+            dim=meta["dim"],
+            max_bucket_size=max_bucket_size,
+            exclude_same_id=exclude_same_id,
+        )
     idx_sigs = _read_sigs_pruned(spark, path, sparts).select(
         F.col("vec_id").alias("index_id"), "table", "sig"
     )
@@ -3659,9 +3786,11 @@ def lsh_cosine_dedup_against_index_persisted(
     ).join(idx_sigs, ["table", "sig"])
     if exclude_same_id:
         cand = cand.filter(F.col("new_id") != F.col("index_id"))
-    # consumed twice (id-bucket collect + verify join) — pin it so the
-    # pruned signature join runs once
-    cand = cand.select("new_id", "index_id").distinct().localCheckpoint()
+    # consumed twice (id-bucket collect + verify join) — lazily pinned
+    # so the pruned signature join runs once, materialized BY the
+    # cparts collect below (r12: one job where r11 spent two — the
+    # eager checkpoint then a separate collect)
+    cand = cand.select("new_id", "index_id").distinct().localCheckpoint(eager=False)
     cparts = [
         int(r["part"])
         for r in cand.select(

@@ -895,7 +895,15 @@ def temperature_mix_weights(
             "domain",
             "n_docs",
             "n_tokens",
-            F.round(actual, 6).alias("actual_share"),
+            # same pin as target/weight: a 0-token domain (or an
+            # all-empty corpus where _total = 0) must report 0.0, not
+            # the NULL a 0/0 division would produce
+            F.round(
+                F.when(
+                    (F.col("n_tokens") > 0) & (F.col("_total") > 0), actual
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("actual_share"),
             F.round(
                 F.when(F.col("n_tokens") > 0, target).otherwise(F.lit(0.0)), 6
             ).alias("target_share"),

@@ -32,6 +32,30 @@ from actuarial_reserve_modelling_spark.catalog import load_table
 _STAGED_SOURCES: dict[tuple[str, int], str] = {}
 
 
+def _committed_parquet(path: str) -> bool:
+    """True iff ``path`` holds at least one COMMITTED parquet data file.
+
+    The ingest gates' retry-convergence contract needs "index exists"
+    to mean "a committed write landed", not "the directory was created":
+    a first append that died mid-job leaves the dir with only
+    ``_temporary/`` (or nothing), and a bare ``os.path.exists`` would
+    then route every later batch into ``spark.read.parquet`` on a
+    file-less directory — a permanent unable-to-infer-schema failure
+    instead of re-healing. Hidden/_-prefixed entries (``_temporary``,
+    ``_SUCCESS``, ``.crc``) are skipped exactly as Spark's own file
+    listing does."""
+    import os
+
+    if not os.path.isdir(path):
+        return False
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                return True
+    return False
+
+
 def events_stream_source(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> tuple[DataFrame, str]:
@@ -350,9 +374,15 @@ def incremental_ingest_dedup(
     _fpart = F.pmod(F.xxhash64(F.col("fingerprint")), F.lit(fp_parts)).cast("int")
 
     def _has_index() -> bool:
-        return os.path.exists(idx_dir)
+        return _committed_parquet(idx_dir)
 
-    if seed is not None:
+    # Seed bootstrap ONLY when no committed index exists yet: a
+    # whole-root overwrite here would, under a reused persistent
+    # work_dir, wipe every prior batch's accumulated fingerprints and
+    # silently re-admit their duplicates. An existing index already
+    # contains the seed (it was bootstrapped from it), so skipping is
+    # the idempotent resume path, not a behavior change.
+    if seed is not None and not _has_index():
         content_fingerprints(seed).select("doc_id", "fingerprint").withColumn(
             "fpart", _fpart
         ).repartition(F.col("fpart")).write.mode("overwrite").partitionBy(
@@ -539,7 +569,7 @@ def incremental_neardup_ingest(
         return os.path.exists(os.path.join(idx_dir, "meta"))
 
     def _have_fp() -> bool:
-        return os.path.exists(fp_dir)
+        return _committed_parquet(fp_dir)
 
     _fpart = F.pmod(F.xxhash64(F.col("fingerprint")), F.lit(fp_parts)).cast("int")
 

@@ -2328,3 +2328,184 @@ def test_vecsig_persist_rejects_duplicate_ids(spark, tmp_path):
     dup = emb.unionByName(emb.limit(3))
     with _pytest.raises(ValueError, match="duplicate vec_id"):
         persist_vecsig_index(dup, str(tmp_path / "dup_idx"))
+
+
+def test_mine_hard_negatives_multi_positive_anchor_pair_semantics(spark):
+    """r12 ADVICE fix: an anchor listed with SEVERAL positives must be
+    mined per (anchor, positive) PAIR — each pair carries its own
+    pos_sim (margin filter) and its own k ranked slots. Pre-fix, the
+    pos broadcast joined on anchor_id alone, cross-multiplying scored
+    rows with the OTHER positive's pos_sim and making the duplicated
+    rows share one anchor's k slots."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    a0 = emb.filter(F.col("vec_id") % 10 == 0)
+    # positive A: an exact twin (pos_sim 1.0); positive B: the anchor's
+    # own vector negated (pos_sim -1.0) — maximally different pos_sims
+    twin = a0.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    neg = a0.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    corpus = emb.unionByName(twin).unionByName(neg)
+    anchors = a0.select(
+        "vec_id", "embedding", (F.col("vec_id") + 100000).alias("positive_id")
+    ).unionByName(
+        a0.select(
+            "vec_id", "embedding", (F.col("vec_id") + 200000).alias("positive_id")
+        )
+    )
+    out = mine_hard_negatives(corpus, anchors, k=3, margin=0.05)
+    rows = out.collect()
+    assert rows
+    by_pair = {}
+    for r in rows:
+        by_pair.setdefault((r["anchor_id"], r["positive_id"]), []).append(r)
+        # each pair sees ITS positive's sim, not the other pair's
+        if r["positive_id"] >= 200000:
+            assert r["pos_sim"] == -1.0
+        else:
+            assert r["pos_sim"] == 1.0
+        assert r["neg_sim"] <= r["pos_sim"] - 0.05
+        assert r["negative_id"] not in (r["anchor_id"], r["positive_id"])
+    # twin-positive pairs (pos_sim 1.0, margin 0.05) keep their full
+    # k=3 slots — the duplicated-anchor rows may not consume them
+    twin_pairs = [p for p in by_pair if p[1] < 200000]
+    assert twin_pairs
+    for p in twin_pairs:
+        ranks = sorted(r["rank"] for r in by_pair[p])
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) == 3
+    # pos_sim -1.0 pairs can admit nothing (nothing sits 0.05 below -1)
+    assert all(p[1] < 200000 for p in by_pair)
+
+
+def test_dedup_lookup_adaptive_routing_parity_and_stats(spark, tmp_path):
+    """r12: the persisted dedup lookup routes pruned-vs-full from the
+    tier's advisory stats/ — answers must be identical on BOTH sides of
+    the threshold, and persist/add/delete must maintain the count."""
+    from actuarial_reserve_modelling_spark.operators import dedup as D
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        _INDEX_STATS_CACHE,
+        read_index_stats,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    path = str(tmp_path / "didx")
+    D.persist_dedup_index(
+        D.build_dedup_index(corpus, bands=8, rows_per_band=4),
+        path,
+        bands=8,
+        rows_per_band=4,
+    )
+    n0 = read_index_stats(spark, path)
+    assert n0 == corpus.count()
+    pruned = D.minhash_dedup_against_index_persisted(
+        spark, path, batch, threshold=0.8, route="pruned"
+    )
+    full = D.minhash_dedup_against_index_persisted(
+        spark, path, batch, threshold=0.8, route="full"
+    )
+    assert pruned.count() > 0
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+    # auto matches too, on both sides of the crossover (flip the
+    # factor instead of building a 512k corpus)
+    old = D._DEDUP_ROUTE_CELLS_FACTOR
+    try:
+        D._DEDUP_ROUTE_CELLS_FACTOR = 0  # auto -> pruned
+        lo = D.minhash_dedup_against_index_persisted(
+            spark, path, batch, threshold=0.8, route="auto"
+        )
+        D._DEDUP_ROUTE_CELLS_FACTOR = 10**9  # auto -> full
+        hi = D.minhash_dedup_against_index_persisted(
+            spark, path, batch, threshold=0.8, route="auto"
+        )
+        assert lo.exceptAll(hi).count() == 0
+        assert hi.exceptAll(lo).count() == 0
+        assert lo.exceptAll(full).count() == 0
+    finally:
+        D._DEDUP_ROUTE_CELLS_FACTOR = old
+    # stats maintenance: add increments by the appended rows, delete
+    # decrements by the removed rows; cache evicts on each update
+    extra = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    D.add_to_dedup_index(spark, path, extra)
+    n1 = read_index_stats(spark, path)
+    assert n1 == n0 + extra.count()
+    D.delete_from_dedup_index(
+        spark, path, extra.select("doc_id").limit(10)
+    )
+    assert read_index_stats(spark, path) == n1 - 10
+    # unknown stats (pre-r12 tier) must not break the lookup: nuke
+    # stats/ and the pruned path still answers
+    import shutil
+
+    _INDEX_STATS_CACHE.pop(path, None)
+    shutil.rmtree(path + "/stats")
+    assert read_index_stats(spark, path) is None
+    again = D.minhash_dedup_against_index_persisted(
+        spark, path, batch, threshold=0.8, route="auto"
+    )
+    assert again.exceptAll(
+        D.minhash_dedup_against_index_persisted(
+            spark, path, batch, threshold=0.8, route="pruned"
+        )
+    ).count() == 0
+
+
+def test_vecsig_lookup_adaptive_routing_parity_and_stats(spark, tmp_path):
+    """Vector-tier twin of the dedup routing test."""
+    from actuarial_reserve_modelling_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    # exact twins of indexed vectors (re-keyed) — identical vectors
+    # collide in every table, so the lookup is guaranteed non-empty
+    batch = corpus.filter(F.col("vec_id") % 5 == 1).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    path = str(tmp_path / "vidx")
+    S.persist_vecsig_index(corpus, path)
+    n0 = S.read_index_stats(spark, path)
+    assert n0 == corpus.count()
+    pruned = S.lsh_cosine_dedup_against_index_persisted(
+        spark, path, batch, threshold=0.5, route="pruned"
+    )
+    full = S.lsh_cosine_dedup_against_index_persisted(
+        spark, path, batch, threshold=0.5, route="full"
+    )
+    assert pruned.count() > 0
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+    old = S._VECSIG_ROUTE_CELLS_FACTOR
+    try:
+        S._VECSIG_ROUTE_CELLS_FACTOR = 0
+        lo = S.lsh_cosine_dedup_against_index_persisted(
+            spark, path, batch, threshold=0.5, route="auto"
+        )
+        S._VECSIG_ROUTE_CELLS_FACTOR = 10**9
+        hi = S.lsh_cosine_dedup_against_index_persisted(
+            spark, path, batch, threshold=0.5, route="auto"
+        )
+        assert lo.exceptAll(hi).count() == 0
+        assert hi.exceptAll(lo).count() == 0
+    finally:
+        S._VECSIG_ROUTE_CELLS_FACTOR = old
+    # stats maintenance across add + delete
+    extra = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+    )
+    S.add_to_vecsig_index(spark, path, extra)
+    n1 = S.read_index_stats(spark, path)
+    assert n1 == n0 + extra.count()
+    S.delete_from_vecsig_index(spark, path, extra.select("vec_id").limit(7))
+    assert S.read_index_stats(spark, path) == n1 - 7

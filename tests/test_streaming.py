@@ -832,3 +832,72 @@ def test_ann_gate_replay_self_hit_excluded(spark, tmp_path):
     hits = {r["vec_id"] for r in gate_hits(emb).collect()}
     expect = {r["vec_id"] for r in emb.filter(F.col("vec_id") % 3 == 0).collect()}
     assert hits == expect
+
+
+def test_committed_parquet_ignores_uncommitted_state(tmp_path):
+    """r12 ADVICE fix: the ingest gates' 'index exists' probe must mean
+    'a committed parquet file landed', not 'the directory exists' — a
+    first append that died mid-job leaves only _temporary/ and must
+    read as NO index so the retry re-heals instead of failing schema
+    inference forever."""
+    import os
+
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        _committed_parquet,
+    )
+
+    root = str(tmp_path / "idx")
+    assert not _committed_parquet(root)
+    os.makedirs(os.path.join(root, "_temporary", "0"))
+    with open(os.path.join(root, "_temporary", "0", "part-0.parquet"), "w") as f:
+        f.write("junk")
+    with open(os.path.join(root, "_SUCCESS"), "w"):
+        pass
+    with open(os.path.join(root, ".part-0.parquet.crc"), "w") as f:
+        f.write("junk")
+    assert not _committed_parquet(root)
+    os.makedirs(os.path.join(root, "fpart=3"))
+    with open(os.path.join(root, "fpart=3", "part-0.parquet"), "w") as f:
+        f.write("data")
+    assert _committed_parquet(root)
+
+
+def test_incremental_ingest_dedup_seeded_resume_keeps_prior_batches(spark, tmp_path):
+    """r12 ADVICE fix: re-invoking the seeded exact-dedup gate with the
+    SAME persistent work_dir must NOT rewrite the seed over the index
+    root (pre-fix: mode('overwrite') at entry wiped every prior batch's
+    accumulated fingerprints, so resumed runs re-admitted duplicates of
+    earlier batches)."""
+    import shutil
+
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_ingest_dedup,
+    )
+
+    work = str(tmp_path / "gate")
+    seed = spark.createDataFrame([(100, "seed text")], ["doc_id", "text"])
+    b0 = spark.createDataFrame(
+        [(0, "fresh alpha"), (1, "seed TEXT")], ["doc_id", "text"]
+    )
+    got0 = {
+        (r["doc_id"], r["batch"])
+        for r in incremental_ingest_dedup(
+            spark, [b0], cache_key="t_resume_0", seed=seed, work_dir=work
+        ).collect()
+    }
+    assert got0 == {(0, 0)}
+    # second invocation, same work_dir: batch duplicates BOTH the seed
+    # and batch-0's survivor — both must still reject
+    shutil.rmtree(work + "/ckpt", ignore_errors=True)
+    b1 = spark.createDataFrame(
+        [(5, "fresh  ALPHA"), (6, "seed text"), (7, "brand new gamma")],
+        ["doc_id", "text"],
+    )
+    got1 = {
+        (r["doc_id"], r["batch"])
+        for r in incremental_ingest_dedup(
+            spark, [b1], cache_key="t_resume_1", seed=seed, work_dir=work
+        ).collect()
+    }
+    assert (7, 0) in got1
+    assert not any(d in (5, 6) for d, _ in got1)

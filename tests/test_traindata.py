@@ -590,3 +590,24 @@ def test_epoch_repetition_plan_expectation_and_determinism(spark):
         assert again.exceptAll(plan).count() == 0
     finally:
         plan.unpersist()
+
+
+def test_temperature_mix_all_empty_corpus_no_nulls(spark):
+    """r12 ADVICE fix: when the ENTIRE corpus has zero tokens the
+    _total is 0 and n_tokens/_total is a null-producing division —
+    actual_share must come back as the pinned 0.0 (like target/weight),
+    never NULL."""
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        temperature_mix_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "", "aa"), (2, "  ", "aa"), (3, "", "bb")],
+        "doc_id long, text string, lang string",
+    )
+    rows = temperature_mix_weights(docs, alpha=0.3).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["actual_share"] == 0.0
+        assert r["target_share"] == 0.0
+        assert r["weight"] == 0.0
