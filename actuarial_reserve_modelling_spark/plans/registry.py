@@ -32,6 +32,81 @@ REGISTRY: dict[str, Query] = {}
 # every query that has never appeared in a driver CORRECTNESS_r*.json,
 # plus queries added or rewritten this round. Names not yet registered
 # are skipped (harmless); everything else keeps registration order.
+_ROUND12_FRONT = [
+    # 1) queries ADDED or whose code paths CHANGED in round 12 — they
+    #    lead the window to (re-)earn driver evidence on the new code:
+    #    - l45: NEW — the end-to-end curation pipeline (clean → dedup
+    #      gate → decontaminate → temperature mix → epoch plan →
+    #      shards) as ONE oracle-checked flow (r11 verdict task 4).
+    "l45_curation_pipeline",
+    #    - l40/l43: the persisted lookups grew adaptive pruned-vs-full
+    #      routing from the new stats/ dataset; l38 maintains it on
+    #      add/delete — re-earn on the routed paths.
+    "l40_dedup_banded_persisted",
+    "l43_vecsig_index_persisted",
+    "l38_dedup_index_delete_persisted",
+    #    - t10-t13: the gates ride the routed lookups, the
+    #      committed-parquet index probes, and the seed-bootstrap fix.
+    "t10_incremental_ingest_dedup",
+    "t11_neardup_ingest_gate",
+    "t12_semantic_ingest_gate",
+    "t13_ann_index_ingest_gate",
+    #    - l41/l41b: hard-negative mining now keys the positive
+    #      broadcast + rank window on (anchor, positive) pairs.
+    "l41_hard_negative_mining",
+    "l41b_hard_negative_ann_planted",
+    #    - l42/l44: temperature mixing's actual_share NULL pin; l44
+    #      consumes its weights.
+    "l42_temperature_mix",
+    "l44_epoch_repetition",
+    # 2) window fill: the rows whose latest driver evidence is OLDEST
+    #    (the r11 verdict's staleness complaint) — everything last
+    #    checked in r05, then r06, oldest first; the r06 tail and r07
+    #    cohort rotate in next round.
+    "a11_collect_set",
+    "j1_broadcast_join_agg",
+    "j2_left_outer_join",
+    "j3_semi_join",
+    "l5f_winnowing",
+    "l6d_audio_frame_energy",
+    "o6_tablesample",
+    "q11_important_stock",
+    "q6_forecast_revenue",
+    "s12_zorder_key",
+    "t8_stream_static_join",
+    "ts2_ewma",
+    "j5_asof_join",
+    "l10_corpus_prep",
+    "l2e_dedup_clusters",
+    "l3_cosine_topk",
+    "l3b_ann_lsh_topk",
+    "l3c_ann_ivf_topk",
+    "l3d_ann_pq_topk",
+    "l5_text_stats",
+    "l5b_token_counts",
+    "l5c_quality_scores",
+    "l5d_lang_id",
+    "l5e_fingerprints",
+    "l5g_text_cleaning",
+    "l6_multimodal",
+    "l6b_multimodal_resize",
+    "l7_label_centroids",
+    "l7b_vector_normalize",
+    "l8_chunking",
+    "o9_dataset_diff",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    #    the verdict-named stale MC family (last driver check r06):
+    #    u1-u1c are rows-only by design (Monte Carlo), u1d is their
+    #    hash-green closed-form companion — refreshed together
+    "u1_reserve_pipeline",
+    "u1b_reserve_sql_mc",
+    "u1c_reserve_risk_measures",
+    "u1d_reserve_closed_form",
+    "q3_shipping_priority",
+    "q4_order_priority",
+]
+
 _ROUND11_FRONT = [
     # 1) queries ADDED or whose code paths CHANGED in round 11 — they
     #    lead the window to (re-)earn driver evidence on the new code:
@@ -457,7 +532,8 @@ def load_all() -> dict[str, Query]:
         window_queries2,
     )
 
-    front = [n for n in _ROUND11_FRONT if n in REGISTRY]
+    front = [n for n in _ROUND12_FRONT if n in REGISTRY]
+    front += [n for n in _ROUND11_FRONT if n in REGISTRY and n not in front]
     front += [n for n in _ROUND10_FRONT if n in REGISTRY and n not in front]
     seen = set(front)
     ordered = front + [n for n in REGISTRY if n not in seen]

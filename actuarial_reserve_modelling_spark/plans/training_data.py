@@ -775,3 +775,230 @@ def l44_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "domain", "n_repeats", F.col("rep_idx").cast("int").alias("rep_idx")
     )
+
+
+# The cleaned-text expression, verbatim from the hash-green l5g oracle
+# (plans/llm_queries2.py) — stage 1 of the l45 chain.
+_L45_CLEAN = """trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(lower(text), '[\\x00-\\x1f]', ' ', 'g'),
+                       'https?://[^ ]+', '<url>', 'g'),
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<email>', 'g'),
+               '\\s+', ' ', 'g'))"""
+
+
+@register(
+    "l45_curation_pipeline",
+    "L5,L1,L2,D5,D9,F5,O2 (end-to-end curation pipeline, one oracle-checked flow)",
+    oracle=f"""
+    WITH RECURSIVE
+    cln AS (
+        SELECT doc_id, lang, {_L45_CLEAN} AS text FROM documents
+    ),
+    fpr AS (
+        SELECT doc_id, lang, text,
+               substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')),
+                      1, 16) AS f
+        FROM cln
+    ),
+    ex AS (
+        SELECT doc_id, lang, text FROM (
+            SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) rn
+            FROM fpr
+        ) WHERE rn = 1
+    ),
+    words AS (
+        SELECT DISTINCT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM ex
+        ) WHERE w <> ''
+    ),
+    cnt AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id d1, b.doc_id d2, count(*) k
+        FROM words a JOIN words b USING (w)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    nd AS (
+        SELECT d1, d2 FROM inter
+        JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
+        WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
+    ),
+    edges AS (SELECT d1 a, d2 b FROM nd UNION SELECT d2, d1 FROM nd),
+    cc(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT e.a, c.b FROM edges e JOIN cc c ON e.b = c.a
+    ),
+    nonrep AS (
+        SELECT a AS doc_id FROM (
+            SELECT a, least(a, min(b)) AS rep FROM cc GROUP BY a
+        ) WHERE a <> rep
+    ),
+    adm AS (
+        SELECT * FROM ex e
+        WHERE NOT EXISTS (SELECT 1 FROM nonrep n WHERE n.doc_id = e.doc_id)
+    ),
+    tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM adm
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(ws) - 1),
+                   i -> array_to_string(list_slice(ws, i, i + 2), ' ')
+               )) AS shingle
+        FROM tok WHERE len(ws) >= 3
+    ),
+    benchsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 5),
+    contaminated AS (
+        SELECT DISTINCT s.doc_id FROM sh s JOIN benchsh USING (shingle)
+        WHERE s.doc_id % 101 <> 5
+    ),
+    final AS (
+        SELECT * FROM adm a
+        WHERE doc_id % 101 <> 5
+          AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = a.doc_id)
+    ),
+    per AS (
+        SELECT lang AS domain,
+               CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                    AS BIGINT) AS n_tokens
+        FROM final GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    sc AS (
+        SELECT p.domain, p.n_tokens,
+               p.n_tokens / CAST(t.t AS DOUBLE) AS actual,
+               CASE WHEN p.n_tokens > 0
+                    THEN pow(p.n_tokens / CAST(t.t AS DOUBLE), 0.3)
+                    ELSE 0.0 END AS scaled
+        FROM per p CROSS JOIN tot t
+    ),
+    nrm AS (SELECT sum(scaled) AS s FROM sc),
+    w AS (
+        SELECT domain,
+               round(CASE WHEN n_tokens > 0 THEN (scaled / n.s) / actual
+                          ELSE 0.0 END, 6) AS weight
+        FROM sc CROSS JOIN nrm n
+    ),
+    plan AS (
+        SELECT f.doc_id, f.lang AS domain,
+               CAST(floor(w.weight) +
+                    CASE WHEN (CAST(('0x' || substr(md5(f.doc_id || ':42'), 1, 15))
+                               AS BIGINT) + 1.0) / 1152921504606846976.0
+                         < w.weight - floor(w.weight) THEN 1 ELSE 0 END AS INT)
+                   AS n_repeats
+        FROM final f JOIN w ON w.domain = f.lang
+    ),
+    reps AS (
+        SELECT doc_id, domain, n_repeats,
+               CAST(unnest(range(1, n_repeats + 1)) AS INT) AS rep_idx
+        FROM plan WHERE n_repeats >= 1
+    ),
+    keyed AS (
+        SELECT doc_id, domain, n_repeats, rep_idx,
+               (doc_id || '#' || rep_idx) AS rep_key,
+               CAST(('0x' || substr(md5(doc_id || '#' || rep_idx || ':42'), 1, 15))
+                    AS BIGINT) AS keynum
+        FROM reps
+    )
+    SELECT doc_id, domain, n_repeats, rep_idx,
+           CAST(keynum % 16 AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY keynum % 16 ORDER BY keynum, rep_key
+           ) - 1 AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def l45_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE flow (r11 verdict task
+    4): clean → dedup gate (exact first-wins + near-dup cluster
+    representatives, the t11 admission tiers one-shot) → benchmark
+    decontamination → temperature mixture weights → epoch repetition
+    plan → deterministic shard shuffle. Every stage is individually
+    hash-green elsewhere (l5g, l1/l2/l2e, l16, l42, l44, l22); this row
+    checks the INTER-STAGE contracts — column handoffs, the cleaned
+    text feeding the fingerprints and shingles, the admitted set
+    feeding the mixture statistics, the per-(doc, rep) composite key
+    feeding the shard shuffle — which at 100 TB are where pipelines
+    break even when each operator is right.
+
+    Scale shape: each stage keeps its own documented plan (map-side
+    cleaning, banded LSH + CC dedup, broadcast benchmark shingles,
+    |domains|-row mixture broadcast, codegen explode, hash-partition
+    shard sort); chaining adds NO new shuffles beyond the stages' own.
+    Oracle: the full chain composed from the stages' own hash-green
+    formulations (exact Jaccard standing in for the validated 16x16
+    banding, recursive-CTE connected components, identical md5
+    conventions)."""
+    from pyspark.sql import Window
+
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_dup_pairs,
+    )
+    from actuarial_reserve_modelling_spark.operators.textstats import (
+        clean_text,
+        content_fingerprints,
+        decontaminate,
+    )
+    from actuarial_reserve_modelling_spark.operators.traindata import (
+        epoch_repetition_plan,
+        shuffle_shards,
+        temperature_mix_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 1) clean (l5g)
+    corpus = (
+        clean_text(docs)
+        .select("doc_id", F.col("clean").alias("text"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    # 2) dedup gate: exact first-wins on the normalized fingerprint,
+    #    then near-dup cluster representatives (t11's admission tiers,
+    #    one-shot; 16x16 banding validated at tau=0.95)
+    fpw = Window.partitionBy("fingerprint").orderBy("doc_id")
+    ex = (
+        corpus.join(content_fingerprints(corpus), "doc_id")
+        .withColumn("_rn", F.row_number().over(fpw))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=False)
+    )
+    pairs = minhash_near_dup_pairs(
+        ex, threshold=0.95, bands=16, rows_per_band=16
+    ).select("d1", "d2")
+    non_reps = (
+        dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id")
+    )
+    admitted = ex.join(non_reps, "doc_id", "left_anti")
+    # 3) decontaminate vs the held-out benchmark slice (l16, n=3)
+    bench = admitted.filter(F.col("doc_id") % 101 == 5)
+    train = admitted.filter(F.col("doc_id") % 101 != 5)
+    flagged = decontaminate(train, bench, n=3).select("doc_id")
+    final = train.join(flagged, "doc_id", "left_anti").localCheckpoint(eager=False)
+    # 4) temperature mixture weights over the SURVIVING corpus (l42)
+    weights = temperature_mix_weights(final, alpha=0.3, domain_col="lang")
+    # 5) epoch repetition plan (l44)
+    plan = epoch_repetition_plan(final.select("doc_id", "lang"), weights,
+                                 domain_col="lang")
+    # 6) shard the epoch stream on the (doc, repetition) composite key
+    sharded = shuffle_shards(
+        plan.withColumn("rep_key", F.concat_ws("#", "doc_id", "rep_idx")),
+        n_shards=16,
+        salt=42,
+        id_col="rep_key",
+    )
+    return sharded.select(
+        "doc_id",
+        "domain",
+        "n_repeats",
+        F.col("rep_idx").cast("int").alias("rep_idx"),
+        "shard",
+        "pos",
+    )

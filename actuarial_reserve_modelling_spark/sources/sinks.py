@@ -278,3 +278,98 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+def vacuum_index(
+    spark: SparkSession | None,
+    root: str,
+    dry_run: bool = True,
+    retention_generations: int = 1,
+) -> list[str]:
+    """Reclaim dead bytes under a persisted-tier (or gate work-dir)
+    root — the retention/ops primitive the r11 verdict flagged as the
+    first gap a production user hits: ``staging_dir``-style aborted
+    writes and dynamic-partition-overwrite crash windows leave orphan
+    state that nothing else ever deletes, and a long-running ingest
+    accumulates it forever.
+
+    Orphan classes (each one provably unreferenced by any reader):
+
+    * ``_temporary/`` and ``.spark-staging*`` directories — Spark
+      committer scratch from jobs that died before commit; committed
+      readers never look inside underscore/dot-prefixed paths.
+    * ``_tmp_*`` directories — ``compact_parquet_dir`` staging whose
+      rename never happened (the crash-before-rename window).
+    * superseded ``compacted_*`` generations — a crash between
+      ``compact_parquet_dir``'s rename-in and delete-old steps leaves
+      BOTH generations visible (readers absorb the doubling via
+      ``distinct()``); all but the newest ``retention_generations``
+      generations per directory are dead weight.
+    * empty partition directories (``col=value`` with no data file
+      anywhere below) — left by crashed partition overwrites; they
+      contribute nothing but file-listing latency. (A deliberately
+      zero-row schema-pinning file does NOT match: it IS a data file.)
+
+    Never touched: committed data files, ``meta``/``stats`` datasets,
+    done-markers, ``_SUCCESS``/checksum files inside live directories
+    — vacuum removes only whole orphan directories, so a concurrent
+    reader of committed state is safe at any interleaving.
+
+    ``dry_run=True`` (default) only LISTS the reclaimable paths;
+    ``dry_run=False`` deletes them and refreshes the path's cached
+    file listing. Returns the orphan paths found (sorted). ``spark``
+    may be None in dry-run or when no session-level cache needs
+    refreshing (the listing itself is pure filesystem)."""
+    import os
+    import shutil
+
+    if not os.path.isdir(root):
+        return []
+    orphans: list[str] = []
+    gen_parents: dict[str, list[str]] = {}
+    for dirpath, dirnames, _filenames in os.walk(root):
+        for d in list(dirnames):
+            full = os.path.join(dirpath, d)
+            if d == "_temporary" or d.startswith("_tmp_") or d.startswith(
+                ".spark-staging"
+            ):
+                orphans.append(full)
+                dirnames.remove(d)
+            elif d.startswith("compacted_"):
+                gen_parents.setdefault(dirpath, []).append(full)
+    for parent, gens in gen_parents.items():
+        if len(gens) > retention_generations:
+            by_age = sorted(gens, key=lambda p: (os.path.getmtime(p), p))
+            orphans.extend(by_age[: len(gens) - retention_generations])
+
+    def _has_data_file(path: str) -> bool:
+        for dp, dns, fns in os.walk(path):
+            dns[:] = [x for x in dns if not x.startswith(("_", "."))]
+            if any(
+                f.endswith(".parquet") and not f.startswith(("_", "."))
+                for f in fns
+            ):
+                return True
+        return False
+
+    claimed = set(orphans)
+    for dirpath, dirnames, _filenames in os.walk(root):
+        if any(dirpath == c or dirpath.startswith(c + os.sep) for c in claimed):
+            continue
+        for d in dirnames:
+            full = os.path.join(dirpath, d)
+            if full in claimed or "=" not in d or d.startswith(("_", ".")):
+                continue
+            if not _has_data_file(full):
+                orphans.append(full)
+                claimed.add(full)
+    orphans = sorted(set(orphans))
+    if not dry_run:
+        for p in orphans:
+            shutil.rmtree(p, ignore_errors=True)
+        if spark is not None:
+            try:
+                spark.catalog.refreshByPath(root)
+            except Exception:
+                pass  # root may not be a readable dataset itself
+    return orphans

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from actuarial_reserve_modelling_spark.catalog import load_table
+from actuarial_reserve_modelling_spark.sources.sinks import vacuum_index
 
 
 # Staged source dirs, keyed by (sf_dir, n_files): T1-T4 all stream the
@@ -312,6 +313,7 @@ def incremental_ingest_dedup(
     auto_compact: int | None = 16,
     fp_parts: int = 64,
     work_dir: str | None = None,
+    auto_vacuum: bool = False,
 ) -> DataFrame:
     """Continuous-ingest exact dedup: stream document batches (one
     micro-batch each, in order) and admit only documents whose
@@ -397,6 +399,8 @@ def incremental_ingest_dedup(
             compact_partitioned_index(
                 spark, idx_dir, "fpart", max_files_per_partition=cap
             )
+            if auto_vacuum:
+                vacuum_index(spark, work, dry_run=False)
         fp = content_fingerprints(batch_df).withColumn("fpart", _fpart)
         w = Window.partitionBy("fingerprint").orderBy("doc_id")
         first = (
@@ -483,6 +487,7 @@ def incremental_neardup_ingest(
     auto_compact: int | None = 8,
     fp_parts: int = 64,
     work_dir: str | None = None,
+    auto_vacuum: bool = False,
 ) -> DataFrame:
     """The FULL continuous-ingest gate — the production loop a training
     corpus actually runs — riding PARTITION-PRUNED persisted tiers
@@ -584,6 +589,8 @@ def incremental_neardup_ingest(
                 compact_partitioned_index(
                     spark, fp_dir, "fpart", max_files_per_partition=cap
                 )
+            if auto_vacuum:
+                vacuum_index(spark, work, dry_run=False)
         # 1) exact tier: within-batch first-wins, then the pruned
         # same-id-excluding check against the fingerprint dataset
         fp = content_fingerprints(batch_df).withColumn("fpart", _fpart)
@@ -716,6 +723,7 @@ def incremental_semantic_ingest(
     compact_every: int | None = None,
     auto_compact: int | None = 8,
     work_dir: str | None = None,
+    auto_vacuum: bool = False,
 ) -> DataFrame:
     """Continuous-ingest SEMANTIC dedup — the embedding-tier gate a
     multimodal/RAG corpus runs alongside the text gate
@@ -795,6 +803,8 @@ def incremental_semantic_ingest(
             )
         if auto_compact and bid > 0 and _have_index():
             compact_vecsig_index(spark, idx_dir, max_files_per_partition=auto_compact)
+            if auto_vacuum:
+                vacuum_index(spark, work, dry_run=False)
         vecs = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
         # 1) within-batch semantic clustering → cluster representatives
         pairs = (

@@ -901,3 +901,99 @@ def test_incremental_ingest_dedup_seeded_resume_keeps_prior_batches(spark, tmp_p
     }
     assert (7, 0) in got1
     assert not any(d in (5, 6) for d, _ in got1)
+
+
+def test_vacuum_index_reclaims_orphans_only(spark, tmp_path):
+    """r12: vacuum_index lists/deletes aborted-write state (_temporary,
+    _tmp_* staging, superseded compacted_* generations, empty partition
+    dirs) and NOTHING committed — tier queries answer identically after
+    the reclaim."""
+    import os
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.operators import dedup as D
+    from actuarial_reserve_modelling_spark.sources.sinks import vacuum_index
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = corpus.limit(50).select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    path = str(tmp_path / "tier")
+    D.persist_dedup_index(
+        D.build_dedup_index(corpus, bands=8, rows_per_band=4),
+        path, bands=8, rows_per_band=4,
+    )
+    before = D.minhash_dedup_against_index_persisted(
+        spark, path, batch, threshold=0.8
+    ).collect()
+    assert before
+    # plant every orphan class:
+    os.makedirs(os.path.join(path, "fingerprints", "_temporary", "0"))
+    with open(os.path.join(path, "fingerprints", "_temporary", "0", "p.parquet"), "w") as f:
+        f.write("junk")  # aborted committer scratch
+    os.makedirs(os.path.join(path, "banded", "_tmp_deadbeef"))
+    with open(os.path.join(path, "banded", "_tmp_deadbeef", "p.parquet"), "w") as f:
+        f.write("junk")  # crash-before-rename compaction staging
+    old_gen = os.path.join(path, "extras", "compacted_old")
+    new_gen = os.path.join(path, "extras", "compacted_new")
+    os.makedirs(old_gen); os.makedirs(new_gen)
+    with open(os.path.join(old_gen, "a.parquet"), "w") as f:
+        f.write("old")
+    with open(os.path.join(new_gen, "a.parquet"), "w") as f:
+        f.write("new")
+    os.utime(old_gen, (1_600_000_000, 1_600_000_000))  # superseded generation
+    empty_part = os.path.join(path, "fingerprints", "part=99999")
+    os.makedirs(empty_part)  # crashed-overwrite leftover, no data file
+    # dry run: listed, nothing deleted
+    listed = vacuum_index(spark, path, dry_run=True)
+    assert set(listed) == {
+        os.path.join(path, "fingerprints", "_temporary"),
+        os.path.join(path, "banded", "_tmp_deadbeef"),
+        old_gen,
+        empty_part,
+    }
+    assert all(os.path.exists(p) for p in listed)
+    # real run: orphans gone, committed state + newest generation intact
+    removed = vacuum_index(spark, path, dry_run=False)
+    assert set(removed) == set(listed)
+    assert not any(os.path.exists(p) for p in removed)
+    assert os.path.exists(new_gen)
+    assert os.path.exists(path + "/meta")
+    after = D.minhash_dedup_against_index_persisted(
+        spark, path, batch, threshold=0.8
+    ).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # idempotent: a second vacuum finds nothing
+    assert vacuum_index(spark, path, dry_run=True) == []
+
+
+def test_ingest_gate_auto_vacuum_invariant(spark):
+    """The opt-in per-epoch vacuum hook must not change the admitted
+    set (it removes only unreferenced orphan state)."""
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_ingest_dedup,
+    )
+
+    batches = [
+        spark.createDataFrame(
+            [(i * 10 + j, f"text {'dup' if j == 0 else i * 10 + j}")
+             for j in range(4)],
+            ["doc_id", "text"],
+        )
+        for i in range(3)
+    ]
+    plain = {
+        (r["doc_id"], r["batch"])
+        for r in incremental_ingest_dedup(
+            spark, batches, cache_key="t_novac"
+        ).collect()
+    }
+    vac = {
+        (r["doc_id"], r["batch"])
+        for r in incremental_ingest_dedup(
+            spark, batches, cache_key="t_vac", auto_vacuum=True
+        ).collect()
+    }
+    assert plain == vac
+    assert (0, 0) in plain and (10, 1) not in plain  # cross-batch dup rejected
