@@ -1,1889 +1,20 @@
-"""L1-L6 — LLM-data-pipeline queries (SURVEY §2.10).
+"""L1-L10 LLM-data-pipeline queries — ordered import shim.
 
-Dedup family (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
-near-dup), similarity search (exact top-k + ANN), text analysis (stats,
-token counts, quality, lang-id, fingerprints), multimodal plumbing.
-Thresholds were chosen from the measured data distributions so outputs
-are non-trivial (word-Jaccard τ=0.95 → ~1.9k pairs at sf0.01; cosine
-τ=0.4 → 59 pairs; char-3-gram τ=0.6 on the doc_id<100 subset → ~200).
+The single 1,900-line llm_queries.py was split by tier in r12 (registry
+hygiene, r11 verdict task 8). Importing THIS module imports the three
+tier modules in the exact order the monolith defined its queries, so
+the registration sequence — and therefore the driver's sampled window —
+is byte-identical to the pre-split registry.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from actuarial_reserve_modelling_spark.catalog import load_table
-from actuarial_reserve_modelling_spark.operators.dedup import (
-    exact_dedup,
-    minhash_near_dup_pairs,
-    ngram_jaccard_pairs,
-    simhash_near_dup_pairs,
-    winnowing_fingerprints,
+from actuarial_reserve_modelling_spark.plans import (  # noqa: F401
+    llm_queries_dedup,
+    llm_queries_incremental,
+    llm_queries_persisted,
 )
-from actuarial_reserve_modelling_spark.operators.multimodal import (
-    attach_binary_payload,
-    extract_features,
+from actuarial_reserve_modelling_spark.plans.llm_queries_dedup import (  # noqa: F401
+    PLANT_OFFSET,
+    plant_twins,
 )
-from actuarial_reserve_modelling_spark.operators.similarity import (
-    ann_ivf_topk,
-    ann_lsh_topk,
-    cosine_pairs,
-    cosine_topk,
-)
-from actuarial_reserve_modelling_spark.operators.textstats import (
-    content_fingerprints,
-    lang_id,
-    quality_scores,
-    token_counts,
-)
-from actuarial_reserve_modelling_spark.plans.registry import register
-
-PLANT_OFFSET = 100_000
-
-
-def plant_twins(
-    emb: DataFrame, modulus: int, id_col: str = "vec_id", offset: int = PLANT_OFFSET
-) -> DataFrame:
-    """Exact-duplicate copies of every ``modulus``-th vector, shifted by
-    ``offset`` (default ``PLANT_OFFSET``) — the shared construction
-    behind the planted-twin hash oracles (l4b/l27/l27b/l27c/l3e-l3i/
-    t12; l11b overrides the offset because chunk ids exceed 100000).
-    The oracle SQL hardcodes the matching shift, so at a scale factor
-    whose real ids reach the offset the plants would silently ALIAS
-    real vectors and the oracles would mismatch confusingly; assert
-    the assumption loudly instead (one column-pruned max scan). t12
-    additionally relies on ``PLANT_OFFSET % 3 == 1`` for its batch
-    math — change the offset only together with every oracle string."""
-    mx = emb.agg(F.max(id_col).alias("m")).first()["m"]
-    if mx is not None and mx >= offset:
-        raise ValueError(
-            f"planted-twin oracles assume max({id_col}) < {offset}, "
-            f"got {mx}: raise the offset and every hardcoded shift in the "
-            "oracle strings together"
-        )
-    return emb.filter(F.col(id_col) % modulus == 0).select(
-        (F.col(id_col) + offset).alias(id_col),
-        *[c for c in emb.columns if c != id_col],
-    )
-
-_PLANTED_TOP1_ORACLE = """
-    SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
-           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
-    FROM embeddings WHERE vec_id % 50 = 0
-    """
-
-
-# Shared CTE: distinct non-empty whitespace tokens, mirrored by
-# operators.dedup.TOKENS on the Spark side.
-_WORDS_CTE = """
-    words AS (
-        SELECT DISTINCT doc_id, w FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
-        ) WHERE w <> ''
-    )
-"""
-
-
-@register(
-    "l1_exact_dedup",
-    "L1,A8",
-    oracle="""
-    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
-    FROM documents GROUP BY md5(text)
-    """,
-)
-def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: shuffle 16-byte digests, not documents."""
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "l2_minhash_lsh_dedup",
-    "L2,L4",
-    oracle=f"""
-    WITH {_WORDS_CTE},
-    c AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
-    i AS (
-        SELECT a.doc_id d1, b.doc_id d2, count(*) k
-        FROM words a JOIN words b USING (w)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-    )
-    SELECT d1, d2, round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) AS jac
-    FROM i JOIN c c1 ON d1 = c1.doc_id JOIN c c2 ON d2 = c2.doc_id
-    WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
-    """,
-)
-def l2_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(256) → LSH(16 bands × 16 rows) → exact-Jaccard verify at
-    τ=0.95. The oracle computes the exact all-pairs answer. Signatures
-    are deterministic given the seed, and this banding was validated to
-    reproduce the exact pair set at sf0.01 (1887) and sf0.1 (190,925);
-    r=16 sharpens the S-curve, cutting candidates ~40% vs r=12 on this
-    deliberately similarity-saturated corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, threshold=0.95, bands=16, rows_per_band=16, seed=42)
-    return pairs.filter(F.col("jac") >= 0.95)
-
-
-@register(
-    "l2e_dedup_clusters",
-    "L2,L4 (clustering; iterative)",
-    oracle=f"""
-    WITH RECURSIVE {_WORDS_CTE},
-    c AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
-    i AS (
-        SELECT a.doc_id d1, b.doc_id d2, count(*) k
-        FROM words a JOIN words b USING (w)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT d1, d2
-        FROM i JOIN c c1 ON d1 = c1.doc_id JOIN c c2 ON d2 = c2.doc_id
-        WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
-    ),
-    edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
-    closure(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT e.a, cl.b FROM edges e JOIN closure cl ON e.b = cl.a
-    )
-    SELECT a AS doc_id, least(a, min(b)) AS rep_id
-    FROM closure GROUP BY a
-    """,
-)
-def l2e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: connected components over the verified
-    MinHash pair graph, canonical representative = min doc_id per
-    component (iterative min-label propagation,
-    operators/dedup.py::dedup_clusters). The oracle computes the same
-    components via a recursive transitive-closure CTE."""
-    from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(docs, threshold=0.95, bands=16, rows_per_band=16, seed=42)
-    return dedup_clusters(pairs.select("d1", "d2"))
-
-
-@register(
-    "l2b_simhash_pairs",
-    "L2",
-    oracle="""
-    WITH words AS (
-        SELECT DISTINCT doc_id, w FROM (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents WHERE doc_id < 200
-        ) WHERE w <> ''
-    ),
-    h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
-    bits AS (
-        SELECT doc_id, b, CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END AS sign
-        FROM h, unnest(generate_series(0, 59)) AS t(b)
-    ),
-    votes AS (SELECT doc_id, b, sum(sign) s FROM bits GROUP BY 1, 2),
-    fp AS (
-        SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS fp
-        FROM votes GROUP BY 1
-    )
-    SELECT a.doc_id d1, b.doc_id d2,
-           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.fp, b.fp)) <= 2
-    """,
-)
-def l2b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (60-bit, md5 word hashes, fully JVM-side) near-dup pairs
-    at Hamming ≤ 2 on the doc_id<200 subset."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    pairs = simhash_near_dup_pairs(docs, max_hamming=2)
-    return pairs.select("d1", "d2", F.col("hamming").cast("bigint").alias("hamming"))
-
-
-@register(
-    "l2c_ngram_jaccard",
-    "L2",
-    oracle="""
-    WITH g AS (
-        SELECT DISTINCT doc_id, substr(text, i, 3) AS s
-        FROM documents, unnest(generate_series(1, len(text) - 2)) AS t(i)
-        WHERE doc_id < 100 AND len(text) >= 3
-    ),
-    c AS (SELECT doc_id, count(*) n FROM g GROUP BY doc_id),
-    i AS (
-        SELECT a.doc_id d1, b.doc_id d2, count(*) k
-        FROM g a JOIN g b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-    )
-    SELECT d1, d2, round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) AS jac
-    FROM i JOIN c c1 ON d1 = c1.doc_id JOIN c c2 ON d2 = c2.doc_id
-    WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.6
-    """,
-)
-def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character 3-gram Jaccard pairs (τ=0.6) on the doc_id<100 subset —
-    JVM sequence/substring n-gram construction, no UDF."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 100) & (F.length("text") >= 3)
-    )
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.6)
-
-
-_COS = (
-    "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
-    "sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]) * "
-    "list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6)"
-)
-
-
-@register(
-    "l4_cosine_pairs",
-    "L4,L2",
-    oracle=f"""
-    SELECT a.vec_id AS v1, b.vec_id AS v2, {_COS} AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_COS} >= 0.4
-    """,
-)
-def l4_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: all pairs with cosine ≥ 0.4 (exact baseline;
-    ann path is l3b). JVM zip_with/aggregate dot products."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, threshold=0.4)
-
-
-@register(
-    "l4b_lsh_cosine_pairs",
-    "L4,L3 (blocked pair path)",
-    oracle="""
-    SELECT vec_id AS v1, vec_id + 100000 AS v2, CAST(1.0 AS DOUBLE) AS sim
-    FROM embeddings WHERE vec_id % 5 = 0
-    """,
-)
-def l4b_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB pair path as its own surface row: multi-table
-    hyperplane-LSH blocking → within-bucket candidates → exact cosine
-    verify at τ=0.9 (operators/similarity.py::lsh_cosine_pairs).
-
-    Hash-checkable despite probabilistic blocking: every 5th vector is
-    planted as an exact duplicate (id + 100000), and identical vectors
-    get identical signatures in EVERY hyperplane table — recall 1 by
-    construction, deterministically. The corpus itself has no pairs at
-    τ=0.9 (max non-identical cosine ≈ 0.51 on this testdata), so the
-    output is exactly the planted pair set with sim 1.0. General-recall
-    behavior (perturbed near-dups, τ-dependence) is covered by the
-    ≥95%-recall unit test."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        lsh_cosine_pairs,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 5)
-    return lsh_cosine_pairs(emb.unionByName(planted), threshold=0.9)
-
-
-@register(
-    "l2d_embedding_dedup",
-    "L2,L4 (embedding-cosine near-dup -> clusters)",
-    oracle=f"""
-    WITH RECURSIVE pairs AS (
-        SELECT a.vec_id AS d1, b.vec_id AS d2
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_COS} >= 0.4
-    ),
-    edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
-    closure(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT e.a, cl.b FROM edges e JOIN closure cl ON e.b = cl.a
-    )
-    SELECT a AS vec_id, least(a, min(b)) AS rep_id
-    FROM closure GROUP BY a
-    """,
-)
-def l2d_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup dedup: exact cosine pairs (τ=0.4) →
-    large-star/small-star connected components → canonical min-vec_id
-    representative. The semantic-dedup path of a training pipeline
-    (exact text dedup catches verbatim copies; this catches paraphrases
-    that embed nearby). Scale path: swap the exact pair stage for
-    operators/similarity.py::lsh_cosine_pairs (hyperplane blocking +
-    exact verify, recall-tested at τ=0.9) — the clustering stage is
-    unchanged. Exact pairs are used here because the driver's synthetic
-    embeddings have no true near-dups (max pairwise cosine ≈ 0.51)."""
-    from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb, threshold=0.4).select(
-        F.col("v1").alias("d1"), F.col("v2").alias("d2")
-    )
-    return dedup_clusters(pairs).select(
-        F.col("doc_id").alias("vec_id"), "rep_id"
-    )
-
-
-@register(
-    "l3_cosine_topk",
-    "L3,W4",
-    oracle=f"""
-    WITH sims AS (
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS sim
-        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-        WHERE a.vec_id < 10
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, sim FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY sim DESC, neighbor_id) AS rank
-        FROM sims
-    ) WHERE rank <= 5
-    """,
-)
-def l3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for query vectors vec_id<10: brute-force
-    baseline with broadcast query side; ranking on 6-dp-rounded sims
-    (engine-stable), ties by neighbor id."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    out = cosine_topk(emb, queries, k=5)
-    return out.select(
-        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "sim"
-    )
-
-
-@register("l3b_ann_lsh_topk", "L3", oracle=None)
-def l3b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via multi-table hyperplane LSH blocking + exact
-    re-rank. Approximate ⇒ rows-only check; tests/test_llm.py asserts
-    recall ≥ 0.8 vs the exact baseline. These embeddings are nearly
-    uniform on the sphere (top neighbors at cosine ≈0.4-0.5, i.e. ~63°),
-    so signatures must be short: 4 planes × 16 tables measured 0.96
-    recall; clustered real-world embeddings would use longer signatures
-    for sharper buckets."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ann_lsh_topk(emb, queries, k=5, num_planes=4, num_tables=16, seed=42)
-
-
-@register("l3c_ann_ivf_topk", "L3", oracle=None)
-def l3c_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via IVF: deterministic k-means coarse quantizer
-    (16 lists), nprobe=6 probe + exact cosine re-rank — the other
-    canonical ANN scale path next to LSH (l3b). Probing 6/16 lists
-    measured 0.92 recall on these near-uniform embeddings; the recall
-    test asserts >= 0.8. Approximate => rows-only check."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ann_ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=6)
-
-
-@register("l3d_ann_pq_topk", "L3", oracle=None)
-def l3d_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via product quantization + ADC (Jegou et al.
-    TPAMI'11): 8 subspaces x 16 codes (32x vector compression), the
-    scan reads codes only, exact cosine re-rank of the top-8k ADC
-    candidates. The memory-bound 100 TB scale path next to LSH (l3b)
-    and IVF (l3c). Approximate => rows-only check + recall test
-    (measured 0.74 on uniform vectors — PQ's worst case; clustered
-    real embeddings recall far higher at the same code budget)."""
-    from actuarial_reserve_modelling_spark.operators.similarity import ann_pq_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ann_pq_topk(emb, queries, k=5, m_subspaces=8, n_codes=16, rerank=8)
-
-
-@register(
-    "l5_text_stats",
-    "L5",
-    oracle="""
-    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(avg(len(list_filter(string_split(text, ' '), w -> w <> ''))), 4)
-               AS avg_words
-    FROM documents GROUP BY lang
-    """,
-)
-def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus stats by language tag."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg(F.size(F.expr("filter(split(text, ' '), x -> x != '')"))), 4).alias(
-            "avg_words"
-        ),
-    )
-
-
-@register(
-    "l5b_token_counts",
-    "L5",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
-               AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
-               AS re_tokens,
-           CAST(len(text) AS BIGINT) AS n_bytes
-    FROM documents WHERE doc_id % 7 = 0
-    """,
-)
-def l5b_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish regex token counts per document."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
-    out = token_counts(docs)
-    return out.select(
-        "doc_id",
-        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
-        F.col("re_tokens").cast("bigint").alias("re_tokens"),
-        F.col("n_bytes").cast("bigint").alias("n_bytes"),
-    )
-
-
-@register(
-    "l5c_quality_scores",
-    "L5",
-    oracle="""
-    WITH base AS (
-        SELECT doc_id,
-               len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
-               len(text) AS n_chars,
-               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS punct,
-               len(list_intersect(
-                   list_distinct(list_filter(string_split(text, ' '), w -> w <> '')),
-                   ['the', 'a'])) AS stop_hits
-        FROM documents WHERE doc_id % 5 = 0
-    )
-    SELECT doc_id,
-           CAST(n_words AS INT) AS n_words,
-           CAST(n_chars AS INT) AS n_chars_computed,
-           round((n_chars - n_words + 1) / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
-           round(CAST((CASE WHEN n_words BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END)
-               + (CASE WHEN punct / CAST(n_chars AS DOUBLE) < 0.2 THEN 0.3 ELSE 0.0 END)
-               + (CASE WHEN stop_hits >= 1 THEN 0.2 ELSE 0.0 END) AS DOUBLE), 2)
-               AS quality_score
-    FROM base
-    """,
-)
-def l5c_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4/Gopher-style rule-based quality scoring."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return quality_scores(docs)
-
-
-@register(
-    "l5d_lang_id",
-    "L5",
-    oracle="""
-    WITH w AS (
-        SELECT doc_id,
-               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ws
-        FROM documents
-    ),
-    hits AS (
-        SELECT doc_id,
-               CAST(len(list_intersect(ws, ['table', 'row', 'column', 'scan'])) AS INT) AS hits_tabular,
-               CAST(len(list_intersect(ws, ['join', 'merge', 'hash', 'agg'])) AS INT) AS hits_relational,
-               CAST(len(list_intersect(ws, ['window', 'batch', 'order', 'filter'])) AS INT) AS hits_temporal
-        FROM w
-    )
-    SELECT doc_id, hits_tabular, hits_relational, hits_temporal,
-           CASE WHEN hits_tabular >= hits_relational AND hits_tabular >= hits_temporal
-                     AND hits_tabular > 0 THEN 'tabular'
-                WHEN hits_relational >= hits_temporal AND hits_relational > 0 THEN 'relational'
-                WHEN hits_temporal > 0 THEN 'temporal'
-                ELSE 'und' END AS pred_lang
-    FROM hits
-    """,
-)
-def l5d_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic marker-set language/domain classification (argmax of
-    stopword-style hits — the n-gram-heuristic mechanism)."""
-    return lang_id(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "l5e_fingerprints",
-    "L5,L1",
-    oracle="""
-    SELECT doc_id,
-           substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
-               AS fingerprint
-    FROM documents WHERE doc_id % 11 = 0
-    """,
-)
-def l5e_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-content md5 fingerprints (exact-after-normalization)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
-    return content_fingerprints(docs)
-
-
-@register(
-    "l5f_winnowing",
-    "L2,L5",
-    oracle="""
-    WITH g AS (
-        SELECT doc_id, CAST(i AS BIGINT) AS pos,
-               ('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15))::BIGINT AS h
-        FROM documents,
-             unnest(generate_series(1, greatest(length(text) - 4, 0))) t(i)
-        WHERE doc_id % 17 = 0
-    ),
-    n AS (SELECT doc_id, max(pos) AS n_grams FROM g GROUP BY doc_id),
-    m AS (
-        SELECT doc_id, pos,
-               min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-        FROM g
-    )
-    SELECT DISTINCT m.doc_id, wmin AS fp_hash
-    FROM m JOIN n USING (doc_id)
-    WHERE pos <= greatest(n_grams - 3, 1)
-    """,
-)
-def l5f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (k=5, w=4) — local-overlap detection via
-    sliding-window minima of 60-bit md5 gram hashes (operators/dedup.py
-    winnowing_fingerprints, fully JVM-side). The oracle recomputes the
-    identical selection with generate_series + a framed window min."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
-    return winnowing_fingerprints(docs, k=5, window=4)
-
-
-@register(
-    "l6b_multimodal_resize",
-    "L6",
-    oracle="""
-    WITH src AS (
-        SELECT doc_id, octet_length(encode(text)) AS ob, text
-        FROM documents WHERE doc_id % 13 = 0
-    )
-    SELECT doc_id,
-           CAST(ob AS BIGINT) AS orig_bytes,
-           CAST(16 AS INT) AS resized_bytes,
-           CASE WHEN ob = 0 THEN repeat('00', 16)
-                ELSE upper(array_to_string(list_transform(generate_series(0, 15),
-                     i -> lpad(to_hex(ascii(substr(text,
-                          CAST(least((i * ob) // 16, ob - 1) + 1 AS INT), 1))), 2, '0')),
-                     ''))
-           END AS payload_hex
-    FROM src
-    """,
-)
-def l6b_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize/thumbnail plumbing: payload → fixed-size payload (16-byte
-    deterministic stride-sample fake; real image resize swaps the kernel
-    body, keeps the fixed-output-size contract). The oracle rebuilds the
-    exact stride-sampled bytes from the source text (ASCII corpus ⇒
-    byte positions == char positions) and compares them as hex, pinning
-    the Arrow kernel's content, not just its output size."""
-    from actuarial_reserve_modelling_spark.operators.multimodal import resize_media
-
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
-    resized = resize_media(attach_binary_payload(docs), target_bytes=16)
-    return resized.select(
-        "doc_id",
-        "orig_bytes",
-        F.length("payload").alias("resized_bytes"),
-        F.hex("payload").alias("payload_hex"),
-    )
-
-
-@register(
-    "l6c_frame_sample",
-    "L6 (frame-sample plumbing)",
-    oracle="""
-    SELECT doc_id, CAST(i AS INT) AS frame_idx,
-           CAST(coalesce(ascii(substr(text, CAST(i * 64 + 1 AS INT), 1)), -1) AS INT)
-               AS lead_byte
-    FROM documents,
-         unnest(generate_series(0, CAST(octet_length(encode(text)) // 64 AS INT))) t(i)
-    WHERE doc_id % 31 = 7
-    """,
-)
-def l6c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame/sample plumbing: 1 binary payload row → N sampled 'frames'
-    (video frame-sample analogue; deterministic byte-slice fake — a real
-    demuxer swaps the slicer, keeps the one-row-per-frame explode
-    contract). JVM-side transform+explode, no Python in the hot path."""
-    from actuarial_reserve_modelling_spark.operators.multimodal import frame_sample
-
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 7)
-    return frame_sample(attach_binary_payload(docs), every_n_bytes=64)
-
-
-@register(
-    "l6_multimodal",
-    "L6",
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           CAST(ascii(substr(text, 1, 1)) AS INT) AS feat0,
-           'text/plain' AS mime
-    FROM documents WHERE doc_id % 13 = 0
-    """,
-)
-def l6_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: text → binary payload + typed
-    metadata struct → Arrow feature-extraction kernel (deterministic
-    fake decode; see operators/multimodal.py). Oracle checks byte_len +
-    first-byte feature + metadata propagation."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
-    media = attach_binary_payload(docs)
-    feats = extract_features(media)
-    meta = media.select("doc_id", F.col("meta.mime").alias("mime"))
-    return feats.join(meta, "doc_id").select("doc_id", "byte_len", "feat0", "mime")
-
-
-@register(
-    "l6d_audio_frame_energy",
-    "L6 (audio frame-energy plumbing)",
-    oracle="""
-    WITH d AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS n
-        FROM documents WHERE doc_id % 29 = 3
-    ),
-    fr AS (
-        SELECT doc_id, text, n,
-               unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS frame_idx
-        FROM d
-    ),
-    s AS (
-        SELECT doc_id, frame_idx,
-               list_transform(
-                   range(frame_idx * 64 + 1, least((frame_idx + 1) * 64, n) + 1),
-                   i -> ascii(substr(text, CAST(i AS INT), 1))
-               ) AS b
-        FROM fr
-    )
-    SELECT doc_id, frame_idx, CAST(len(b) AS BIGINT) AS n_samples,
-           round(sqrt(list_sum(list_transform(b, x -> x * x))
-                      / CAST(len(b) AS DOUBLE)), 6) AS energy
-    FROM s
-    """,
-)
-def l6d_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-featurizer plumbing: payload → fixed-size frames → per-
-    frame RMS energy (deterministic uint8-PCM fake; a real build swaps
-    in the codec, keeps the 1-row-per-frame aggregate contract). The
-    oracle recomputes the exact per-frame energies from the source text
-    (ASCII corpus ⇒ byte value == ascii(char)) — content-pinning the
-    Arrow kernel's arithmetic, not just its row counts."""
-    from actuarial_reserve_modelling_spark.operators.multimodal import audio_frame_energy
-
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 3)
-    return audio_frame_energy(attach_binary_payload(docs), frame_bytes=64)
-
-
-@register(
-    "l30_media_decode",
-    "L6 (REAL codec decode: BMP header parse + stdlib WAV, exact-sum oracle)",
-    oracle="""
-    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
-    img AS (
-        SELECT doc_id, 'image/bmp' AS mime, '4x4x3' AS dims,
-               CAST(48 AS BIGINT) AS n_values,
-               CAST(sum((doc_id * 7 + i * 13) % 256) AS DOUBLE) AS value_sum
-        FROM ids, unnest(generate_series(0, 47)) AS t(i) GROUP BY doc_id
-    ),
-    aud AS (
-        SELECT doc_id, 'audio/wav' AS mime, '32' AS dims,
-               CAST(32 AS BIGINT) AS n_values,
-               sum(((doc_id * 31 + i * 17) % 65536) - 32768) / 32768.0 AS value_sum
-        FROM ids, unnest(generate_series(0, 31)) AS t(i) GROUP BY doc_id
-    )
-    SELECT * FROM img UNION ALL SELECT * FROM aud
-    """,
-)
-def l30_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL decode path executing end-to-end in a distributed plan
-    (not the deterministic-fake plumbing of l6/l6b/l6c/l6d): per doc,
-    manufacture one 4×4 24-bit BMP whose pixel bytes are the arithmetic
-    sequence (doc_id·7 + i·13) mod 256 and one 32-sample int16 WAV with
-    samples (doc_id·31 + i·17) mod 65536 − 32768, then decode both with
-    ``decode_media``'s dependency-free codecs (manual BMP header parse,
-    stdlib ``wave``) via ``decode_features``. Decoded dims and EXACT
-    value sums (uint8 pixel sum; dyadic int16/2^15 sample sum — no
-    float tolerance) are hash-checked against an oracle that computes
-    the same sums straight from the payload-construction arithmetic, so
-    a codec that mis-parses padding, row order, channel order (sums are
-    invariant to those two — shape/count pins them jointly with the
-    round-trip pytest), bit depth, or sign convention fails the hash."""
-    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
-    from actuarial_reserve_modelling_spark.operators.multimodal import (
-        MEDIA_SCHEMA,
-        decode_features,
-        encode_bmp,
-        encode_wav,
-    )
-
-    def make_payloads(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            out = {"doc_id": [], "payload": [], "meta": []}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                pix = ((d * 7 + np.arange(48) * 13) % 256).astype(np.uint8)
-                bmp = encode_bmp(pix.reshape(4, 4, 3))
-                samp = (((d * 31 + np.arange(32) * 17) % 65536) - 32768).astype(
-                    np.int16
-                )
-                wav = encode_wav(samp)
-                for payload, mime in ((bmp, "image/bmp"), (wav, "audio/wav")):
-                    out["doc_id"].append(d)
-                    out["payload"].append(payload)
-                    out["meta"].append({"mime": mime, "n_bytes": len(payload)})
-            yield pd.DataFrame(out)
-
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = spread_for_kernel(docs.select("doc_id")).mapInPandas(
-        make_payloads, schema=MEDIA_SCHEMA
-    )
-    # Driver-hashability (determinism convention: every checked column is
-    # SCALAR): the decoded `dims array<int>` is stringified as '4x4x3' so
-    # the harness's pandas sort/hash canonicalizer never sees a list cell.
-    return decode_features(media).withColumn("dims", F.array_join("dims", "x"))
-
-
-@register(
-    "l18_incremental_exact_dedup",
-    "L1,D8 (incremental ingest, exact tier)",
-    oracle="""
-    SELECT n.doc_id,
-           substr(md5(regexp_replace(trim(lower(n.text)), '\\s+', ' ', 'g')), 1, 16)
-               AS fingerprint
-    FROM documents n
-    WHERE n.doc_id % 3 = 0
-      AND md5(regexp_replace(trim(lower(n.text)), '\\s+', ' ', 'g')) NOT IN (
-        SELECT md5(regexp_replace(trim(lower(e.text)), '\\s+', ' ', 'g'))
-        FROM documents e WHERE e.doc_id % 3 <> 0
-      )
-    """,
-)
-def l18_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-ingest exact tier: new-batch documents (doc_id%3=0)
-    whose normalized-content fingerprint does NOT already exist in the
-    ingested corpus (doc_id%3≠0) — a fingerprint anti-join, the shape
-    that admits only NEW content without re-scanning the corpus text
-    (in production the corpus side is the persisted fingerprint column,
-    16 bytes/doc). Left-anti hash join on the digest; the corpus side
-    carries fingerprints only, never documents."""
-    docs = load_table(spark, sf_dir, "documents")
-    new_fp = content_fingerprints(docs.filter(F.col("doc_id") % 3 == 0))
-    seen_fp = content_fingerprints(docs.filter(F.col("doc_id") % 3 != 0)).select(
-        "fingerprint"
-    )
-    return new_fp.join(seen_fp, "fingerprint", "left_anti").select(
-        "doc_id", "fingerprint"
-    )
-
-
-@register(
-    "l19_incremental_minhash_dedup",
-    "L2,D8 (incremental ingest, near-dup tier)",
-    oracle=f"""
-    WITH {_WORDS_CTE},
-    c AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
-    i AS (
-        SELECT a.doc_id new_id, b.doc_id index_id, count(*) k
-        FROM words a JOIN words b USING (w)
-        WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0 GROUP BY 1, 2
-    )
-    SELECT new_id, index_id,
-           round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) AS jac
-    FROM i JOIN c c1 ON new_id = c1.doc_id JOIN c c2 ON index_id = c2.doc_id
-    WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
-    """,
-)
-def l19_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental-ingest near-dup tier: the new batch (doc_id%3=0)
-    checked AGAINST the persisted corpus index (doc_id%3≠0) via the
-    asymmetric LSH equi-join (operators/dedup.py::
-    minhash_dedup_against_index) — no new×new or index×index candidates
-    are ever generated, and the corpus is never re-signed. The oracle
-    is the exact new×corpus all-pairs answer; b=16 r=16 banding gives
-    miss probability (1-0.95^16)^16 ~ 1e-18 at tau=0.95, so the
-    verified LSH output equals it (validated at sf0.001/0.01)."""
-    from actuarial_reserve_modelling_spark.operators.dedup import (
-        build_dedup_index,
-        minhash_dedup_against_index,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    # checkpoint the inline-built index: the operator consumes it twice
-    # (banding + verify join) and would otherwise re-sign the corpus;
-    # the production caller reads a persisted index instead
-    index = build_dedup_index(
-        docs.filter(F.col("doc_id") % 3 != 0), bands=16, rows_per_band=16
-    ).localCheckpoint(eager=False)
-    return minhash_dedup_against_index(
-        docs.filter(F.col("doc_id") % 3 == 0),
-        index,
-        threshold=0.95,
-        bands=16,
-        rows_per_band=16,
-    )
-
-
-@register(
-    "l38_dedup_index_delete_persisted",
-    "L2,D8,S7 (persisted fingerprint tier: build, incremental add, right-to-be-forgotten delete)",
-    oracle=f"""
-    WITH {_WORDS_CTE},
-    c AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
-    i AS (
-        SELECT a.doc_id new_id, b.doc_id index_id, count(*) k
-        FROM words a JOIN words b USING (w)
-        WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0 AND b.doc_id % 5 <> 1
-        GROUP BY 1, 2
-    )
-    SELECT new_id, index_id,
-           round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) AS jac
-    FROM i JOIN c c1 ON new_id = c1.doc_id JOIN c c2 ON index_id = c2.doc_id
-    WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
-    """,
-)
-def l38_dedup_index_delete_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full persisted lifecycle of the dedup fingerprint tier (r9
-    verdict gap #3 — the ANN index had delete since r9, the dedup tier
-    did not): ``persist_dedup_index`` writes the corpus HALF of the
-    index (doc_id%3≠0 and %4≠1) id-hash-bucketed; ``add_to_dedup_index``
-    signs the remaining corpus docs (%4=1) with the PERSISTED banding
-    parameters and appends them bucket-locally;
-    ``delete_from_dedup_index`` then removes every index doc with
-    doc_id%5=1 by touched-bucket-only partition overwrite. The l19
-    ingest check (new batch doc_id%3=0 against the reloaded tier) must
-    find exactly the exact-Jaccard pairs whose index side SURVIVES:
-    a lost add drops pairs, a left-behind delete re-emits a deleted
-    index_id, a double-append duplicates a pair — all hash-mismatch
-    against the oracle (the exact all-pairs answer filtered to
-    surviving index ids; b=16 r=16 banding recall argument as l19)."""
-    from actuarial_reserve_modelling_spark.operators.dedup import (
-        add_to_dedup_index,
-        build_dedup_index,
-        delete_from_dedup_index,
-        load_dedup_index,
-        minhash_dedup_against_index,
-        persist_dedup_index,
-    )
-    from actuarial_reserve_modelling_spark.sources.sinks import (
-        staging_commit,
-        staging_dir,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 3 != 0)
-    root, fresh = staging_dir("l38", sf_dir)
-    out = root + "/dedup_index"
-    if fresh:
-        base = build_dedup_index(
-            corpus.filter(F.col("doc_id") % 4 != 1), bands=16, rows_per_band=16
-        )
-        persist_dedup_index(base, out, bands=16, rows_per_band=16)
-        add_to_dedup_index(spark, out, corpus.filter(F.col("doc_id") % 4 == 1))
-        delete_from_dedup_index(
-            spark, out, corpus.filter(F.col("doc_id") % 5 == 1).select("doc_id")
-        )
-        staging_commit(root)
-    index = load_dedup_index(spark, out)
-    return minhash_dedup_against_index(
-        docs.filter(F.col("doc_id") % 3 == 0),
-        index,
-        threshold=0.95,
-        bands=16,
-        rows_per_band=16,
-    )
-
-
-@register(
-    "l39_ivfpq_index_delete_persisted",
-    "L3,S7,L10 (deletion from the persisted IVF-PQ index via partition overwrite)",
-    oracle="""
-    SELECT vec_id + 200000 AS query_id, vec_id + 100000 AS neighbor_id,
-           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
-    FROM embeddings WHERE vec_id % 50 = 0
-    """,
-)
-def l39_ivfpq_index_delete_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The remove side of the PQ-tier lifecycle (l36's analogue over
-    the cluster-partitioned codes table): build+persist on the base
-    corpus, ``add_to_ivfpq_index`` exact twins (+100000), then DELETE
-    the original sources through the shared partitioned-delete engine —
-    untouched clusters keep their files, emptied ones lose their
-    directory. A third twin (+200000) at k=1 pins both mutations: the
-    added twin is now the only sim-1.0 vector, so rank 1 must be
-    id+100000 — a left-behind delete re-surfaces the lower source id
-    and hash-mismatches; a lost add leaves no 1.0 neighbor at rank 1
-    and mismatches too."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        add_to_ivfpq_index,
-        ann_ivfpq_topk_persisted,
-        delete_from_ivfpq_index,
-        persist_ivfpq_index,
-    )
-    from actuarial_reserve_modelling_spark.sources.sinks import (
-        staging_commit,
-        staging_dir,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    added = plant_twins(emb, 50)
-    queries = plant_twins(emb, 50, offset=200_000)
-    sources = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
-    root, fresh = staging_dir("l39", sf_dir)
-    out = root + "/ivfpq_index"
-    if fresh:
-        persist_ivfpq_index(emb, out, n_centroids=16, m_subspaces=8, n_codes=16)
-        add_to_ivfpq_index(spark, out, added)
-        delete_from_ivfpq_index(spark, out, sources)
-        staging_commit(root)
-    return ann_ivfpq_topk_persisted(spark, out, None, queries, k=1, nprobe=4, rerank=32)
-
-
-@register(
-    "l20_pii_scrub",
-    "L5,D8 (compliance scrub; map-side)",
-    oracle="""
-    WITH injected AS (
-        SELECT doc_id,
-               text || ' contact user' || doc_id || '@example.com or 10.0.'
-                    || (doc_id % 200) || '.1' AS t
-        FROM documents WHERE doc_id % 7 = 2
-    )
-    SELECT doc_id,
-           md5(regexp_replace(regexp_replace(regexp_replace(t,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
-               '\\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')) AS scrub_md5,
-           CAST(len(regexp_extract_all(t,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
-               AS n_emails,
-           CAST(len(regexp_extract_all(
-               regexp_replace(t,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                   '<EMAIL>', 'g'),
-               '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ips
-    FROM injected
-    """,
-)
-def l20_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub (operators/textstats.py::scrub_pii): emails, IPv4s,
-    and phone-like digit runs replaced by typed placeholders — three
-    chained regexp_replace in whole-stage codegen, zero shuffle, scan
-    throughput at any corpus size. The synthetic corpus carries no PII,
-    so both sides inject a deterministic email+IP per sampled doc and
-    the scrub result is md5-checked; patterns are written to the
-    Java-regex / RE2 common dialect so Spark and DuckDB agree."""
-    from actuarial_reserve_modelling_spark.operators.textstats import scrub_pii
-
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 2)
-    injected = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.com or 10.0."),
-            (F.col("doc_id") % 200).cast("string"),
-            F.lit(".1"),
-        ).alias("text"),
-    )
-    return scrub_pii(injected).select(
-        "doc_id", F.md5("scrubbed").alias("scrub_md5"), "n_emails", "n_ips"
-    )
-
-
-@register(
-    "l25_ann_ivf_index_add",
-    "L3,D8 (incremental IVF index add + query, planted hash oracle)",
-    oracle=_PLANTED_TOP1_ORACLE,
-)
-def l25_ann_ivf_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental similarity-search ingest, now HASH-GRADE (r10
-    verdict task #4 — this row rode ``no_oracle`` while its code path
-    had planted-twin twins): centroids trained ONCE on the existing
-    corpus, the new batch — exact twins (id+100000) of every 50th
-    vector — assigned map-side against those frozen centroids
-    (``ivf_assign``, no retraining, no rebuild) and appended to the
-    lists; queries probe the UNION index
-    (operators/similarity.py::ann_ivf_topk_indexed). A twin assigns to
-    exactly its source's list (identical assignment arithmetic), the
-    twin-query's nearest probed list is that same list, and the exact
-    re-rank pins the sim-1.0 source at rank 1 (self excluded) — so the
-    add path's correctness is the hash: a lost or misrouted add batch
-    drops its twins from the lists and rank 1 stops being the source.
-    General recall of the indexed path stays in the pytest
-    (add-batch ≡ whole-corpus assignment under the same centroids)."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        ann_ivf_topk_indexed,
-        ivf_assign,
-        ivf_train_centroids,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 50)
-    centroids = ivf_train_centroids(emb, n_centroids=16)
-    lists = ivf_assign(emb, centroids).unionByName(ivf_assign(planted, centroids))
-    return ann_ivf_topk_indexed(
-        lists, centroids, emb.unionByName(planted), planted, k=1, nprobe=4
-    )
-
-
-@register(
-    "l26_ann_ivfpq_topk",
-    "L3 (IVF-PQ composite, the production ANN shape, planted hash oracle)",
-    oracle=_PLANTED_TOP1_ORACLE,
-)
-def l26_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composite (operators/similarity.py::ann_ivfpq_topk):
-    coarse 16-list quantizer + 8×16 product quantization of the
-    residuals, queries scan only their probed lists' codes via
-    per-query LUT ADC (inner-product decomposition:
-    IP(q, c+r) = q·c + q·r), exact cosine re-rank of the shortlist —
-    the composite every production vector store ships. Now HASH-GRADE
-    via the planted-twin construction (r10 verdict task #4; this row's
-    ``no_oracle`` predated l3i): every 50th vector's exact twin
-    queries at k=1 with a 32-row exact rerank window, the twin's code
-    word equals its source's, and rank 1 is the sim-1.0 source
-    deterministically. Differs from l3i in probe width (nprobe=6, the
-    row's original production setting). General recall stays in the
-    rows-only pytest (recall vs exact + determinism)."""
-    from actuarial_reserve_modelling_spark.operators.similarity import ann_ivfpq_topk
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 50)
-    corpus = emb.unionByName(planted)
-    return ann_ivfpq_topk(
-        corpus,
-        planted,
-        k=1,
-        n_centroids=16,
-        nprobe=6,
-        m_subspaces=8,
-        n_codes=16,
-        rerank=32,
-    )
-
-
-@register(
-    "l27_semantic_dedup",
-    "L3,L4,L2 (SemDeDup: embedding-level semantic dedup)",
-    oracle=f"""
-    WITH RECURSIVE p AS (
-        SELECT a.vec_id v1, b.vec_id v2
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_COS} >= 0.4
-    ),
-    edges AS (SELECT v1 a, v2 b FROM p UNION SELECT v2, v1 FROM p),
-    closure(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT e.a, c.b FROM edges e JOIN closure c ON e.b = c.a
-    ),
-    reps AS (
-        SELECT a AS vec_id, least(a, min(b)) AS rep_id
-        FROM closure GROUP BY a
-    )
-    SELECT e.vec_id, coalesce(r.rep_id, e.vec_id) AS rep_id,
-           CAST(coalesce(r.rep_id, e.vec_id) = e.vec_id AS INT) AS keep
-    FROM embeddings e LEFT JOIN reps r USING (vec_id)
-    """,
-)
-def l27_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (operators/similarity.py::semantic_dedup): connected
-    components over the cosine ≥ 0.4 pair graph, keep = min-id rep per
-    component, singletons keep themselves — the embedding-level dedup
-    tier that catches paraphrases sharing no n-grams. Exact pair stage
-    here via the explicit ``exact=True`` opt-in (the correctness
-    baseline, same cosine SQL as l4); the 100 TB blocked-pair path is
-    its own registry row (l27b). Oracle:
-    recursive transitive-closure CTE + left join to the full corpus."""
-    from actuarial_reserve_modelling_spark.operators.similarity import semantic_dedup
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.4, exact=True)
-
-
-@register(
-    "l27b_semantic_dedup_lsh",
-    "L7,L3,L4 (SemDeDup over the blocked LSH pair stage — the 100 TB path)",
-    oracle="""
-    SELECT vec_id, vec_id AS rep_id, CAST(1 AS INT) AS keep FROM embeddings
-    UNION ALL
-    SELECT vec_id + 100000 AS vec_id, vec_id AS rep_id, CAST(0 AS INT) AS keep
-    FROM embeddings WHERE vec_id % 5 = 0
-    """,
-)
-def l27b_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup fed by the blocked pair stage — ``semantic_dedup(pairs=
-    lsh_cosine_pairs(...))`` — so the corpus-scale path (hyperplane-LSH
-    blocking, no all-pairs stage) carries its own hash-grade evidence
-    instead of riding on l4b's plus prose.
-
-    Hash-checkable despite probabilistic blocking, by the l4b
-    construction: every 5th vector is planted as an exact duplicate
-    (id + 100000); identical vectors get identical signatures in EVERY
-    hyperplane table, so recall on the planted pairs is 1
-    deterministically, and the corpus itself has no pairs at τ=0.9
-    (max non-identical cosine ≈ 0.51 on this testdata). The component
-    set is therefore exactly the planted {v, v+100000} pairs: originals
-    keep themselves, plants point at their source with keep=0."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        lsh_cosine_pairs,
-        semantic_dedup,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 5)
-    corpus = emb.unionByName(planted)
-    return semantic_dedup(corpus, pairs=lsh_cosine_pairs(corpus, threshold=0.9))
-
-
-@register(
-    "l29_segment_dedup",
-    "L8,L1,L5,D5 (CCNet-style line/segment-level boilerplate removal)",
-    oracle="""
-    WITH tok AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        FROM documents
-    ),
-    seg AS (
-        SELECT doc_id, i AS seg_idx,
-               array_to_string(list_slice(ws, i, i + 9), ' ') AS seg_text
-        FROM tok, unnest(generate_series(1, greatest(len(ws), 1), 10)) AS t(i)
-        WHERE array_to_string(list_slice(ws, i, i + 9), ' ') <> ''
-    ),
-    freq AS (
-        SELECT seg_text FROM seg GROUP BY seg_text
-        HAVING count(DISTINCT doc_id) > 2
-    ),
-    kept AS (
-        SELECT s.doc_id,
-               CAST(count(*) AS INT) AS n_kept,
-               string_agg(s.seg_text, ' ' ORDER BY s.seg_idx) AS cleaned
-        FROM seg s ANTI JOIN freq f ON s.seg_text = f.seg_text
-        GROUP BY s.doc_id
-    ),
-    totals AS (
-        SELECT d.doc_id, CAST(count(s.doc_id) AS INT) AS n_segments
-        FROM documents d LEFT JOIN seg s USING (doc_id) GROUP BY d.doc_id
-    )
-    SELECT t.doc_id, t.n_segments,
-           CAST(t.n_segments - coalesce(k.n_kept, 0) AS INT) AS n_dropped,
-           md5(coalesce(k.cleaned, '')) AS cleaned_md5
-    FROM totals t LEFT JOIN kept k USING (doc_id)
-    """,
-)
-def l29_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line/segment-level dedup (operators/dedup.py::segment_dedup):
-    10-word segments whose corpus document-frequency exceeds 2 are
-    dropped as boilerplate and each doc is reassembled from its kept
-    segments — the CCNet line-dedup mechanism over deterministic
-    segmentation (this corpus has no newlines). Digest-only frequency
-    shuffle, AQE-decided anti-join on the (unbounded) drop-set, per-doc
-    bounded reassembly sort; token-less docs return (doc_id, 0, 0, '').
-    Oracle mirrors the same segmentation and DF rule; the cleaned text
-    is md5-pinned."""
-    from actuarial_reserve_modelling_spark.operators.dedup import segment_dedup
-
-    docs = load_table(spark, sf_dir, "documents")
-    return segment_dedup(docs, seg_words=10, max_df=2).select(
-        "doc_id", "n_segments", "n_dropped", F.md5("cleaned").alias("cleaned_md5")
-    )
-
-
-@register(
-    "l32_repeated_spans",
-    "L9,L2,D5 (ExactSubstr-style repeated-substring span removal)",
-    oracle="""
-    WITH tok AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        FROM documents
-    ),
-    pos AS (
-        SELECT doc_id, CAST(i AS INT) AS s,
-               array_to_string(list_slice(ws, i, i + 7), ' ') AS w
-        FROM tok, unnest(generate_series(1, len(ws) - 7)) AS t(i)
-    ),
-    rep AS (SELECT w FROM pos GROUP BY w HAVING count(*) >= 2),
-    marked AS (
-        SELECT doc_id, s, s + 8 AS e FROM pos SEMI JOIN rep USING (w)
-    ),
-    isl AS (
-        SELECT doc_id, s, e,
-               max(e) OVER (PARTITION BY doc_id ORDER BY s
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                   AS pm
-        FROM marked
-    ),
-    grp AS (
-        SELECT doc_id, s, e,
-               sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY doc_id ORDER BY s
-                         ROWS UNBOUNDED PRECEDING) AS g
-        FROM isl
-    ),
-    spans AS (
-        SELECT doc_id, g, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, g
-    ),
-    agg AS (
-        SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
-               CAST(sum(e - s) AS INT) AS n_masked
-        FROM spans GROUP BY doc_id
-    ),
-    keptagg AS (
-        SELECT t.doc_id, string_agg(t.ws[i], ' ' ORDER BY i) AS cleaned
-        FROM tok t, unnest(generate_series(1, len(t.ws))) AS u(i)
-        WHERE NOT EXISTS (
-            SELECT 1 FROM spans sp
-            WHERE sp.doc_id = t.doc_id AND i >= sp.s AND i < sp.e)
-        GROUP BY t.doc_id
-    )
-    SELECT t.doc_id, CAST(len(t.ws) AS INT) AS n_tokens,
-           coalesce(a.n_spans, 0) AS n_spans,
-           coalesce(a.n_masked, 0) AS n_masked,
-           md5(coalesce(k.cleaned, '')) AS cleaned_md5
-    FROM tok t LEFT JOIN agg a USING (doc_id) LEFT JOIN keptagg k USING (doc_id)
-    """,
-)
-def l32_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr-style repeated-substring removal (operators/dedup.py
-    ::repeated_span_removal; Lee et al. arXiv:2107.06499): every
-    overlapping 8-word window occurring ≥2 times corpus-wide (including
-    within-doc repeats) marks its token range; overlapping marks merge
-    into maximal spans (gaps-and-islands windows) and each doc is
-    rebuilt from the tokens outside its spans. Digest-only window
-    shuffle, AQE-decided repeated-set semi-join, two bounded per-doc
-    windows for the merge; the cleaned text is md5-pinned and the whole
-    span algebra is mirrored in the oracle's window formulation."""
-    from actuarial_reserve_modelling_spark.operators.dedup import repeated_span_removal
-
-    docs = load_table(spark, sf_dir, "documents")
-    return repeated_span_removal(docs, span_words=8, min_count=2).select(
-        "doc_id", "n_tokens", "n_spans", "n_masked", F.md5("cleaned").alias("cleaned_md5")
-    )
-
-
-@register(
-    "l27c_semantic_dedup_ivf",
-    "L7,L3,L4 (SemDeDup over the IVF-blocked pair stage — moderate-τ scale path)",
-    oracle="""
-    SELECT vec_id, vec_id AS rep_id, CAST(1 AS INT) AS keep FROM embeddings
-    UNION ALL
-    SELECT vec_id + 100000 AS vec_id, vec_id AS rep_id, CAST(0 AS INT) AS keep
-    FROM embeddings WHERE vec_id % 5 = 0
-    """,
-)
-def l27c_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup fed by the IVF-partitioned pair stage
-    (operators/similarity.py::ivf_cosine_pairs) — the blocking geometry
-    for SemDeDup's MODERATE working thresholds (τ ≈ 0.3-0.6), where
-    hyperplane LSH's collision curve stops separating pairs (l27b
-    covers the near-dup-τ LSH path). Hash-checkable by the same
-    planted-duplicate construction as l27b: identical vectors get
-    identical stable-argsort list assignments, so every planted pair
-    shares all its probed inverted lists deterministically — recall 1
-    by construction — and the corpus has no non-identical pairs at
-    τ=0.9. The general moderate-τ recall behavior (0.985 at τ=0.4,
-    nprobe=4 on uniform vectors) is pinned by the recall pytest."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        ivf_cosine_pairs,
-        semantic_dedup,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 5)
-    corpus = emb.unionByName(planted)
-    return semantic_dedup(
-        corpus,
-        # bounded-list auto centroids + nprobe=2: planted recall is 1 at
-        # ANY nprobe (identical vectors share every probed list), and
-        # the lower probe keeps the verify stage at its linear budget;
-        # the moderate-τ nprobe=4 recall behavior is pytest-pinned
-        pairs=ivf_cosine_pairs(corpus, threshold=0.9, nprobe=2, n_iters=1),
-    )
-
-
-
-@register(
-    "l3e_ann_lsh_top1_planted",
-    "L3 (hash-grade evidence for the LSH ANN path via planted twins)",
-    oracle=_PLANTED_TOP1_ORACLE,
-)
-def l3e_ann_lsh_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic, hash-checkable slice of the LSH ANN top-k path
-    (the general-recall behavior stays rows-only in l3b): every 50th
-    vector is planted as an exact duplicate (id + 100000) and used as
-    a top-1 query. Identical vectors sign identically in every table,
-    so the twin is ALWAYS a candidate; its exact re-ranked sim is 1.0
-    while the corpus's max non-identical cosine is ~0.51 — rank 1 is
-    therefore the twin, deterministically, and the driver can
-    hash-compare the full output instead of counting rows."""
-    from actuarial_reserve_modelling_spark.operators.similarity import ann_lsh_topk
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 50)
-    corpus = emb.unionByName(planted)
-    return ann_lsh_topk(corpus, planted, k=1)
-
-
-@register(
-    "l3f_ann_ivf_top1_planted",
-    "L3 (hash-grade evidence for the IVF ANN path via planted twins)",
-    oracle=_PLANTED_TOP1_ORACLE,
-)
-def l3f_ann_ivf_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The IVF analogue of l3e: a planted twin lands in exactly its
-    source's cluster (stable-argsort assignment is deterministic on
-    identical vectors), every query probes its own nearest clusters
-    first, and the exact re-rank puts the sim-1.0 twin at rank 1 —
-    hash-grade driver evidence for the IVF scan-pruning path, with
-    general recall still covered by l3c's rows-only + pytest."""
-    from actuarial_reserve_modelling_spark.operators.similarity import ann_ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 50)
-    corpus = emb.unionByName(planted)
-    return ann_ivf_topk(corpus, planted, k=1, n_centroids=16, nprobe=4)
-
-
-@register(
-    "l3g_ann_ivf_hier_top1_planted",
-    "L3 (hash-grade evidence for the two-level hierarchical IVF index via planted twins)",
-    oracle=_PLANTED_TOP1_ORACLE,
-)
-def l3g_ann_ivf_hier_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l3f's construction over the r8 HIERARCHICAL index
-    (operators/similarity.py::ivf_hier_build +
-    ann_ivf_hier_topk_indexed): a planted twin hard-assigns to exactly
-    its source's (super, child) list at build, the twin-query's top-1
-    probed super is that same super (identical distance rows through
-    the identical ``ivf_assign`` kernel) and its rank-1 child WITHIN it
-    is the member's child (per-super ranking with the build kernel's
-    own arithmetic — immune to crowding-out by other supers' children),
-    so the sim-1.0 twin reaches the exact re-rank and rank 1 with
-    probability 1. Hash-grade driver evidence for the quartic-root
-    quantizer path; general recall is pinned by the pytest (0.99 @5 on
-    clustered vectors). Added r8 → queued for the round-9 driver
-    window; local evidence: tools/check_oracle sf0.01 + sf0.1."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        ann_ivf_hier_topk,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 50)
-    corpus = emb.unionByName(planted)
-    return ann_ivf_hier_topk(corpus, planted, k=1)
-
-
-@register(
-    "l3h_ann_pq_top1_planted",
-    "L3 (hash-grade evidence for the PQ/ADC ANN path via planted twins)",
-    oracle=_PLANTED_TOP1_ORACLE,
-)
-def l3h_ann_pq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PQ analogue of l3e/l3f — the last ANN family member without
-    a hash-grade driver row. A planted twin encodes to EXACTLY its
-    source's m-byte code word (pq_encode is deterministic on identical
-    vectors), so the source's ADC score for the twin-query is the
-    maximal q·quant(q) while every non-code-sharing vector scores
-    q·quant(y) ≈ cos(q,y) ≤ ~0.51; the exact re-rank then pins sim 1.0
-    at rank 1. Unlike l3e/l3f the shortlist guarantee is EMPIRICAL,
-    not structural: coarse 16-code-per-subspace codebooks can assign
-    other clustered vectors the same code word, and ADC ties break by
-    ascending id — so the source could in principle be crowded out of
-    a small shortlist by lower-id code-sharers. rerank=32 (a 32-row
-    exact window per query, still O(1)) makes that impossible at both
-    checked scales; everything is deterministic end to end, so the
-    local sf0.01/sf0.1 verification transfers exactly to the driver.
-    General PQ recall stays rows-only in l3d."""
-    from actuarial_reserve_modelling_spark.operators.similarity import ann_pq_topk
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 50)
-    corpus = emb.unionByName(planted)
-    return ann_pq_topk(corpus, planted, k=1, m_subspaces=8, n_codes=16, rerank=32)
-
-
-@register(
-    "l3i_ann_ivfpq_top1_planted",
-    "L3 (hash-grade evidence for the IVF-PQ composite via planted twins)",
-    oracle=_PLANTED_TOP1_ORACLE,
-)
-def l3i_ann_ivfpq_top1_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l3h's construction over the IVF-PQ composite (the production
-    ANN shape, rows-only in l26): the twin hard-assigns to its
-    source's coarse list (identical ``ivf_assign`` arithmetic), its
-    RESIDUAL against that list's centroid is identical to the
-    source's and therefore encodes to the same code word, and the
-    twin-query's nearest probed list is its own — so the source is
-    always scanned and scores the maximal q·c + q·quant(r). The same
-    empirical shortlist caveat as l3h applies (code-word sharing
-    within a dense list), handled the same way: rerank=32 exact
-    window, deterministic end to end, verified at sf0.01 AND sf0.1
-    before entering the driver queue."""
-    from actuarial_reserve_modelling_spark.operators.similarity import ann_ivfpq_topk
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 50)
-    corpus = emb.unionByName(planted)
-    return ann_ivfpq_topk(
-        corpus,
-        planted,
-        k=1,
-        n_centroids=16,
-        nprobe=4,
-        m_subspaces=8,
-        n_codes=16,
-        rerank=32,
-    )
-
-
-@register(
-    "l34_ann_index_persisted",
-    "L3,S6,L10 (build-once/query-many: persisted hierarchical ANN index, partition-pruned reads)",
-    oracle=_PLANTED_TOP1_ORACLE,
-)
-def l34_ann_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production ANN lifecycle that every one-shot l3* query
-    elides: build the two-level IVF index ONCE, persist it as a
-    hive-partitioned parquet layout (``persist_ann_index`` — members
-    and child centroids partitioned by ``super``, the key every query
-    batch filters on), then answer a query batch by PRUNED reads
-    (``ann_ivf_hier_topk_persisted``: soft-assign the bounded query
-    batch, collect its distinct probed supers, and scan only those
-    partition directories — the per-batch index I/O is nprobe_super/k1
-    of the index, not all of it, which at 10⁹ vectors is the entire
-    point of persisting). Since r10 the layout is VECTOR-BEARING
-    (``persist_ann_index(embeddings=...)``) and the query passes
-    ``embeddings=None``: the exact rerank reads candidate vectors out
-    of the same pruned partitions, so the whole per-batch query
-    touches the probed fraction of the index and ZERO corpus files
-    (r9 verdict finding #1 closed; scan-path pytest pins it).
-    Correctness is the l3g construction run through the
-    persisted+pruned path: parquet round-trips doubles and floats
-    bitwise, so the reloaded centroids route the twin query
-    identically and the stored vectors rerank to the identical rounded
-    sim — rank 1 is the planted source at exactly 1.0. The
-    full-load/pruned-load equivalence and the on-disk layout are
-    pinned by the roundtrip pytest."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        ann_ivf_hier_topk_persisted,
-        ivf_hier_build,
-        persist_ann_index,
-    )
-    from actuarial_reserve_modelling_spark.sources.sinks import (
-        staging_commit,
-        staging_dir,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 50)
-    corpus = emb.unionByName(planted)
-    root, fresh = staging_dir("l34", sf_dir)
-    out = root + "/ann_index"
-    if fresh:
-        index, super_cent = ivf_hier_build(corpus)
-        persist_ann_index(index, super_cent, out, embeddings=corpus)
-        staging_commit(root)
-    return ann_ivf_hier_topk_persisted(spark, out, None, planted, k=1)
-
-
-@register(
-    "l35_ann_index_add_persisted",
-    "L3,D8,S6,L10 (incremental ingest into the persisted ANN index, hash-grade)",
-    oracle="""
-    SELECT vec_id + 200000 AS query_id, vec_id AS neighbor_id,
-           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
-    FROM embeddings WHERE vec_id % 50 = 0
-    UNION ALL
-    SELECT vec_id + 200000 AS query_id, vec_id + 100000 AS neighbor_id,
-           CAST(2 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
-    FROM embeddings WHERE vec_id % 50 = 0
-    """,
-)
-def l35_ann_index_add_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingest through the persisted index, hash-grade
-    (l25 covers the flat in-memory form rows-only): build+persist on
-    the base corpus, ``add_to_ann_index`` a batch of exact twins
-    (ids +100000) of every 50th vector — routed by the same two-level
-    arithmetic the build used, appended only to their supers'
-    partition directories — then query a SECOND twin of each source
-    (ids +200000) at k=2. Rank 1 is structurally the original source
-    (the l3g guarantee, index rows untouched by the add) and rank 2 is
-    the ADDED twin: it hard-routes to the source's super and to a
-    child that is its own slot's rank-1 for the identical query vector
-    (a global argmin is its slot's argmin, and an in-slot distance tie
-    resolves to the same lowest child id in both kernels), so it is
-    always scanned and ties at sim 1.0 behind the lower source id.
-    The add being REQUIRED for the rank-2 rows is what pins the ingest
-    path: dropping, mis-routing, or double-appending the batch all
-    hash-mismatch."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        add_to_ann_index,
-        ann_ivf_hier_topk_persisted,
-        ivf_hier_build,
-        persist_ann_index,
-    )
-    from actuarial_reserve_modelling_spark.sources.sinks import (
-        staging_commit,
-        staging_dir,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    added = plant_twins(emb, 50)
-    queries = plant_twins(emb, 50, offset=200_000)
-    root, fresh = staging_dir("l35", sf_dir)
-    out = root + "/ann_index"
-    if fresh:
-        index, super_cent = ivf_hier_build(emb)
-        # overwrite clears any partial append from a failed prior
-        # build, so build+add is idempotent as a unit
-        persist_ann_index(index, super_cent, out, embeddings=emb)
-        add_to_ann_index(spark, out, added)
-        staging_commit(root)
-    # vector-bearing layout: the rerank pool IS the index — the added
-    # twins' vectors rode through the ingest kernel into members/
-    return ann_ivf_hier_topk_persisted(spark, out, None, queries, k=2)
-
-
-@register(
-    "l37_ivfpq_index_persisted",
-    "L3,D8,S6,L10 (persisted IVF-PQ tier: codebooks+codes partitioned by list, incremental encode-and-append, pruned ADC query)",
-    oracle="""
-    SELECT vec_id + 200000 AS query_id, vec_id AS neighbor_id,
-           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
-    FROM embeddings WHERE vec_id % 50 = 0
-    UNION ALL
-    SELECT vec_id + 200000 AS query_id, vec_id + 100000 AS neighbor_id,
-           CAST(2 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
-    FROM embeddings WHERE vec_id % 50 = 0
-    """,
-)
-def l37_ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The persisted lifecycle for the PQ tier (r9 verdict gap #2 —
-    l34/l35/l36 covered only the hierarchical index; the IVF-PQ
-    composite trained its codebooks per call): ``persist_ivfpq_index``
-    writes the coarse centroids, residual codebooks, and the
-    cluster-PARTITIONED codes table once; ``add_to_ivfpq_index``
-    encodes a batch of exact twins (+100000) with the PERSISTED
-    codebooks — no retraining — and appends only to their clusters'
-    partition directories; ``ann_ivfpq_topk_persisted`` then answers a
-    second-twin (+200000) batch at k=2 by a probed-cluster-pruned ADC
-    scan over the code bytes and a rerank from the stored vectors —
-    zero corpus files. Rank 1 is the original source and rank 2 the
-    ADDED twin (identical residual → identical code word → maximal ADC
-    for both; the 32-row exact window rescues any code-sharing
-    crowding, same empirical caveat as l3h/l3i, verified at sf0.01 and
-    sf0.1): the add being REQUIRED for the rank-2 rows pins the
-    incremental-encode path, and a lost/duplicated append or a
-    mistrained codebook all hash-mismatch."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        add_to_ivfpq_index,
-        ann_ivfpq_topk_persisted,
-        persist_ivfpq_index,
-    )
-    from actuarial_reserve_modelling_spark.sources.sinks import (
-        staging_commit,
-        staging_dir,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    added = plant_twins(emb, 50)
-    queries = plant_twins(emb, 50, offset=200_000)
-    root, fresh = staging_dir("l37", sf_dir)
-    out = root + "/ivfpq_index"
-    if fresh:
-        persist_ivfpq_index(
-            emb, out, n_centroids=16, m_subspaces=8, n_codes=16
-        )
-        add_to_ivfpq_index(spark, out, added)
-        staging_commit(root)
-    return ann_ivfpq_topk_persisted(spark, out, None, queries, k=2, nprobe=4, rerank=32)
-
-
-@register(
-    "l36_ann_index_delete_persisted",
-    "L3,S7,L10 (deletion from the persisted ANN index via dynamic partition overwrite)",
-    oracle="""
-    SELECT vec_id + 200000 AS query_id, vec_id + 100000 AS neighbor_id,
-           CAST(1 AS INT) AS rank, CAST(1.0 AS DOUBLE) AS sim
-    FROM embeddings WHERE vec_id % 50 = 0
-    """,
-)
-def l36_ann_index_delete_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The remove side of the index lifecycle (dedup-driven removal /
-    retention), hash-grade: build+persist on the base corpus, add
-    exact twins (+100000) of every 50th vector, then DELETE the
-    original sources (``delete_from_ann_index`` — anti-join + dynamic
-    partition overwrite of only the touched supers; untouched supers
-    keep their files). Querying a third twin (+200000) at k=1 now
-    pins BOTH mutations at once: the added twin is the only remaining
-    sim-1.0 vector, so rank 1 must be id+100000 — if the delete left
-    the source behind, the lower source id wins the 1.0 tie and the
-    hash mismatches; if the add was lost, no 1.0 neighbor exists at
-    rank 1 and it mismatches too."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        add_to_ann_index,
-        ann_ivf_hier_topk_persisted,
-        delete_from_ann_index,
-        ivf_hier_build,
-        persist_ann_index,
-    )
-    from actuarial_reserve_modelling_spark.sources.sinks import (
-        staging_commit,
-        staging_dir,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    added = plant_twins(emb, 50)
-    queries = plant_twins(emb, 50, offset=200_000)
-    sources = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
-    root, fresh = staging_dir("l36", sf_dir)
-    out = root + "/ann_index"
-    if fresh:
-        index, super_cent = ivf_hier_build(emb)
-        persist_ann_index(index, super_cent, out, embeddings=emb)
-        add_to_ann_index(spark, out, added)
-        delete_from_ann_index(spark, out, sources)
-        staging_commit(root)
-    return ann_ivf_hier_topk_persisted(spark, out, None, queries, k=1)
-
-
-@register(
-    "l40_dedup_banded_persisted",
-    "L2,D8,S7 (banded lookup projection: partition-pruned against-index dedup)",
-    oracle=f"""
-    WITH {_WORDS_CTE},
-    c AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
-    i AS (
-        SELECT a.doc_id new_id, b.doc_id index_id, count(*) k
-        FROM words a JOIN words b USING (w)
-        WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0 AND b.doc_id % 5 <> 2
-        GROUP BY 1, 2
-    )
-    SELECT new_id, index_id,
-           round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) AS jac
-    FROM i JOIN c c1 ON new_id = c1.doc_id JOIN c c2 ON index_id = c2.doc_id
-    WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
-    """,
-)
-def l40_dedup_banded_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l38's lifecycle through the r11 BANDED lookup path (the l34 move
-    applied to MinHash — r10 verdict task #1): ``persist_dedup_index``
-    writes the (band, bpart)-partitioned banded projection alongside
-    the id-hash fingerprints; ``add_to_dedup_index`` (corpus docs
-    %4=1) and ``delete_from_dedup_index`` (docs %5=2) maintain BOTH
-    datasets; the ingest check then runs
-    ``minhash_dedup_against_index_persisted`` — the batch reads ONLY
-    its own (band, bpart) partition directories and the candidates'
-    id-hash buckets, per-batch index bytes O(batch footprint) instead
-    of the full-index re-band l38's operator pays. Answer = the exact
-    all-pairs jac ≥ 0.95 set over the SURVIVING index (b=16 r=16
-    banding recall argument as l19): a lost add drops pairs, a
-    left-behind delete re-emits a deleted index_id, an unmaintained
-    banded projection drops every pair of the added docs — all
-    hash-mismatch against the oracle."""
-    from actuarial_reserve_modelling_spark.operators.dedup import (
-        add_to_dedup_index,
-        build_dedup_index,
-        delete_from_dedup_index,
-        minhash_dedup_against_index_persisted,
-        persist_dedup_index,
-    )
-    from actuarial_reserve_modelling_spark.sources.sinks import (
-        staging_commit,
-        staging_dir,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 3 != 0)
-    root, fresh = staging_dir("l40", sf_dir)
-    out = root + "/dedup_index"
-    if fresh:
-        base = build_dedup_index(
-            corpus.filter(F.col("doc_id") % 4 != 1), bands=16, rows_per_band=16
-        )
-        persist_dedup_index(base, out, bands=16, rows_per_band=16)
-        add_to_dedup_index(spark, out, corpus.filter(F.col("doc_id") % 4 == 1))
-        delete_from_dedup_index(
-            spark, out, corpus.filter(F.col("doc_id") % 5 == 2).select("doc_id")
-        )
-        staging_commit(root)
-    return minhash_dedup_against_index_persisted(
-        spark, out, docs.filter(F.col("doc_id") % 3 == 0), threshold=0.95
-    )
-
-
-@register(
-    "l41_hard_negative_mining",
-    "L3,D9 (contrastive hard-negative mining with margin denoise)",
-    oracle=f"""
-    WITH corpus AS (
-        SELECT vec_id, embedding FROM embeddings
-        UNION ALL
-        SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
-        WHERE vec_id % 25 = 0
-    ),
-    anchors AS (
-        SELECT vec_id AS anchor_id, vec_id + 100000 AS positive_id, embedding
-        FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2500
-    ),
-    pos AS (
-        SELECT a.anchor_id, {_COS} AS pos_sim
-        FROM anchors a JOIN corpus b ON b.vec_id = a.positive_id
-    ),
-    negs AS (
-        SELECT a.anchor_id, a.positive_id, b.vec_id AS negative_id,
-               {_COS} AS neg_sim
-        FROM anchors a JOIN corpus b
-          ON b.vec_id <> a.anchor_id AND b.vec_id <> a.positive_id
-    )
-    SELECT anchor_id, positive_id, negative_id, CAST(rank AS BIGINT) AS rank,
-           pos_sim, neg_sim
-    FROM (
-        SELECT n.anchor_id, n.positive_id, n.negative_id,
-               row_number() OVER (PARTITION BY n.anchor_id
-                                  ORDER BY n.neg_sim DESC, n.negative_id) AS rank,
-               p.pos_sim, n.neg_sim
-        FROM negs n JOIN pos p USING (anchor_id)
-        WHERE n.neg_sim <= p.pos_sim - 0.55
-    ) WHERE rank <= 3
-    """,
-)
-def l41_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive hard-negative mining (operators/similarity.py::
-    mine_hard_negatives; ANCE arXiv:2007.00808): planted twins are the
-    labeled positives (sim 1.0 by construction), and each anchor's 3
-    hardest SAFE negatives — most-similar corpus vectors excluding the
-    anchor, its twin, and anything within 0.55 of the positive — are
-    surfaced with their sims. The margin BITES on this corpus (top
-    non-identical cosines reach ~0.5 > 1.0 − 0.55 = 0.45), so the
-    false-negative denoise filter is exercised, not vacuous; ranks are
-    assigned after it. Anchor batch bounded (vec_id < 2500, every
-    25th ⇒ ≤ 100 queries) per the broadcast bounded-query contract;
-    the corpus side streams, never shuffles. Exact brute-force path ⇒
-    the oracle replays the identical arithmetic; the ANN-candidate
-    scale path shares the scoring/denoise code."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        mine_hard_negatives,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = plant_twins(emb, 25)
-    corpus = emb.unionByName(planted)
-    anchors = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)).select(
-        "vec_id", "embedding", (F.col("vec_id") + 100000).alias("positive_id")
-    )
-    out = mine_hard_negatives(corpus, anchors, k=3, margin=0.55)
-    return out.select(
-        "anchor_id",
-        "positive_id",
-        "negative_id",
-        F.col("rank").cast("bigint").alias("rank"),
-        "pos_sim",
-        "neg_sim",
-    )
-
-
-@register(
-    "l41b_hard_negative_ann_planted",
-    "L3,D9 (hash-grade evidence for the ANN-candidate mining scale path)",
-    oracle="""
-    SELECT vec_id AS anchor_id, vec_id + 100000 AS positive_id,
-           vec_id + 200000 AS negative_id, CAST(1 AS BIGINT) AS rank,
-           CAST(1.0 AS DOUBLE) AS pos_sim, CAST(1.0 AS DOUBLE) AS neg_sim
-    FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2500
-    """,
-)
-def l41b_hard_negative_ann_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic slice of mine_hard_negatives' ANN-candidate SCALE
-    path (l41 covers the exact brute-force path): every 25th vector is
-    planted TWICE (twin1 at +100000 = the labeled positive, twin2 at
-    +200000 = a known sim-1.0 decoy). The hierarchical-IVF candidate
-    stage surfaces all three identical copies with probability 1
-    (identical vectors share every probed list — the l3g argument),
-    the exact rerank scores them 1.0, and mining excludes the anchor
-    and its positive, leaving twin2 as the rank-1 hard negative with
-    neg_sim exactly 1.0 (margin 0: 1.0 ≤ pos_sim − 0). A broken
-    candidate plumbing (lost anchor column, positive not excluded,
-    margin misapplied) changes ids or sims and hash-mismatches."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        ann_ivf_hier_topk,
-        mine_hard_negatives,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    twin1 = plant_twins(emb, 25)
-    twin2 = plant_twins(emb, 25, offset=200000)
-    corpus = emb.unionByName(twin1).unionByName(twin2)
-    src = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500))
-    anchors = src.select(
-        "vec_id", "embedding", (F.col("vec_id") + 100000).alias("positive_id")
-    )
-    cand = ann_ivf_hier_topk(corpus, src, k=4).select(
-        F.col("query_id").alias("anchor_id"), F.col("neighbor_id").alias("cand_id")
-    )
-    out = mine_hard_negatives(corpus, anchors, k=1, margin=0.0, candidates=cand)
-    return out.select(
-        "anchor_id",
-        "positive_id",
-        "negative_id",
-        F.col("rank").cast("bigint").alias("rank"),
-        "pos_sim",
-        "neg_sim",
-    )
-
-
-@register(
-    "l43_vecsig_index_persisted",
-    "L2,L4,D8,S7 (persisted vector near-dup tier: build, add, delete, pruned ingest)",
-    oracle="""
-    SELECT vec_id + 100000 AS new_id, vec_id AS index_id,
-           CAST(1.0 AS DOUBLE) AS sim
-    FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 4 <> 2
-    """,
-)
-def l43_vecsig_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full lifecycle of the persisted VECTOR near-dup tier — the
-    embedding analogue of l40's MinHash lifecycle, closing the last
-    O(index)-per-batch ingest pattern (t12's gate previously re-read
-    the whole signature index per batch inside
-    lsh_cosine_dedup_against_index): ``persist_vecsig_index`` writes
-    the corpus half (vec_id%4≠1) spart/id-hash partitioned;
-    ``add_to_vecsig_index`` signs the rest (%4=1) with the PERSISTED
-    parameters and appends partition-locally;
-    ``delete_from_vecsig_index`` removes every %4=2 vector from both
-    datasets by touched-partition rewrite. The ingest check
-    (``lsh_cosine_dedup_against_index_persisted`` on exact twins of
-    every 5th vector) reads ONLY the batch's spart directories and the
-    candidates' id-hash buckets; identical vectors collide in every
-    table with probability 1 and no non-identical pair reaches τ=0.9
-    on this corpus (the l4b argument), so the answer is exactly the
-    twins whose source SURVIVES the delete: a lost add drops pairs, a
-    left-behind delete re-emits a deleted index_id, an unmaintained
-    signature dataset drops every added vector's pair — all
-    hash-mismatch against the oracle."""
-    from actuarial_reserve_modelling_spark.operators.similarity import (
-        add_to_vecsig_index,
-        delete_from_vecsig_index,
-        lsh_cosine_dedup_against_index_persisted,
-        persist_vecsig_index,
-    )
-    from actuarial_reserve_modelling_spark.sources.sinks import (
-        staging_commit,
-        staging_dir,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    root, fresh = staging_dir("l43", sf_dir)
-    out = root + "/vecsig_index"
-    if fresh:
-        persist_vecsig_index(emb.filter(F.col("vec_id") % 4 != 1), out)
-        add_to_vecsig_index(spark, out, emb.filter(F.col("vec_id") % 4 == 1))
-        delete_from_vecsig_index(
-            spark, out, emb.filter(F.col("vec_id") % 4 == 2).select("vec_id")
-        )
-        staging_commit(root)
-    batch = plant_twins(emb, 5)
-    return lsh_cosine_dedup_against_index_persisted(spark, out, batch, threshold=0.9)

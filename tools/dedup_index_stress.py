@@ -106,10 +106,21 @@ def main() -> None:
         found_pruned = {
             (r["new_id"], r["index_id"], r["jac"])
             for r in minhash_dedup_against_index_persisted(
-                spark, d, batch, threshold=0.95
+                spark, d, batch, threshold=0.95, route="pruned"
             ).collect()
         }
         t_pruned = time.time() - t0
+
+        # r12 adaptive router: must match whichever twin it picked and
+        # land at the better twin's wall
+        t0 = time.time()
+        found_routed = {
+            (r["new_id"], r["index_id"], r["jac"])
+            for r in minhash_dedup_against_index_persisted(
+                spark, d, batch, threshold=0.95, route="auto"
+            ).collect()
+        }
+        t_routed = time.time() - t0
 
         t0 = time.time()
         found_full = {
@@ -182,7 +193,9 @@ def main() -> None:
                     (banded_touched + fp_touched) / max(1, banded_total + fp_total),
                     4,
                 ),
+                "lookup_routed_sec": round(t_routed, 2),
                 "pruned_equals_full": found_pruned == found_full,
+                "routed_equals_full": found_routed == found_full,
                 "twins_exact": found_pruned == want,
             }
         )

@@ -109,10 +109,22 @@ def main() -> None:
         found_pruned = {
             (r["new_id"], r["index_id"], r["sim"])
             for r in lsh_cosine_dedup_against_index_persisted(
-                spark, d, batch, threshold=0.9
+                spark, d, batch, threshold=0.9, route="pruned"
             ).collect()
         }
         t_pruned = time.time() - t0
+
+        # r12 adaptive router: must match whichever twin it picked and
+        # land at (or under, thanks to the fused footprint job) the
+        # better twin's wall
+        t0 = time.time()
+        found_routed = {
+            (r["new_id"], r["index_id"], r["sim"])
+            for r in lsh_cosine_dedup_against_index_persisted(
+                spark, d, batch, threshold=0.9, route="auto"
+            ).collect()
+        }
+        t_routed = time.time() - t0
 
         sig_idx, vec_idx = load_vecsig_index(spark, d)
         t0 = time.time()
@@ -184,7 +196,9 @@ def main() -> None:
                 "touched_fraction": round(
                     (sig_touched + vec_touched) / max(1, sig_total + vec_total), 4
                 ),
+                "lookup_routed_sec": round(t_routed, 2),
                 "pruned_equals_full": found_pruned == found_full,
+                "routed_equals_full": found_routed == found_full,
                 "twins_exact": found_pruned == want,
             }
         )
