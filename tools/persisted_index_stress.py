@@ -154,7 +154,55 @@ def main() -> None:
                 "add_twins_exact": res_add == want_add,
                 "corpus_free_queries": True,
             }
+        ),
+        flush=True,
+    )
+
+    # --- nprobe sensitivity (r12, VERDICT r11 task 7): recall@10 vs
+    # nprobe_super in {1, 2, 4, 8} against the EXACT brute-force
+    # neighbors, plus the planted-top1 floor at every setting — pins
+    # the recall/latency trade before anyone turns nprobe down for
+    # speed. Uses the ORIGINAL persisted layout semantics: corpus now
+    # also holds the +20M add-batch twins, so ground truth is computed
+    # over the post-add corpus the index actually serves.
+    from actuarial_reserve_modelling_spark.operators.similarity import cosine_topk
+
+    served = corpus.unionByName(batch)
+    t0 = time.time()
+    truth: dict[int, set[int]] = {}
+    for r in cosine_topk(served, queries, k=10).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    t_brute = time.time() - t0
+    curve = []
+    for p in (1, 2, 4, 8):
+        t0 = time.time()
+        rows = ann_ivf_hier_topk_persisted(
+            spark, d, None, queries, k=10, nprobe_super=p
+        ).collect()
+        t_q = time.time() - t0
+        got: dict[int, set[int]] = {}
+        top1: dict[int, tuple] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            if r["rank"] == 1:
+                top1[r["query_id"]] = (r["neighbor_id"], r["sim"])
+        recall = sum(
+            len(got.get(q, set()) & t10) / len(t10) for q, t10 in truth.items()
+        ) / max(1, len(truth))
+        floor = all(
+            top1.get(s + 10_000_000) == (s, 1.0) for s in src
         )
+        curve.append(
+            {
+                "nprobe_super": p,
+                "recall_at_10": round(recall, 4),
+                "planted_top1_floor": floor,
+                "query_sec": round(t_q, 2),
+            }
+        )
+        print(json.dumps(curve[-1]), flush=True)
+    print(
+        json.dumps({"brute_force_sec": round(t_brute, 2), "nprobe_curve": curve})
     )
 
 
