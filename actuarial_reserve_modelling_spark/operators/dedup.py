@@ -1085,16 +1085,19 @@ def persist_dedup_index(
     # advisory corpus size for the adaptive lookup routing (r12) —
     # before meta/ so the commit marker still lands last
     from actuarial_reserve_modelling_spark.operators.similarity import (
+        _one_row_meta,
         _write_index_stats,
     )
 
     _write_index_stats(spark, path, n_rows)
-    spark.createDataFrame(
-        [(int(bands), int(rows_per_band), int(seed), int(n_buckets), int(k_band_parts), 2)],
-        schema=(
-            "bands int, rows_per_band int, seed int, n_buckets int, "
-            "k_band_parts int, layout_version int"
-        ),
+    _one_row_meta(
+        spark,
+        bands=int(bands),
+        rows_per_band=int(rows_per_band),
+        seed=int(seed),
+        n_buckets=int(n_buckets),
+        k_band_parts=int(k_band_parts),
+        layout_version=2,
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     _DEDUP_META_CACHE.pop(path, None)
 

@@ -1734,9 +1734,11 @@ def persist_ann_index(
     spark.createDataFrame(
         sup_rows, schema="super int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/supers")
-    spark.createDataFrame(
-        [(int(group_cap), embeddings is not None, 2)],
-        schema="group_cap int, has_vectors boolean, layout_version int",
+    _one_row_meta(
+        spark,
+        group_cap=int(group_cap),
+        has_vectors=embeddings is not None,
+        layout_version=2,
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     _evict_index_cache(path)
 
@@ -2256,14 +2258,36 @@ def read_index_stats(spark: SparkSession, path: str) -> int | None:
     return n
 
 
+def _one_row_meta(spark: SparkSession, **cols) -> DataFrame:
+    """One-row metadata frame from literals via ``spark.range(1)`` —
+    the createDataFrame Python-list path costs ~5 s per call in driver
+    overhead (measured r12); this is ~0.3 s. Values: int → int column,
+    bool → boolean, float → double."""
+    sels = []
+    for name, v in cols.items():
+        if isinstance(v, bool):
+            sels.append(F.lit(v).alias(name))
+        elif isinstance(v, int):
+            sels.append(F.lit(int(v)).cast("int").alias(name))
+        else:
+            sels.append(F.lit(v).alias(name))
+    return spark.range(1).select(*sels)
+
+
 def _write_index_stats(spark: SparkSession, path: str, n_rows: int) -> None:
     """Overwrite the advisory row count (one tiny single-file dataset)
     and evict the per-process cache. Written AFTER the data-bearing
     datasets in every maintenance path, so a crash before this line
     leaves an undercount — which only biases routing toward the
-    full-scan twin, never toward a wrong answer."""
-    spark.createDataFrame(
-        [(int(max(0, n_rows)),)], schema="n_rows bigint"
+    full-scan twin, never toward a wrong answer.
+
+    Built from ``spark.range`` + a literal, NOT ``createDataFrame``:
+    this runs once per ingest batch, and the Python-list path costs
+    ~5 s per call in driver RPC/inference overhead (measured r12)
+    versus ~0.3 s for the JVM-literal plan — the difference between an
+    invisible constant and a visible per-batch tax on every gate."""
+    spark.range(1).select(
+        F.lit(int(max(0, n_rows))).cast("bigint").alias("n_rows")
     ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
     _INDEX_STATS_CACHE.pop(path, None)
 
@@ -2976,9 +3000,12 @@ def persist_ivfpq_index(
     spark.createDataFrame(
         book_rows, schema="sub int, code int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/books")
-    spark.createDataFrame(
-        [(int(m), int(nc), store_vectors, 1)],
-        schema="m_subspaces int, n_codes int, has_vectors boolean, layout_version int",
+    _one_row_meta(
+        spark,
+        m_subspaces=int(m),
+        n_codes=int(nc),
+        has_vectors=store_vectors,
+        layout_version=1,
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     _evict_index_cache(path)
 
@@ -3478,22 +3505,15 @@ def persist_vecsig_index(
     # advisory corpus size for the adaptive lookup routing (r12) —
     # before meta/ so the commit marker still lands last
     _write_index_stats(spark, path, n_rows)
-    spark.createDataFrame(
-        [
-            (
-                int(num_planes),
-                int(num_tables),
-                int(seed),
-                int(dim),
-                int(n_buckets),
-                int(k_sig_parts),
-                1,
-            )
-        ],
-        schema=(
-            "num_planes int, num_tables int, seed int, dim int, "
-            "n_buckets int, k_sig_parts int, layout_version int"
-        ),
+    _one_row_meta(
+        spark,
+        num_planes=int(num_planes),
+        num_tables=int(num_tables),
+        seed=int(seed),
+        dim=int(dim),
+        n_buckets=int(n_buckets),
+        k_sig_parts=int(k_sig_parts),
+        layout_version=1,
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     _VECSIG_META_CACHE.pop(path, None)
 
