@@ -409,10 +409,12 @@ def incremental_ingest_dedup(
             .drop("_rn")
             .localCheckpoint(eager=True)
         )
+        # one fpart collect per batch: the admitted set is a subset of
+        # first, so this list also bounds the append-side pruned read
+        fparts = [
+            int(r["fpart"]) for r in first.select("fpart").distinct().collect()
+        ]
         if _has_index():
-            fparts = [
-                int(r["fpart"]) for r in first.select("fpart").distinct().collect()
-            ]
             seen = (
                 spark.read.parquet(idx_dir)
                 .filter(F.col("fpart").isin(fparts))
@@ -440,9 +442,6 @@ def incremental_ingest_dedup(
             "doc_id", "fingerprint", "fpart"
         )
         if _has_index():
-            fparts = [
-                int(r["fpart"]) for r in newfp.select("fpart").distinct().collect()
-            ]
             existing = (
                 spark.read.parquet(idx_dir)
                 .filter(F.col("fpart").isin(fparts))
@@ -578,7 +577,19 @@ def incremental_neardup_ingest(
 
     _fpart = F.pmod(F.xxhash64(F.col("fingerprint")), F.lit(fp_parts)).cast("int")
 
+    import time as _time
+
+    _timing = os.environ.get("ARM_GATE_TIMING") == "1"
+    _marks: list[tuple[str, float]] = []
+
+    def _mark(label: str, t0: float) -> float:
+        if _timing:
+            _marks.append((label, round(_time.time() - t0, 2)))
+        return _time.time()
+
     def _step(batch_df: DataFrame, bid: int) -> None:
+        _marks.clear()
+        t0 = _time.time()
         shutil.rmtree(os.path.join(out_dir, f"e{bid}"), ignore_errors=True)
         cadence_due = compact_every and bid > 0 and bid % compact_every == 0
         if (cadence_due or auto_compact) and bid > 0:
@@ -591,6 +602,7 @@ def incremental_neardup_ingest(
                 )
             if auto_vacuum:
                 vacuum_index(spark, work, dry_run=False)
+        t0 = _mark("compact", t0)
         # 1) exact tier: within-batch first-wins, then the pruned
         # same-id-excluding check against the fingerprint dataset
         fp = content_fingerprints(batch_df).withColumn("fpart", _fpart)
@@ -601,10 +613,12 @@ def incremental_neardup_ingest(
             .select("doc_id", "fingerprint", "fpart")
             .localCheckpoint(eager=True)
         )
+        # one fpart collect per batch: admitted ⊆ first, so the list
+        # also bounds the append-side pruned read below
+        fparts = [
+            int(r["fpart"]) for r in first.select("fpart").distinct().collect()
+        ]
         if _have_fp():
-            fparts = [
-                int(r["fpart"]) for r in first.select("fpart").distinct().collect()
-            ]
             seen = (
                 spark.read.parquet(fp_dir)
                 .filter(F.col("fpart").isin(fparts))
@@ -620,6 +634,7 @@ def incremental_neardup_ingest(
         docs_e = batch_df.join(first.select("doc_id"), "doc_id").localCheckpoint(
             eager=True
         )
+        t0 = _mark("exact_tier", t0)
         # 2) within-batch near-dup clustering → cluster representatives
         # eager checkpoint: the emptiness probe and the CC rounds below
         # would otherwise each re-run the whole LSH pair pipeline
@@ -639,6 +654,7 @@ def incremental_neardup_ingest(
             docs_e = docs_e.join(non_reps, "doc_id", "left_anti").localCheckpoint(
                 eager=True
             )
+        t0 = _mark("within_batch", t0)
         # 3) cross-batch near-dup vs the persisted dedup tier (pruned)
         if _have_index():
             hits = (
@@ -654,6 +670,7 @@ def incremental_neardup_ingest(
             admitted = docs_e
             bootstrapped = True
         admitted = admitted.localCheckpoint(eager=True)
+        t0 = _mark("cross_batch", t0)
         # 4) epoch-keyed admitted sink, then partition-local tier
         # appends derived from the committed sink
         out_epoch = os.path.join(out_dir, f"e{bid}")
@@ -661,6 +678,7 @@ def incremental_neardup_ingest(
             "batch", F.lit(bid).cast("int")
         ).write.mode("overwrite").parquet(out_epoch)
         committed = spark.read.parquet(out_epoch).select("doc_id", "text")
+        t0 = _mark("sink", t0)
         if bootstrapped:
             persist_dedup_index(
                 build_dedup_index(
@@ -672,12 +690,9 @@ def incremental_neardup_ingest(
             )
         else:
             add_to_dedup_index(spark, idx_dir, committed)
+        t0 = _mark("index_append", t0)
         newfp = content_fingerprints(committed).withColumn("fpart", _fpart)
         if _have_fp():
-            newfp = newfp.localCheckpoint(eager=False)
-            fparts = [
-                int(r["fpart"]) for r in newfp.select("fpart").distinct().collect()
-            ]
             existing = (
                 spark.read.parquet(fp_dir)
                 .filter(F.col("fpart").isin(fparts))
@@ -687,6 +702,10 @@ def incremental_neardup_ingest(
         newfp.select("doc_id", "fingerprint", "fpart").repartition(
             F.col("fpart")
         ).write.mode("append").partitionBy("fpart").parquet(fp_dir)
+        t0 = _mark("fp_append", t0)
+        if _timing:
+            print(f"ARM_GATE_TIMING t11 batch={bid} " + " ".join(
+                f"{k}={v}" for k, v in _marks), flush=True)
 
     stream = staged_ordered_source(
         spark, [b.select("doc_id", "text") for b in batches], cache_key
