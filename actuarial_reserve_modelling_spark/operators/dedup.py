@@ -1581,34 +1581,45 @@ def minhash_dedup_against_index_persisted(
             exclude_same_id=exclude_same_id,
         )
     bands, rpb = meta["bands"], meta["rows_per_band"]
+    new_docs = new_docs.localCheckpoint(eager=False)
+    if route == "auto":
+        # decide BEFORE signing: the decision needs only |batch| (a
+        # count over the checkpointed batch — no MinHash kernel), so a
+        # full-scan route skips the banded-footprint job entirely and
+        # lands at the bare full twin's wall (the r12 stress sweep
+        # showed the sign-then-decide order costing the full route a
+        # batch-signing job it never needed)
+        n_index = read_index_stats(spark, path)
+        use_pruned = (
+            n_index is None
+            or n_index
+            >= _DEDUP_ROUTE_CELLS_FACTOR * new_docs.count() * bands
+        )
+    else:
+        use_pruned = route == "pruned"
+    if not use_pruned:
+        return minhash_dedup_against_index(
+            new_docs,
+            load_dedup_index(spark, path),
+            threshold=threshold,
+            bands=bands,
+            rows_per_band=rpb,
+            seed=meta["seed"],
+            text_col=text_col,
+            max_bucket_size=max_bucket_size,
+            exclude_same_id=exclude_same_id,
+        )
     new_index = build_dedup_index(
         new_docs, bands=bands, rows_per_band=rpb, seed=meta["seed"], text_col=text_col
     ).localCheckpoint(eager=False)
     new_banded = _banded_projection(
         new_index, bands, rpb, meta["k_band_parts"]
     ).localCheckpoint(eager=False)
-    # ONE footprint job serves both the routing decision (total banded
-    # rows = |batch|·bands) and the pruned read's directory set
-    foot = new_banded.groupBy("bpart").agg(F.count(F.lit(1)).alias("_n")).collect()
-    bparts = [int(r["bpart"]) for r in foot]
-    n_batch_cells = sum(int(r["_n"]) for r in foot)
-    if route == "auto":
-        n_index = read_index_stats(spark, path)
-        use_pruned = (
-            n_index is None or n_index >= _DEDUP_ROUTE_CELLS_FACTOR * n_batch_cells
-        )
-    else:
-        use_pruned = route == "pruned"
-    if not use_pruned:
-        return _against_index_full_scan(
-            new_index,
-            load_dedup_index(spark, path),
-            threshold,
-            bands,
-            rpb,
-            max_bucket_size,
-            exclude_same_id,
-        )
+    # ONE footprint job: materializes the banded projection and returns
+    # the pruned read's directory set
+    bparts = [
+        int(r["bpart"]) for r in new_banded.select("bpart").distinct().collect()
+    ]
     idx_banded = _read_banded_pruned(spark, path, bparts)
     # exact skew guard over the pruned read (step 2 above)
     bucket_sizes = idx_banded.groupBy("band", "bucket").agg(

@@ -3758,23 +3758,16 @@ def lsh_cosine_dedup_against_index_persisted(
         raise ValueError(f"route must be auto|pruned|full, got {route!r}")
     meta = read_vecsig_index_meta(spark, path)
     batch = new_vecs.select("vec_id", "embedding").localCheckpoint(eager=False)
-    new_sigs = (
-        hyperplane_signatures_multi(
-            batch, meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
-        )
-        .withColumn("spart", _vecsig_spart(meta["k_sig_parts"]))
-        .localCheckpoint(eager=False)
-    )
-    # ONE footprint job serves both the routing decision (total sig
-    # rows = |batch|·num_tables) and the pruned read's directory set
-    foot = new_sigs.groupBy("spart").agg(F.count(F.lit(1)).alias("_n")).collect()
-    sparts = [int(r["spart"]) for r in foot]
-    n_batch_cells = sum(int(r["_n"]) for r in foot)
     if route == "auto":
+        # decide BEFORE signing: the decision needs only |batch| (a
+        # count over the checkpointed batch — no hyperplane kernel), so
+        # a full-scan route skips the signature-footprint job entirely
+        # and lands at the bare full twin's wall
         n_index = read_index_stats(spark, path)
         use_pruned = (
             n_index is None
-            or n_index >= _VECSIG_ROUTE_CELLS_FACTOR * n_batch_cells
+            or n_index
+            >= _VECSIG_ROUTE_CELLS_FACTOR * batch.count() * meta["num_tables"]
         )
     else:
         use_pruned = route == "pruned"
@@ -3792,6 +3785,18 @@ def lsh_cosine_dedup_against_index_persisted(
             max_bucket_size=max_bucket_size,
             exclude_same_id=exclude_same_id,
         )
+    new_sigs = (
+        hyperplane_signatures_multi(
+            batch, meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
+        )
+        .withColumn("spart", _vecsig_spart(meta["k_sig_parts"]))
+        .localCheckpoint(eager=False)
+    )
+    # ONE footprint job: materializes the signatures and returns the
+    # pruned read's directory set
+    sparts = [
+        int(r["spart"]) for r in new_sigs.select("spart").distinct().collect()
+    ]
     idx_sigs = _read_sigs_pruned(spark, path, sparts).select(
         F.col("vec_id").alias("index_id"), "table", "sig"
     )

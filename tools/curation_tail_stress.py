@@ -140,12 +140,14 @@ def main() -> None:
     # the identical multiset of (doc_id, rep_idx) rows
     t0 = time.time()
     again = epoch_repetition_plan(docs.repartition(17), weights, domain_col="lang")
+    # order-insensitive multiset signature; bit_xor + count cannot
+    # overflow (an ANSI sum of 10M xxhash64 longs does)
     sig = plan.select(
-        F.sum(F.xxhash64("doc_id", "rep_idx")).alias("s"),
+        F.expr("bit_xor(xxhash64(doc_id, rep_idx))").alias("s"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     sig2 = again.select(
-        F.sum(F.xxhash64("doc_id", "rep_idx")).alias("s"),
+        F.expr("bit_xor(xxhash64(doc_id, rep_idx))").alias("s"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     t_det = time.time() - t0

@@ -274,6 +274,17 @@ ALLOWED: dict[str, Allow] = {
         max_rows=1,
         max_occurrences=3,
     ),
+    "l45_curation_pipeline": Allow(
+        "BroadcastNestedLoopJoin",
+        "inherits l42's weights subplan over the curated survivors: the "
+        "token-total crossJoin (appearing twice via the shared scaled "
+        "table) + the one-row normalizer crossJoin; every other join in "
+        "the chain (fingerprint window, LSH pairs, decontamination "
+        "broadcast, weights->docs, shard window) is a hash equi-join",
+        probe=_scalar_agg("documents", lambda: F.count(F.lit(1)).alias("n")),
+        max_rows=1,
+        max_occurrences=3,
+    ),
     "u1c_reserve_risk_measures": Allow(
         "BroadcastNestedLoopJoin",
         "single posexploded VaR-level table (len(quantiles) rows) "
