@@ -1462,9 +1462,10 @@ def _against_index_full_scan(
     exclude_same_id: bool,
 ) -> DataFrame:
     """Body of ``minhash_dedup_against_index`` after the batch is
-    signed — split out (r12) so the adaptive router can feed an
-    ALREADY-BUILT batch index to the full-scan side without re-signing
-    the batch."""
+    signed. (Historical note: split out while the r12 router decided
+    AFTER signing; the shipped router decides from a plain batch count
+    first and routes through the public twin, so this is now purely
+    the internal body of its one caller.)"""
     idx_banded = _banded_buckets(index, "index_id", bands, rows_per_band)
     # skew guard on the corpus side, where the mass is
     bucket_sizes = idx_banded.groupBy("band", "bucket").agg(

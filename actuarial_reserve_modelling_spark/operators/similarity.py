@@ -2239,22 +2239,46 @@ def compact_ivfpq_index(
 # paths are answer-identical, pinned by the twin pytests).
 # ---------------------------------------------------------------------------
 
-_INDEX_STATS_CACHE: dict[str, int] = {}
+_INDEX_STATS_CACHE: dict[str, tuple[float | None, int]] = {}
+
+
+def _stats_mtime(path: str) -> float | None:
+    """Newest mtime under stats/ for cache invalidation, or None when
+    the path isn't a stat-able local filesystem (remote FS: the cache
+    then only invalidates on same-process writes — cross-process
+    staleness there is bounded advisory drift, performance-only)."""
+    import os
+
+    try:
+        root = path + "/stats"
+        return max(
+            (e.stat().st_mtime for e in os.scandir(root) if e.is_file()),
+            default=os.stat(root).st_mtime,
+        )
+    except OSError:
+        return None
 
 
 def read_index_stats(spark: SparkSession, path: str) -> int | None:
     """The tier's advisory corpus row count, or None when stats/ is
     absent (pre-r12 tier) or unreadable (crash mid-rewrite). Cached per
-    process; ``_write_index_stats`` evicts on every update."""
-    if path in _INDEX_STATS_CACHE:
-        return _INDEX_STATS_CACHE[path]
+    process, keyed by the stats files' mtime where the path is locally
+    stat-able — so a DIFFERENT process's add/delete (which rewrites
+    stats/) invalidates this process's cache on the next read instead
+    of routing on an arbitrarily stale count forever.
+    ``_write_index_stats`` additionally evicts on same-process
+    updates."""
+    mt = _stats_mtime(path)
+    hit = _INDEX_STATS_CACHE.get(path)
+    if hit is not None and hit[0] == mt:
+        return hit[1]
     try:
         r = spark.read.parquet(path + "/stats").first()
         n = int(r["n_rows"]) if r is not None else None
     except Exception:
         return None
     if n is not None:
-        _INDEX_STATS_CACHE[path] = n
+        _INDEX_STATS_CACHE[path] = (mt, n)
     return n
 
 
@@ -2262,12 +2286,21 @@ def _one_row_meta(spark: SparkSession, **cols) -> DataFrame:
     """One-row metadata frame from literals via ``spark.range(1)`` —
     the createDataFrame Python-list path costs ~5 s per call in driver
     overhead (measured r12); this is ~0.3 s. Values: int → int column,
-    bool → boolean, float → double."""
+    bool → boolean, float → double. Ints outside int32 raise loudly —
+    a non-ANSI cast would WRAP silently and persist corrupted meta
+    (e.g. a wrapped seed signs every later batch wrong, so duplicate
+    lookups quietly return empty forever), where the replaced
+    explicit-schema createDataFrame raised."""
     sels = []
     for name, v in cols.items():
         if isinstance(v, bool):
             sels.append(F.lit(v).alias(name))
         elif isinstance(v, int):
+            if not -(2**31) <= v < 2**31:
+                raise ValueError(
+                    f"meta field {name}={v} does not fit int32 — refusing "
+                    "to persist a silently wrapped value"
+                )
             sels.append(F.lit(int(v)).cast("int").alias(name))
         else:
             sels.append(F.lit(v).alias(name))
@@ -2278,8 +2311,12 @@ def _write_index_stats(spark: SparkSession, path: str, n_rows: int) -> None:
     """Overwrite the advisory row count (one tiny single-file dataset)
     and evict the per-process cache. Written AFTER the data-bearing
     datasets in every maintenance path, so a crash before this line
-    leaves an undercount — which only biases routing toward the
-    full-scan twin, never toward a wrong answer.
+    leaves a stale count — on the ADD paths an undercount (biases
+    routing toward the full scan), on the DELETE paths an overcount
+    that a retried delete does not re-decrement (the doomed set is
+    already gone, so it biases toward pruned — the scale-safe side;
+    answers are unaffected either way, and the next persist resets the
+    count exactly).
 
     Built from ``spark.range`` + a literal, NOT ``createDataFrame``:
     this runs once per ingest batch, and the Python-list path costs

@@ -10,31 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from actuarial_reserve_modelling_spark.catalog import load_table
-from actuarial_reserve_modelling_spark.operators.dedup import (
-    exact_dedup,
-    minhash_near_dup_pairs,
-    ngram_jaccard_pairs,
-    simhash_near_dup_pairs,
-    winnowing_fingerprints,
-)
-from actuarial_reserve_modelling_spark.operators.multimodal import (
-    attach_binary_payload,
-    extract_features,
-)
-from actuarial_reserve_modelling_spark.operators.similarity import (
-    ann_ivf_topk,
-    ann_lsh_topk,
-    cosine_pairs,
-    cosine_topk,
-)
-from actuarial_reserve_modelling_spark.operators.textstats import (
-    content_fingerprints,
-    lang_id,
-    quality_scores,
-    token_counts,
-)
 from actuarial_reserve_modelling_spark.plans.llm_queries_dedup import (
-    PLANT_OFFSET,
     _COS,
     _PLANTED_TOP1_ORACLE,
     _WORDS_CTE,

@@ -942,7 +942,7 @@ def l45_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from actuarial_reserve_modelling_spark.operators.textstats import (
         clean_text,
         content_fingerprints,
-        decontaminate,
+        decontaminate_flag,
     )
     from actuarial_reserve_modelling_spark.operators.traindata import (
         epoch_repetition_plan,
@@ -977,10 +977,13 @@ def l45_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     admitted = ex.join(non_reps, "doc_id", "left_anti")
-    # 3) decontaminate vs the held-out benchmark slice (l16, n=3)
+    # 3) decontaminate vs the held-out benchmark slice (l16, n=3) —
+    # the flag-only form: the pipeline FILTERS, so the per-doc
+    # contaminated-shingle counts decontaminate() aggregates would be
+    # discarded work (decontaminate_flag's documented use case)
     bench = admitted.filter(F.col("doc_id") % 101 == 5)
     train = admitted.filter(F.col("doc_id") % 101 != 5)
-    flagged = decontaminate(train, bench, n=3).select("doc_id")
+    flagged = decontaminate_flag(train, bench, n=3).select("doc_id")
     final = train.join(flagged, "doc_id", "left_anti").localCheckpoint(eager=False)
     # 4) temperature mixture weights over the SURVIVING corpus (l42)
     weights = temperature_mix_weights(final, alpha=0.3, domain_col="lang")

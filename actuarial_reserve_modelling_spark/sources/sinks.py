@@ -313,7 +313,15 @@ def vacuum_index(
     Never touched: committed data files, ``meta``/``stats`` datasets,
     done-markers, ``_SUCCESS``/checksum files inside live directories
     — vacuum removes only whole orphan directories, so a concurrent
-    reader of committed state is safe at any interleaving.
+    READER of committed state is safe at any interleaving.
+
+    NOT safe against a concurrent WRITER to the same root: an in-flight
+    append's ``_temporary`` task outputs are indistinguishable from a
+    dead job's and would be reclaimed mid-commit. Quiesce writers
+    first — the gates' ``auto_vacuum`` hook satisfies this by running
+    inside the single-writer ``foreachBatch`` step; a standalone cron
+    must hold the same exclusivity (or run ``dry_run=True`` and delete
+    only ages past the ingest cadence).
 
     ``dry_run=True`` (default) only LISTS the reclaimable paths;
     ``dry_run=False`` deletes them and refreshes the path's cached

@@ -378,18 +378,38 @@ def incremental_ingest_dedup(
     def _has_index() -> bool:
         return _committed_parquet(idx_dir)
 
-    # Seed bootstrap ONLY when no committed index exists yet: a
-    # whole-root overwrite here would, under a reused persistent
-    # work_dir, wipe every prior batch's accumulated fingerprints and
-    # silently re-admit their duplicates. An existing index already
-    # contains the seed (it was bootstrapped from it), so skipping is
-    # the idempotent resume path, not a behavior change.
-    if seed is not None and not _has_index():
-        content_fingerprints(seed).select("doc_id", "fingerprint").withColumn(
-            "fpart", _fpart
-        ).repartition(F.col("fpart")).write.mode("overwrite").partitionBy(
-            "fpart"
-        ).parquet(idx_dir)
+    # Seed bootstrap: an overwrite is only safe when no committed index
+    # exists yet — a whole-root overwrite under a reused persistent
+    # work_dir would wipe every prior batch's accumulated fingerprints
+    # and silently re-admit their duplicates. On RESUME (index exists)
+    # the seed is APPENDED through the same pruned doc_id anti-join the
+    # epoch appends use: a re-run with the same seed no-ops, and a
+    # resumed run whose seed corpus GREW indexes exactly the new seed
+    # docs (skipping entirely would silently never index them).
+    if seed is not None:
+        seed_fp = (
+            content_fingerprints(seed)
+            .select("doc_id", "fingerprint")
+            .withColumn("fpart", _fpart)
+        )
+        if not _has_index():
+            seed_fp.repartition(F.col("fpart")).write.mode("overwrite").partitionBy(
+                "fpart"
+            ).parquet(idx_dir)
+        else:
+            seed_fp = seed_fp.localCheckpoint(eager=False)
+            sparts = [
+                int(r["fpart"])
+                for r in seed_fp.select("fpart").distinct().collect()
+            ]
+            existing = (
+                spark.read.parquet(idx_dir)
+                .filter(F.col("fpart").isin(sparts))
+                .select(F.col("doc_id").cast("long").alias("doc_id"))
+            )
+            seed_fp.join(existing, "doc_id", "left_anti").repartition(
+                F.col("fpart")
+            ).write.mode("append").partitionBy("fpart").parquet(idx_dir)
 
     def _step(batch_df: DataFrame, bid: int) -> None:
         shutil.rmtree(os.path.join(out_dir, f"e{bid}"), ignore_errors=True)

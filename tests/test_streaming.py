@@ -997,3 +997,45 @@ def test_ingest_gate_auto_vacuum_invariant(spark):
     }
     assert plain == vac
     assert (0, 0) in plain and (10, 1) not in plain  # cross-batch dup rejected
+
+
+def test_incremental_ingest_dedup_grown_seed_resume(spark, tmp_path):
+    """r12 review fix: resuming a seeded gate with a GROWN seed corpus
+    must index the new seed docs (pre-fix the bootstrap was skipped
+    entirely when any index existed, so new seed content silently
+    never rejected its duplicates); re-running with the SAME seed
+    stays a no-op via the pruned anti-join."""
+    import shutil
+
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_ingest_dedup,
+    )
+
+    work = str(tmp_path / "gate")
+    seed_v1 = spark.createDataFrame([(100, "old seed text")], ["doc_id", "text"])
+    b0 = spark.createDataFrame([(0, "fresh alpha")], ["doc_id", "text"])
+    got0 = {
+        (r["doc_id"], r["batch"])
+        for r in incremental_ingest_dedup(
+            spark, [b0], cache_key="t_grow_0", seed=seed_v1, work_dir=work
+        ).collect()
+    }
+    assert got0 == {(0, 0)}
+    # seed grew: v2 = v1 + a new doc; the batch duplicates old seed,
+    # new seed, AND batch-0's survivor — all three must reject
+    shutil.rmtree(work + "/ckpt", ignore_errors=True)
+    seed_v2 = spark.createDataFrame(
+        [(100, "old seed text"), (101, "new seed text")], ["doc_id", "text"]
+    )
+    b1 = spark.createDataFrame(
+        [(5, "old SEED text"), (6, "NEW seed   text"), (7, "fresh alpha"),
+         (8, "brand new gamma")],
+        ["doc_id", "text"],
+    )
+    got1 = {
+        (r["doc_id"], r["batch"])
+        for r in incremental_ingest_dedup(
+            spark, [b1], cache_key="t_grow_1", seed=seed_v2, work_dir=work
+        ).collect()
+    }
+    assert got1 == {(8, 0)}

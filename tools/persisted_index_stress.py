@@ -10,8 +10,13 @@ recorded evidence is the pruned fraction (bytes NOT read at scale)
 and that pruning is answer-preserving at stress size, not the local
 wall gap.
 
-Usage: python tools/persisted_index_stress.py [n] [n_queries]
-(defaults 128000, 200)
+Usage: python tools/persisted_index_stress.py [n] [n_queries] [--clustered]
+(defaults 128000, 200). ``--clustered`` draws the corpus from a
+256-component Gaussian mixture (cluster std 0.15) instead of isotropic
+noise — the realistic embedding-space shape where IVF cells align with
+data structure, used to show the nprobe/recall curve on data the index
+CAN exploit (isotropic noise is IVF's worst case and bounds recall@10
+far below 1 regardless of probes).
 """
 
 from __future__ import annotations
@@ -28,8 +33,10 @@ import numpy as np  # noqa: E402
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 128_000
-    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    clustered = "--clustered" in sys.argv
+    n = int(args[0]) if args else 128_000
+    n_q = int(args[1]) if len(args) > 1 else 200
     dim = 64
 
     from pyspark.sql import functions as F
@@ -49,7 +56,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     rng = np.random.default_rng(19)
-    pts = rng.standard_normal((n, dim))
+    if clustered:
+        centers = rng.standard_normal((256, dim))
+        assign = rng.integers(0, 256, size=n)
+        pts = centers[assign] + 0.15 * rng.standard_normal((n, dim))
+    else:
+        pts = rng.standard_normal((n, dim))
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
