@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from actuarial_reserve_modelling_spark.sources.lease import leased
+
 # Tokens: distinct, non-empty, whitespace-split. Kept identical to the
 # DuckDB oracle's string_split + filter + DISTINCT.
 TOKENS = "array_distinct(filter(split(text, ' '), x -> x != ''))"
@@ -956,6 +958,7 @@ def build_dedup_index(
     return htoks.join(sigs, "doc_id")
 
 
+@leased("path")
 def persist_dedup_index(
     index: DataFrame,
     path: str,
@@ -1155,6 +1158,7 @@ def load_dedup_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path + "/fingerprints").select("doc_id", "htok", "sig")
 
 
+@leased("path")
 def add_to_dedup_index(
     spark: SparkSession,
     path: str,
@@ -1252,6 +1256,7 @@ def _read_banded_pruned(
     return banded.filter(F.col("bpart").isin(sorted(set(int(b) for b in bparts))))
 
 
+@leased("path")
 def delete_from_dedup_index(
     spark: SparkSession,
     path: str,
@@ -1375,6 +1380,7 @@ def _delete_banded_rows(
     spark.catalog.refreshByPath(dataset)
 
 
+@leased("path")
 def compact_dedup_index(
     spark: SparkSession, path: str, max_files_per_partition: int = 4
 ) -> int:

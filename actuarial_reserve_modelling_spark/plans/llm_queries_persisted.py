@@ -466,3 +466,58 @@ def l43_vecsig_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         staging_commit(root)
     batch = plant_twins(emb, 5)
     return lsh_cosine_dedup_against_index_persisted(spark, out, batch, threshold=0.9)
+
+
+@register(
+    "l46_recall_audit_planted",
+    "L3,L10 (query-time recall self-audit of the persisted ANN tier, hash-grade via planted twins)",
+    oracle="""
+    SELECT vec_id + 100000 AS query_id, CAST(1 AS BIGINT) AS n_hits,
+           CAST(1 AS BIGINT) AS exact_n, CAST(1.0 AS DOUBLE) AS recall_at_k
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def l46_recall_audit_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time recall observability for the persisted ANN tier
+    (VERDICT r12 task 4): ``ann_index_recall_audit`` samples stored
+    vectors, answers them through the pruned index path AND a bounded
+    exact scan, and reports per-query recall@k — the per-corpus
+    recall/nprobe trade the offline stress curves (BASELINE.md:
+    isotropic 0.25–0.39, clustered 0.89–0.90) could only show per
+    benchmark. Hash-grade here via the l34 construction: auditing the
+    PLANTED TWINS at k=1 must find each twin's source at recall exactly
+    1.0 (identical vector → identical super/child routing → always
+    probed → exact rerank pins sim 1.0 rank 1; self-matches excluded on
+    both sides), so a broken audit join, a sample that reads vectors
+    it didn't query, or an index side that silently returns fewer rows
+    all hash-mismatch. The general (non-planted) sampled path is
+    exercised by the pytest and the tools/recall_audit.py tables; the
+    tier is the l34 staging build (same construction, shared cache)."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_index_recall_audit,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = plant_twins(emb, 50)
+    corpus = emb.unionByName(planted)
+    # deliberately the l34 tag: identical corpus + build params, so a
+    # prior l34 build in this process is reused and a fresh build here
+    # serves a later l34 identically
+    root, fresh = staging_dir("l34", sf_dir)
+    out = root + "/ann_index"
+    if fresh:
+        index, super_cent = ivf_hier_build(corpus)
+        persist_ann_index(index, super_cent, out, embeddings=corpus)
+        staging_commit(root)
+    # n_probed_supers is dropped from the oracle row: it equals
+    # min(nprobe_super, k1) and k1 grows with corpus size, so it is not
+    # scale-stable; the recall columns are the contract under test
+    return ann_index_recall_audit(spark, out, k=1, queries=planted).select(
+        "query_id", "n_hits", "exact_n", "recall_at_k"
+    )

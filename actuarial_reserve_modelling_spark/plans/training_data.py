@@ -788,11 +788,33 @@ _L45_CLEAN = """trim(regexp_replace(
                '\\s+', ' ', 'g'))"""
 
 
+# Min-label propagation rounds for the l45 oracle's connected
+# components, UNROLLED (DuckDB 1.0 has no keyed/fixpoint recursion and
+# the UNION-recursive transitive closure accumulates |clique|² rows —
+# it ran past 10 minutes at sf0.1 where these 8 rounds of
+# one-label-per-node joins finish in seconds). Exactness: after r
+# rounds every node within r hops of its component's minimum carries
+# that minimum; `conv` checks a 9th round changes nothing and the
+# admission CTE poisons the ENTIRE output empty on non-convergence, so
+# a diameter-9+ component can only ever surface as a loud row-count
+# mismatch, never a silently wrong dedup.
+_L45_CC_ROUNDS = "\n".join(
+    f"""    l{i + 1} AS MATERIALIZED (
+        SELECT a, min(lbl) AS lbl FROM (
+            SELECT a, lbl FROM l{i}
+            UNION ALL
+            SELECT e.a, l.lbl FROM edges e JOIN l{i} l ON l.a = e.b
+        ) GROUP BY a
+    ),"""
+    for i in range(9)
+)
+
+
 @register(
     "l45_curation_pipeline",
     "L5,L1,L2,D5,D9,F5,O2 (end-to-end curation pipeline, one oracle-checked flow)",
     oracle=f"""
-    WITH RECURSIVE
+    WITH
     cln AS (
         SELECT doc_id, lang, {_L45_CLEAN} AS text FROM documents
     ),
@@ -802,42 +824,66 @@ _L45_CLEAN = """trim(regexp_replace(
                       1, 16) AS f
         FROM cln
     ),
-    ex AS (
+    ex AS MATERIALIZED (
         SELECT doc_id, lang, text FROM (
             SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) rn
             FROM fpr
         ) WHERE rn = 1
     ),
-    words AS (
+    words AS MATERIALIZED (
         SELECT DISTINCT doc_id, w FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM ex
         ) WHERE w <> ''
     ),
-    cnt AS (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
+    cnt AS MATERIALIZED (SELECT doc_id, count(*) n FROM words GROUP BY doc_id),
+    -- exact prefix-filtered set-similarity join (PPJoin Lemma 1, the
+    -- banded-oracle form VERDICT r12 task 3 asked for): under a global
+    -- token order, J(x,y) >= t forces the (|x| - ceil(t|x|) + 1)-token
+    -- prefixes to share a token, so joining PREFIXES (rarest-first
+    -- order for selectivity) then exact-verifying candidates is
+    -- answer-identical to the all-pairs shared-word join that spilled
+    -- DuckDB at sf0.1 — recall 1.0 by theorem, not by tuning
+    df AS (SELECT w, count(*) dfreq FROM words GROUP BY w),
+    ranked AS (
+        SELECT ws.doc_id, ws.w,
+               row_number() OVER (
+                   PARTITION BY ws.doc_id ORDER BY d.dfreq, ws.w
+               ) AS rk,
+               c.n
+        FROM words ws JOIN df d USING (w) JOIN cnt c ON c.doc_id = ws.doc_id
+    ),
+    pref AS MATERIALIZED (
+        SELECT doc_id, w FROM ranked
+        WHERE rk <= n - CAST(ceil(0.95 * n) AS BIGINT) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id d1, b.doc_id d2
+        FROM pref a JOIN pref b USING (w) WHERE a.doc_id < b.doc_id
+    ),
     inter AS (
-        SELECT a.doc_id d1, b.doc_id d2, count(*) k
-        FROM words a JOIN words b USING (w)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        SELECT c.d1, c.d2, count(*) k
+        FROM cand c
+        JOIN words wa ON wa.doc_id = c.d1
+        JOIN words wb ON wb.doc_id = c.d2 AND wb.w = wa.w
+        GROUP BY 1, 2
     ),
     nd AS (
         SELECT d1, d2 FROM inter
         JOIN cnt c1 ON d1 = c1.doc_id JOIN cnt c2 ON d2 = c2.doc_id
         WHERE round(k / CAST(c1.n + c2.n - k AS DOUBLE), 6) >= 0.95
     ),
-    edges AS (SELECT d1 a, d2 b FROM nd UNION SELECT d2, d1 FROM nd),
-    cc(a, b) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT e.a, c.b FROM edges e JOIN cc c ON e.b = c.a
+    edges AS MATERIALIZED (SELECT d1 a, d2 b FROM nd UNION ALL SELECT d2, d1 FROM nd),
+    l0 AS MATERIALIZED (SELECT a, least(a, min(b)) AS lbl FROM edges GROUP BY a),
+{_L45_CC_ROUNDS}
+    conv AS (
+        SELECT count(*) AS bad
+        FROM l8 JOIN l9 ON l8.a = l9.a AND l8.lbl <> l9.lbl
     ),
-    nonrep AS (
-        SELECT a AS doc_id FROM (
-            SELECT a, least(a, min(b)) AS rep FROM cc GROUP BY a
-        ) WHERE a <> rep
-    ),
+    nonrep AS MATERIALIZED (SELECT a AS doc_id FROM l8 WHERE lbl <> a),
     adm AS (
         SELECT * FROM ex e
         WHERE NOT EXISTS (SELECT 1 FROM nonrep n WHERE n.doc_id = e.doc_id)
+          AND (SELECT bad FROM conv) = 0
     ),
     tok AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -929,10 +975,14 @@ def l45_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaning, banded LSH + CC dedup, broadcast benchmark shingles,
     |domains|-row mixture broadcast, codegen explode, hash-partition
     shard sort); chaining adds NO new shuffles beyond the stages' own.
-    Oracle: the full chain composed from the stages' own hash-green
-    formulations (exact Jaccard standing in for the validated 16x16
-    banding, recursive-CTE connected components, identical md5
-    conventions)."""
+    Oracle (re-formulated r13, VERDICT r12 task 3): the full chain with
+    the dedup stage as an exact PREFIX-FILTERED set-similarity join
+    (PPJoin Lemma 1 — answer-identical to all-pairs exact Jaccard by
+    theorem, but candidate fan-out bounded by rare-token prefixes, so
+    DuckDB no longer spills at sf0.1) and connected components as
+    unrolled min-label propagation with a loud convergence poison —
+    same-tool hash evidence now holds at sf0.001/sf0.01/sf0.1 instead
+    of stopping at sf0.01."""
     from pyspark.sql import Window
 
     from actuarial_reserve_modelling_spark.operators.dedup import (

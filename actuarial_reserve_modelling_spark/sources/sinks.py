@@ -147,24 +147,34 @@ def compact_parquet_dir(spark: SparkSession, path: str, target_files: int = 4) -
     import shutil
     import uuid
 
-    df = spark.read.option("recursiveFileLookup", "true").parquet(path)
-    gen = f"compacted_{uuid.uuid4().hex[:8]}"
-    tmp = os.path.join(path, f"_tmp_{gen}")
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    old_entries = [e for e in os.listdir(path) if e != f"_tmp_{gen}"]
-    os.rename(tmp, os.path.join(path, gen))
-    for entry in old_entries:
-        full = os.path.join(path, entry)
-        if os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
-        else:
-            os.remove(full)
-    return sum(
-        1
-        for _, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
+    from actuarial_reserve_modelling_spark.sources.lease import (
+        LEASE_NAME,
+        writer_lease,
     )
+
+    with writer_lease(path):
+        df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+        gen = f"compacted_{uuid.uuid4().hex[:8]}"
+        tmp = os.path.join(path, f"_tmp_{gen}")
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        old_entries = [
+            e
+            for e in os.listdir(path)
+            if e != f"_tmp_{gen}" and e != LEASE_NAME
+        ]
+        os.rename(tmp, os.path.join(path, gen))
+        for entry in old_entries:
+            full = os.path.join(path, entry)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.remove(full)
+        return sum(
+            1
+            for _, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
 
 
 def dataset_diff(
@@ -315,24 +325,50 @@ def vacuum_index(
     — vacuum removes only whole orphan directories, so a concurrent
     READER of committed state is safe at any interleaving.
 
-    NOT safe against a concurrent WRITER to the same root: an in-flight
-    append's ``_temporary`` task outputs are indistinguishable from a
-    dead job's and would be reclaimed mid-commit. Quiesce writers
-    first — the gates' ``auto_vacuum`` hook satisfies this by running
-    inside the single-writer ``foreachBatch`` step; a standalone cron
-    must hold the same exclusivity (or run ``dry_run=True`` and delete
-    only ages past the ingest cadence).
+    Concurrent writers (r13): a deleting vacuum ACQUIRES the
+    single-writer lease on ``root`` and refuses loudly
+    (``ConcurrentWriterError``) if any descendant holds a fresh foreign
+    lease — an in-flight append's ``_temporary`` task outputs are
+    indistinguishable from a dead job's and would be reclaimed
+    mid-commit, so a live writer anywhere under the root blocks the
+    vacuum (and vice versa: the held root blocks new tier maintenance
+    until the vacuum finishes). The gates' ``auto_vacuum`` hook runs
+    inside the single-writer ``foreachBatch`` step whose adds hold the
+    tier lease reentrantly, so it composes without self-conflict.
+    ``dry_run=True`` stays lock-free (pure listing).
 
     ``dry_run=True`` (default) only LISTS the reclaimable paths;
     ``dry_run=False`` deletes them and refreshes the path's cached
     file listing. Returns the orphan paths found (sorted). ``spark``
     may be None in dry-run or when no session-level cache needs
     refreshing (the listing itself is pure filesystem)."""
+    import contextlib
     import os
     import shutil
 
+    from actuarial_reserve_modelling_spark.sources.lease import (
+        check_no_descendant_writers,
+        writer_lease,
+    )
+
     if not os.path.isdir(root):
         return []
+    lock = writer_lease(root) if not dry_run else contextlib.nullcontext()
+    with lock:
+        if not dry_run:
+            check_no_descendant_writers(root)
+        return _vacuum_scan(spark, root, dry_run, retention_generations)
+
+
+def _vacuum_scan(
+    spark: SparkSession | None,
+    root: str,
+    dry_run: bool,
+    retention_generations: int,
+) -> list[str]:
+    import os
+    import shutil
+
     orphans: list[str] = []
     gen_parents: dict[str, list[str]] = {}
     for dirpath, dirnames, _filenames in os.walk(root):
@@ -351,12 +387,12 @@ def vacuum_index(
             orphans.extend(by_age[: len(gens) - retention_generations])
 
     def _has_data_file(path: str) -> bool:
+        # ANY non-hidden file counts as data (r12 ADVICE): a partition
+        # directory holding non-parquet data files (ORC, text, a future
+        # format) must never be reclaimed as an empty orphan.
         for dp, dns, fns in os.walk(path):
             dns[:] = [x for x in dns if not x.startswith(("_", "."))]
-            if any(
-                f.endswith(".parquet") and not f.startswith(("_", "."))
-                for f in fns
-            ):
+            if any(not f.startswith(("_", ".")) for f in fns):
                 return True
         return False
 

@@ -724,7 +724,10 @@ def incremental_neardup_ingest(
         ).write.mode("append").partitionBy("fpart").parquet(fp_dir)
         t0 = _mark("fp_append", t0)
         if _timing:
-            print(f"ARM_GATE_TIMING t11 batch={bid} " + " ".join(
+            # label = the driving function, not a hardcoded query name
+            # (r12 ADVICE: tools reusing this gate got 't11'-labelled
+            # timings regardless of what drove it)
+            print(f"ARM_GATE_TIMING incremental_neardup_ingest batch={bid} " + " ".join(
                 f"{k}={v}" for k, v in _marks), flush=True)
 
     stream = staged_ordered_source(

@@ -113,6 +113,49 @@ BAND4_BUDGETS = {
 BAND4_BUDGET_SEC = round(sum(BAND4_BUDGETS.values()), 2)
 
 
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds (utime+stime) consumed by THIS process and
+    every live descendant — the bench driver, the local-mode JVM, and
+    the pyspark daemon/worker pool (r13, VERDICT r12 task 7: wall alone
+    cannot distinguish an engine regression from box load; three rounds
+    ran noise_flag=true). Summed from /proc/*/stat each call, so the
+    per-query delta charges exactly the work THIS bench did regardless
+    of what else the box is running. Caveat (documented in BASELINE.md
+    with the envelope): CPU of a descendant that EXITS between the two
+    samples is folded into its parent's cutime only after reaping, so
+    short-lived helpers may land in a later query's delta — at bench
+    granularity the pool is long-lived and this is sub-1% noise. Always
+    non-negative deltas by summing, never differencing across trees."""
+    import glob as _glob
+
+    tick = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    procs: dict[int, tuple[int, float]] = {}
+    for stat in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as fh:
+                data = fh.read()
+        except OSError:
+            continue  # raced a process exit
+        # comm can contain spaces/parens: split after the LAST ')'
+        rp = data.rindex(")")
+        fields = data[rp + 2 :].split()
+        pid = int(data.split(" ", 1)[0])
+        ppid = int(fields[1])  # field 4 overall
+        utime, stime = int(fields[11]), int(fields[12])  # fields 14,15
+        procs[pid] = (ppid, (utime + stime) / tick)
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _c) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0.0, [me]
+    while stack:
+        pid = stack.pop()
+        if pid in procs:
+            total += procs[pid][1]
+            stack.extend(kids.get(pid, []))
+    return total
+
+
 def _build_persisted_ann_index(spark, sf_dir) -> str:
     """Build + persist the vector-bearing hierarchical ANN index over
     the bench corpus ONCE (warmup-side, untimed): the l34 slot then
@@ -433,6 +476,11 @@ def main() -> None:
     steady: dict[str, float] = {}
     errors: dict[str, str] = {}
     loadavg_per_query: dict[str, float] = {}
+    # process-tree CPU per cold pass (VERDICT r12 task 7): the
+    # load-corrected signal — box noise inflates wall but not the
+    # bench's own CPU, so a wall jump with flat CPU is noise and a CPU
+    # jump is a real engine regression (envelope in BASELINE.md)
+    cpu_per_query: dict[str, float] = {}
     all_names = []
     for name, fn in _bench_queries(
         spark, sf_dir, ann_index_path, ivfpq_index_path, dedup_index_path,
@@ -441,6 +489,7 @@ def main() -> None:
         all_names.append(name)
         loadavg_per_query[name] = round(os.getloadavg()[0], 2)
         for target in (timings, steady):
+            c0 = _tree_cpu_seconds() if target is timings else None
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
@@ -449,6 +498,8 @@ def main() -> None:
                 errors[name] = traceback.format_exc()
                 break
             target[name] = round(time.time() - t0, 3)
+            if c0 is not None:
+                cpu_per_query[name] = round(_tree_cpu_seconds() - c0, 3)
 
     recall = _pair_recall_canary(spark)
     recall_ok = all(v.get("ok") for v in recall.values())
@@ -533,6 +584,10 @@ def main() -> None:
                     )
                     and band4_complete
                     and all(band4_slot_ok.values())
+                ),
+                "cpu_per_query": cpu_per_query,
+                "cpu_headline_total": round(
+                    sum(cpu_per_query.get(q, 0.0) for q in headline), 3
                 ),
                 "session_spinup_sec": session_spinup,
                 "warmup_sec": warmup_sec,

@@ -1,0 +1,213 @@
+"""Single-writer lease tests (r13, VERDICT r12 task 1): a second
+concurrent writer on a persisted tier refuses LOUDLY, stale (dead-
+writer) leases are broken, exclusion is hierarchical in both
+directions, and the advisory stats swap is atomic — tier answers and
+stats stay exact after a refused interleaving."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from actuarial_reserve_modelling_spark.sources.lease import (
+    LEASE_NAME,
+    ConcurrentWriterError,
+    writer_lease,
+)
+
+
+def _plant_foreign_lease(root: str, age_sec: float = 0.0) -> str:
+    """Simulate ANOTHER process's live lease: the per-process reentry
+    table only knows leases acquired through writer_lease in THIS
+    process, so a hand-written file is exactly what a foreign holder
+    looks like."""
+    os.makedirs(root, exist_ok=True)
+    lp = os.path.join(root, LEASE_NAME)
+    with open(lp, "w") as fh:
+        fh.write(
+            json.dumps(
+                {"writer_id": "foreign-gate", "pid": 99999, "host": "elsewhere",
+                 "token": "deadbeef"}
+            )
+        )
+    if age_sec:
+        t = time.time() - age_sec
+        os.utime(lp, (t, t))
+    return lp
+
+
+def test_second_writer_refuses_and_tier_stays_exact(spark, tmp_path):
+    """The verdict's acceptance scenario: writer B attempts maintenance
+    while writer A holds the tier — B refuses loudly; after A releases,
+    B's add lands and the tier's answers and advisory stats are
+    exact."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_vecsig_index,
+        persist_vecsig_index,
+        read_index_stats,
+    )
+
+    path = str(tmp_path / "tier")
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array([(F.col("id") * (i + 1) % 7).cast("double") + 0.1 for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    persist_vecsig_index(vecs, path, num_planes=4, num_tables=2, dim=8)
+    batch = spark.range(40, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array([(F.col("id") * (i + 2) % 5).cast("double") + 0.2 for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+
+    lp = _plant_foreign_lease(path)
+    with pytest.raises(ConcurrentWriterError, match="foreign-gate"):
+        add_to_vecsig_index(spark, path, batch)
+    # the refused writer must not have touched the tier
+    assert read_index_stats(spark, path) == 40
+    assert spark.read.parquet(path + "/vectors").count() == 40
+
+    os.unlink(lp)  # writer A finished
+    add_to_vecsig_index(spark, path, batch)
+    assert read_index_stats(spark, path) == 50
+    got = {
+        r["vec_id"] for r in spark.read.parquet(path + "/vectors").collect()
+    }
+    assert got == set(range(50))
+    # no lease left behind by the successful writer
+    assert not os.path.exists(lp)
+
+
+def test_stale_dead_writer_lease_is_broken(tmp_path):
+    root = str(tmp_path / "t")
+    _plant_foreign_lease(root, age_sec=3600.0)
+    with writer_lease(root, ttl=600.0):
+        pass  # acquired by breaking the stale lease
+    assert not os.path.exists(os.path.join(root, LEASE_NAME))
+
+
+def test_fresh_foreign_lease_refuses_with_holder_identity(tmp_path):
+    root = str(tmp_path / "t")
+    _plant_foreign_lease(root)
+    with pytest.raises(ConcurrentWriterError, match="foreign-gate"):
+        with writer_lease(root):
+            pass
+    # refusing must not have destroyed the holder's lease
+    assert os.path.exists(os.path.join(root, LEASE_NAME))
+
+
+def test_reentrant_same_process(tmp_path):
+    root = str(tmp_path / "t")
+    with writer_lease(root):
+        with writer_lease(root):
+            assert os.path.exists(os.path.join(root, LEASE_NAME))
+        # inner exit keeps the lease held
+        assert os.path.exists(os.path.join(root, LEASE_NAME))
+    assert not os.path.exists(os.path.join(root, LEASE_NAME))
+
+
+def test_ancestor_lease_blocks_child_acquire(tmp_path):
+    work = str(tmp_path / "work")
+    _plant_foreign_lease(work)
+    with pytest.raises(ConcurrentWriterError, match="ancestor"):
+        with writer_lease(os.path.join(work, "idx")):
+            pass
+    # ...but the same process HOLDING the ancestor nests fine
+    os.unlink(os.path.join(work, LEASE_NAME))
+    with writer_lease(work):
+        with writer_lease(os.path.join(work, "idx")):
+            pass
+
+
+def test_descendant_lease_blocks_parent_acquire(tmp_path):
+    work = str(tmp_path / "work")
+    _plant_foreign_lease(os.path.join(work, "idx"))
+    with pytest.raises(ConcurrentWriterError, match="descendant"):
+        with writer_lease(work):
+            pass
+    # the refused acquire must not leave its own lease behind
+    assert not os.path.exists(os.path.join(work, LEASE_NAME))
+
+
+def test_vacuum_refuses_over_live_writer(spark, tmp_path):
+    from actuarial_reserve_modelling_spark.sources.sinks import vacuum_index
+
+    work = str(tmp_path / "work")
+    idx = os.path.join(work, "idx")
+    os.makedirs(os.path.join(idx, "_temporary"))  # would-be orphan
+    _plant_foreign_lease(idx)
+    with pytest.raises(ConcurrentWriterError):
+        vacuum_index(None, work, dry_run=False)
+    # dry-run stays lock-free: it lists without deleting
+    assert vacuum_index(None, work, dry_run=True)
+    os.unlink(os.path.join(idx, LEASE_NAME))
+    removed = vacuum_index(None, work, dry_run=False)
+    assert removed and not os.path.exists(os.path.join(idx, "_temporary"))
+
+
+def test_stats_swap_is_atomic_and_exact(spark, tmp_path):
+    """The rewrite never leaves a torn stats/ visible: after each swap
+    the live dataset reads back the exact new count and no staging
+    (_tmp_stats_*) residue survives."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        _write_index_stats,
+        read_index_stats,
+    )
+
+    path = str(tmp_path / "tier")
+    os.makedirs(path)
+    _write_index_stats(spark, path, 123)
+    assert read_index_stats(spark, path) == 123
+    _write_index_stats(spark, path, 456)
+    assert read_index_stats(spark, path) == 456
+    leftovers = [e for e in os.listdir(path) if e.startswith("_tmp_stats")]
+    assert leftovers == []
+
+
+def test_lease_lost_midway_raises_on_release(tmp_path):
+    root = str(tmp_path / "t")
+    ctx = writer_lease(root, ttl=600.0)
+    ctx.__enter__()
+    # simulate a TTL-expiry steal: replace the lease with a foreign one
+    _plant_foreign_lease(root)
+    with pytest.raises(ConcurrentWriterError, match="lost"):
+        ctx.__exit__(None, None, None)
+    os.unlink(os.path.join(root, LEASE_NAME))
+
+
+def test_gate_composition_under_lease(spark, tmp_path):
+    """A gate-shaped sequence (persist → add → compact → deleting
+    vacuum) composes without self-conflict — every step is leased, the
+    vacuum's descendant scan skips our own held leases."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        add_to_dedup_index,
+        build_dedup_index,
+        compact_dedup_index,
+        persist_dedup_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import vacuum_index
+
+    work = str(tmp_path / "work")
+    idx = os.path.join(work, "idx")
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta text number "), F.col("id")).alias("text"),
+    )
+    base = build_dedup_index(docs, bands=4, rows_per_band=4)
+    persist_dedup_index(base, idx, bands=4, rows_per_band=4)
+    more = spark.range(30, 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("epsilon zeta eta theta words "), F.col("id")).alias("text"),
+    )
+    add_to_dedup_index(spark, idx, more)
+    compact_dedup_index(spark, idx)
+    vacuum_index(spark, work, dry_run=False)
+    n = spark.read.parquet(idx + "/fingerprints").select("doc_id").distinct().count()
+    assert n == 40
+    assert not os.path.exists(os.path.join(idx, LEASE_NAME))

@@ -1,0 +1,119 @@
+"""ann_index_recall_audit (r13): planted-twin floor at 1.0, bounded
+deterministic sampling, and self-exclusion on both sides."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def tier(spark, tmp_path_factory):
+    """A persisted vector-bearing tier over clustered vectors with an
+    exact twin planted for every 20th vector."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((16, 16))
+    assign = rng.integers(0, 16, size=800)
+    pts = centers[assign] + 0.1 * rng.standard_normal((800, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)], SCHEMA
+    ).repartition(8)
+    twins = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins).localCheckpoint()
+    path = str(tmp_path_factory.mktemp("audit")) + "/ann_index"
+    index, super_cent = ivf_hier_build(corpus)
+    persist_ann_index(index, super_cent, path, embeddings=corpus)
+    return path, corpus
+
+
+def test_planted_twin_recall_is_exactly_one(spark, tier):
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_index_recall_audit,
+    )
+
+    path, corpus = tier
+    planted = corpus.filter(F.col("vec_id") >= 100_000)
+    rows = ann_index_recall_audit(spark, path, k=1, queries=planted).collect()
+    assert len(rows) == planted.count()
+    assert all(r["recall_at_k"] == 1.0 for r in rows)
+    assert all(r["n_hits"] == 1 and r["exact_n"] == 1 for r in rows)
+
+
+def test_sampled_audit_bounded_and_deterministic(spark, tier):
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_index_recall_audit,
+    )
+
+    path, _corpus = tier
+    a = ann_index_recall_audit(spark, path, n_sample=32, k=5).collect()
+    b = ann_index_recall_audit(spark, path, n_sample=32, k=5).collect()
+    assert len(a) == 32
+    key = lambda r: r["query_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+    for r in a:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["exact_n"] == 5
+        assert r["n_probed_supers"] >= 1
+        # self-exclusion: a sampled query never counts itself as a hit
+        assert r["n_hits"] <= r["exact_n"]
+
+
+def test_clustered_recall_improves_with_probes(spark, tier):
+    """The recall/nprobe trade the audit exists to expose: more probed
+    supers can only add candidates, so recall is non-decreasing."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_index_recall_audit,
+    )
+
+    path, _corpus = tier
+
+    def mean_recall(nprobe):
+        r = (
+            ann_index_recall_audit(
+                spark, path, n_sample=48, k=5, nprobe_super=nprobe
+            )
+            .agg(F.avg("recall_at_k").alias("m"))
+            .first()["m"]
+        )
+        return float(r)
+
+    r1, r4 = mean_recall(1), mean_recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.9  # clustered data: the index can exploit structure
+
+
+def test_slim_layout_requires_embeddings(spark, tier, tmp_path):
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_index_recall_audit,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    _path, corpus = tier
+    slim = str(tmp_path) + "/slim_index"
+    index, super_cent = ivf_hier_build(corpus)
+    persist_ann_index(index, super_cent, slim)  # no embeddings= → slim
+    with pytest.raises(ValueError, match="slim layout"):
+        ann_index_recall_audit(spark, slim, k=1)
+    # and the embeddings= escape hatch works
+    rows = ann_index_recall_audit(
+        spark, slim, k=1, embeddings=corpus,
+        queries=corpus.filter(F.col("vec_id") >= 100_000),
+    ).collect()
+    assert all(r["recall_at_k"] == 1.0 for r in rows)
