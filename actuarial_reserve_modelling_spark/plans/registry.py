@@ -32,6 +32,80 @@ REGISTRY: dict[str, Query] = {}
 # every query that has never appeared in a driver CORRECTNESS_r*.json,
 # plus queries added or rewritten this round. Names not yet registered
 # are skipped (harmless); everything else keeps registration order.
+_ROUND13_FRONT = [
+    # 1) queries ADDED or whose code paths CHANGED in round 13 — they
+    #    lead the window to (re-)earn driver evidence on the new code:
+    #    - s1: NEW — the header-CSV scan as a direct hash oracle row
+    #      (the one SURVEY row with only indirect evidence; r12 task 5).
+    "s1_csv_roundtrip",
+    #    - l46: NEW — query-time recall self-audit of the persisted ANN
+    #      tier, planted-twin hash grade (r12 task 4).
+    "l46_recall_audit_planted",
+    #    - l45: the DuckDB oracle was reformulated (prefix-filtered
+    #      exact similarity join + unrolled min-label CC) so the
+    #      end-to-end row re-earns on the new same-tool evidence that
+    #      now also holds at sf0.1 (r12 task 3).
+    "l45_curation_pipeline",
+    #    - the persisted-tier lifecycle rows: every persist/add/delete/
+    #      compact path now runs under the single-writer lease and the
+    #      advisory stats rewrite is an atomic rename swap (r12 task 1)
+    #      — re-earn through the leased paths.
+    "l34_ann_index_persisted",
+    "l35_ann_index_add_persisted",
+    "l36_ann_index_delete_persisted",
+    "l37_ivfpq_index_persisted",
+    "l38_dedup_index_delete_persisted",
+    "l39_ivfpq_index_delete_persisted",
+    "l40_dedup_banded_persisted",
+    "l43_vecsig_index_persisted",
+    #    - the ingest gates ride the leased adds/compacts/vacuums.
+    "t10_incremental_ingest_dedup",
+    "t11_neardup_ingest_gate",
+    "t12_semantic_ingest_gate",
+    "t13_ann_index_ingest_gate",
+    # 2) window fill: the stale-evidence cohort BASELINE.md booked for
+    #    r13 — every row whose latest driver evidence predates r08
+    #    (the r06 tail, then the r07 cohort), oldest first.
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q22_global_sales_opportunity",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "s13_compaction_roundtrip",
+    "u4b_python_udtf",
+    "w1_ranking",
+    "a4_groupby_q1",
+    "a6_approx_count_distinct",
+    "l27_semantic_dedup",
+    "l28_domain_mix",
+    "l31_dsir_weights",
+    "l32_repeated_spans",
+    "l3e_ann_lsh_top1_planted",
+    "l3f_ann_ivf_top1_planted",
+    "s14_bucketed_colocated_join",
+    "ts1_resample_locf",
+    "w10_cohort_retention",
+    "w11_funnel",
+    "w2_lag_lead",
+    "w3_running_agg",
+    "w4_topk_per_group",
+    "w9_sessionization",
+    # 3) remaining slots: the oldest r08-era rows, alphabetical (the
+    #    next-staleness tier; the rest of that 49-row cohort queues for
+    #    r14).
+    "a10b_approx_percentile",
+    "a12_salted_aggregate",
+    "a13_bloom_filter",
+    "a14_argmax_aggregates",
+    "a15_regression_aggregates",
+    "a16_hll_sketch_union",
+    "a17_bit_aggregates",
+    "a18_count_if_mode",
+    "a7c_grouping_sets",
+    "a9_stats_aggregates",
+]
+
 _ROUND12_FRONT = [
     # 1) queries ADDED or whose code paths CHANGED in round 12 — they
     #    lead the window to (re-)earn driver evidence on the new code:
@@ -532,7 +606,8 @@ def load_all() -> dict[str, Query]:
         window_queries2,
     )
 
-    front = [n for n in _ROUND12_FRONT if n in REGISTRY]
+    front = [n for n in _ROUND13_FRONT if n in REGISTRY]
+    front += [n for n in _ROUND12_FRONT if n in REGISTRY and n not in front]
     front += [n for n in _ROUND11_FRONT if n in REGISTRY and n not in front]
     front += [n for n in _ROUND10_FRONT if n in REGISTRY and n not in front]
     seen = set(front)

@@ -791,22 +791,30 @@ _L45_CLEAN = """trim(regexp_replace(
 # Min-label propagation rounds for the l45 oracle's connected
 # components, UNROLLED (DuckDB 1.0 has no keyed/fixpoint recursion and
 # the UNION-recursive transitive closure accumulates |clique|² rows —
-# it ran past 10 minutes at sf0.1 where these 8 rounds of
-# one-label-per-node joins finish in seconds). Exactness: after r
-# rounds every node within r hops of its component's minimum carries
-# that minimum; `conv` checks a 9th round changes nothing and the
-# admission CTE poisons the ENTIRE output empty on non-convergence, so
-# a diameter-9+ component can only ever surface as a loud row-count
-# mismatch, never a silently wrong dedup.
+# it ran past 10 minutes at sf0.1 where these one-label-per-node joins
+# finish in seconds). Each round takes the min over (own label,
+# neighbors' labels, LABEL'S label) — the third term is pointer
+# doubling (Shiloach-Vishkin), so the distance-to-minimum covered
+# DOUBLES per round and 14 rounds reach the component min across >8k
+# hops (plain hop-propagation needs diameter rounds, and sf0.1's
+# perturbation-chain families exceeded 8 — the poison fired, which is
+# exactly its job). Exactness: labels only decrease and every label is
+# itself a node, so the fixpoint is the component minimum; `conv`
+# checks a 15th round changes nothing and the admission CTE poisons
+# the ENTIRE output empty on non-convergence, so a too-deep graph can
+# only surface as a loud row-count mismatch, never a silently wrong
+# dedup.
 _L45_CC_ROUNDS = "\n".join(
     f"""    l{i + 1} AS MATERIALIZED (
         SELECT a, min(lbl) AS lbl FROM (
             SELECT a, lbl FROM l{i}
             UNION ALL
             SELECT e.a, l.lbl FROM edges e JOIN l{i} l ON l.a = e.b
+            UNION ALL
+            SELECT t.a, j.lbl FROM l{i} t JOIN l{i} j ON j.a = t.lbl
         ) GROUP BY a
     ),"""
-    for i in range(9)
+    for i in range(15)
 )
 
 
@@ -877,9 +885,9 @@ _L45_CC_ROUNDS = "\n".join(
 {_L45_CC_ROUNDS}
     conv AS (
         SELECT count(*) AS bad
-        FROM l8 JOIN l9 ON l8.a = l9.a AND l8.lbl <> l9.lbl
+        FROM l14 JOIN l15 ON l14.a = l15.a AND l14.lbl <> l15.lbl
     ),
-    nonrep AS MATERIALIZED (SELECT a AS doc_id FROM l8 WHERE lbl <> a),
+    nonrep AS MATERIALIZED (SELECT a AS doc_id FROM l14 WHERE lbl <> a),
     adm AS (
         SELECT * FROM ex e
         WHERE NOT EXISTS (SELECT 1 FROM nonrep n WHERE n.doc_id = e.doc_id)
