@@ -88,10 +88,16 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def clean_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def clean_text(
+    docs: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
     """Training-corpus text normalization, all JVM-side: lowercase, strip
     control chars, redact URL/email-shaped spans, collapse whitespace.
-    Returns (doc_id, clean, n_redactions)."""
+    Returns (doc_id, clean, n_redactions, *keep). ``keep`` carries extra
+    input columns through the projection — this is a pure column
+    expression, so passengers are free, where the alternative (joining
+    the output back to the input on doc_id, the pre-r13 l45 shape) is a
+    real shuffle-or-broadcast join per passenger re-attach."""
     col = F.lower(F.col(text_col))
     col = F.regexp_replace(col, "[\\x00-\\x1f]", " ")
     url = "https?://[^ ]+"
@@ -104,7 +110,10 @@ def clean_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     col = F.regexp_replace(col, email, "<email>")
     col = F.trim(F.regexp_replace(col, "\\s+", " "))
     return docs.select(
-        "doc_id", col.alias("clean"), n_red.cast("int").alias("n_redactions")
+        "doc_id",
+        col.alias("clean"),
+        n_red.cast("int").alias("n_redactions"),
+        *(keep or []),
     )
 
 
@@ -143,13 +152,17 @@ def chunk_documents(
     )
 
 
-def content_fingerprints(docs: DataFrame) -> DataFrame:
+def content_fingerprints(docs: DataFrame, keep: list[str] | None = None) -> DataFrame:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed text (the cheap exact-after-normalization tier;
-    winnowing in operators/dedup.py is the locality-sensitive tier)."""
+    winnowing in operators/dedup.py is the locality-sensitive tier).
+    ``keep`` carries extra input columns through (see clean_text — a
+    free projection passenger vs a join to re-attach)."""
     normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), "\\s+", " ")
     return docs.select(
-        "doc_id", F.substring(F.md5(normalized), 1, 16).alias("fingerprint")
+        "doc_id",
+        F.substring(F.md5(normalized), 1, 16).alias("fingerprint"),
+        *(keep or []),
     )
 
 

@@ -1009,18 +1009,19 @@ def l45_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # 1) clean (l5g)
-    corpus = (
-        clean_text(docs)
-        .select("doc_id", F.col("clean").alias("text"))
-        .join(docs.select("doc_id", "lang"), "doc_id")
+    # 1) clean (l5g) — lang rides the projection (r13: clean_text/
+    #    content_fingerprints are pure column expressions, so carrying
+    #    passengers through keep= replaces the two doc_id self-joins
+    #    the pre-r13 chain paid to re-attach columns)
+    corpus = clean_text(docs, keep=["lang"]).select(
+        "doc_id", F.col("clean").alias("text"), "lang"
     )
     # 2) dedup gate: exact first-wins on the normalized fingerprint,
     #    then near-dup cluster representatives (t11's admission tiers,
     #    one-shot; 16x16 banding validated at tau=0.95)
     fpw = Window.partitionBy("fingerprint").orderBy("doc_id")
     ex = (
-        corpus.join(content_fingerprints(corpus), "doc_id")
+        content_fingerprints(corpus, keep=["text", "lang"])
         .withColumn("_rn", F.row_number().over(fpw))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "text", "lang")

@@ -624,13 +624,19 @@ def incremental_neardup_ingest(
                 vacuum_index(spark, work, dry_run=False)
         t0 = _mark("compact", t0)
         # 1) exact tier: within-batch first-wins, then the pruned
-        # same-id-excluding check against the fingerprint dataset
-        fp = content_fingerprints(batch_df).withColumn("fpart", _fpart)
+        # same-id-excluding check against the fingerprint dataset.
+        # r13: text rides the fingerprint projection (keep=), so the
+        # survivors already carry their payload — the pre-r13 shape
+        # paid a batch_df⨝first join AND a second eager checkpoint to
+        # re-attach text after the fingerprint tier.
+        fp = content_fingerprints(batch_df, keep=["text"]).withColumn(
+            "fpart", _fpart
+        )
         w = Window.partitionBy("fingerprint").orderBy("doc_id")
         first = (
             fp.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select("doc_id", "fingerprint", "fpart")
+            .select("doc_id", "text", "fingerprint", "fpart")
             .localCheckpoint(eager=True)
         )
         # one fpart collect per batch: admitted ⊆ first, so the list
@@ -650,10 +656,15 @@ def incremental_neardup_ingest(
                 .select("doc_id")
                 .distinct()
             )
-            first = first.join(hit, "doc_id", "left_anti")
-        docs_e = batch_df.join(first.select("doc_id"), "doc_id").localCheckpoint(
-            eager=True
-        )
+            # still checkpointed: three downstream stages reuse docs_e
+            docs_e = (
+                first.join(hit, "doc_id", "left_anti")
+                .select("doc_id", "text")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            # select off the already-checkpointed `first` — free reuse
+            docs_e = first.select("doc_id", "text")
         t0 = _mark("exact_tier", t0)
         # 2) within-batch near-dup clustering → cluster representatives
         # eager checkpoint: the emptiness probe and the CC rounds below
