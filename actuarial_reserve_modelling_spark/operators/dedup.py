@@ -1194,9 +1194,30 @@ def add_to_dedup_index(
         .alias("part"),
     )
     if check_existing:
-        batch_parts = [
-            int(r["part"]) for r in batch.select("part").distinct().collect()
-        ]
+        # ONE aggregate yields BOTH prune lists (r13 — was two collect
+        # jobs): the banded projection's rows carry the id-hash part,
+        # so collect_set over it gives the fingerprint-side parts and
+        # the banded-side bparts in a single pass over the PRE-anti-join
+        # batch. Supersets are fine on both sides — pruning with a
+        # superset reads a few more directories, never misses a row the
+        # anti-join needs.
+        if meta["k_band_parts"] is not None:
+            pre_b = _banded_projection(
+                batch, meta["bands"], meta["rows_per_band"], meta["k_band_parts"]
+            )
+            lists = pre_b.agg(
+                F.collect_set("bpart").alias("bp"),
+                F.collect_set(
+                    F.pmod(F.xxhash64(F.col("doc_id")), F.lit(meta["n_buckets"]))
+                    .cast("int")
+                ).alias("p"),
+            ).first()
+            bparts = [int(x) for x in lists["bp"]]
+            batch_parts = [int(x) for x in lists["p"]]
+        else:
+            batch_parts = [
+                int(r["part"]) for r in batch.select("part").distinct().collect()
+            ]
         existing = (
             spark.read.parquet(path + "/fingerprints")
             .filter(F.col("part").isin(batch_parts))
@@ -1213,10 +1234,6 @@ def add_to_dedup_index(
             # crash-retry healing for the banded side: drop docs whose
             # banded rows already landed, reading only the batch's own
             # bpart directories (≤ k_band_parts of them)
-            newb = newb.localCheckpoint(eager=False)
-            bparts = [
-                int(r["bpart"]) for r in newb.select("bpart").distinct().collect()
-            ]
             existing_b = _read_banded_pruned(spark, path, bparts).select(
                 F.col("doc_id").cast("long").alias("doc_id")
             )

@@ -2183,17 +2183,23 @@ def compact_partitioned_index(
     from actuarial_reserve_modelling_spark.sources.sinks import overwrite_partitions
 
     part_cols = [part_col] if isinstance(part_col, str) else list(part_col)
-    rows = spark.read.parquet(dataset)
-    hot = [
-        tuple(int(r[c]) for c in part_cols)
-        for r in rows.select(*part_cols, F.col("_metadata.file_path").alias("f"))
-        .groupBy(*part_cols)
-        .agg(F.count_distinct("f").alias("nf"))
-        .filter(F.col("nf") > max_files_per_partition)
-        .collect()
-    ]
+    hot = _hot_partitions_local(dataset, part_cols, max_files_per_partition)
+    rows = None
+    if hot is None:
+        # non-local root: fall back to the Spark metadata aggregate
+        rows = spark.read.parquet(dataset)
+        hot = [
+            tuple(int(r[c]) for c in part_cols)
+            for r in rows.select(*part_cols, F.col("_metadata.file_path").alias("f"))
+            .groupBy(*part_cols)
+            .agg(F.count_distinct("f").alias("nf"))
+            .filter(F.col("nf") > max_files_per_partition)
+            .collect()
+        ]
     if not hot:
         return 0
+    if rows is None:
+        rows = spark.read.parquet(dataset)
     if len(part_cols) == 1:
         cond = F.col(part_cols[0]).isin([t[0] for t in hot])
     else:
@@ -2209,6 +2215,61 @@ def compact_partitioned_index(
     )
     spark.catalog.refreshByPath(dataset)
     return len(hot)
+
+
+def _hot_partitions_local(
+    dataset: str, part_cols: list[str], cap: int
+) -> list[tuple] | None:
+    """Hot-partition detection by plain driver-side ``os.scandir`` —
+    returns the partition-value tuples whose data-file count exceeds
+    ``cap``, or None for non-local roots (caller falls back to the
+    Spark metadata aggregate). The gates run the threshold compact
+    EVERY batch, and the pre-r13 Spark aggregate paid a full
+    file-listing job per call — O(index directories) per batch at a
+    65k-directory tier, the exact growth term the per-batch-bounded
+    contract forbids. A scandir walk costs the same order of syscalls
+    WITHOUT the JVM job, plan, and listing-cache churn (~1 s/batch
+    measured in the t11 gate), and when nothing is hot — the steady
+    state — the whole check stays on the driver."""
+    import os
+    from urllib.parse import urlparse
+
+    p = urlparse(dataset)
+    if p.scheme not in ("", "file"):
+        return None
+    root = p.path if p.scheme == "file" else dataset
+    if not os.path.isdir(root):
+        return None
+
+    hot: list[tuple] = []
+
+    def _walk(d: str, depth: int, vals: tuple) -> None:
+        try:
+            entries = list(os.scandir(d))
+        except OSError:
+            return
+        if depth == len(part_cols):
+            n = sum(
+                1
+                for e in entries
+                if e.is_file()
+                and e.name.endswith(".parquet")
+                and not e.name.startswith(("_", "."))
+            )
+            if n > cap:
+                hot.append(vals)
+            return
+        prefix = part_cols[depth] + "="
+        for e in entries:
+            if e.is_dir() and e.name.startswith(prefix):
+                try:
+                    v = int(e.name[len(prefix):])
+                except ValueError:
+                    continue
+                _walk(e.path, depth + 1, vals + (v,))
+
+    _walk(root, 0, ())
+    return hot
 
 
 @leased("path")
