@@ -124,6 +124,19 @@ ALLOWED: dict[str, Allow] = {
         probe=_l3_queries,
         max_rows=1_000,
     ),
+    "l46_recall_audit_planted": Allow(
+        "BroadcastNestedLoopJoin",
+        "the audit's exact side IS a bounded brute-force pass by design "
+        "(cosine_topk: the sampled/planted query set broadcast against one "
+        "corpus scan) — O(corpus) once per audit, never per production query",
+        probe=lambda spark, sf: _table("embeddings")(spark, sf).filter(
+            F.col("vec_id") % 50 == 0
+        ),
+        max_rows=1_000,
+        # the k+1 indexed query inside the audit also carries a bounded
+        # one-row scalar broadcast; both instances reviewed
+        max_occurrences=2,
+    ),
     "l3d_ann_pq_topk": Allow(
         "BroadcastNestedLoopJoin",
         "ADC scan: bounded query set (vec_id<10) broadcast against the m-byte codes table — the PQ design scans codes, never raw vectors",
