@@ -387,31 +387,48 @@ def incremental_ingest_dedup(
     # resumed run whose seed corpus GREW indexes exactly the new seed
     # docs (skipping entirely would silently never index them).
     if seed is not None:
+        from actuarial_reserve_modelling_spark.sources.lease import writer_lease
+
         seed_fp = (
             content_fingerprints(seed)
             .select("doc_id", "fingerprint")
             .withColumn("fpart", _fpart)
         )
-        if not _has_index():
-            seed_fp.repartition(F.col("fpart")).write.mode("overwrite").partitionBy(
-                "fpart"
-            ).parquet(idx_dir)
-        else:
-            seed_fp = seed_fp.localCheckpoint(eager=False)
-            sparts = [
-                int(r["fpart"])
-                for r in seed_fp.select("fpart").distinct().collect()
-            ]
-            existing = (
-                spark.read.parquet(idx_dir)
-                .filter(F.col("fpart").isin(sparts))
-                .select(F.col("doc_id").cast("long").alias("doc_id"))
-            )
-            seed_fp.join(existing, "doc_id", "left_anti").repartition(
-                F.col("fpart")
-            ).write.mode("append").partitionBy("fpart").parquet(idx_dir)
+        # the bootstrap mutates the index OUTSIDE the per-batch step, so
+        # it takes the same work-dir lease the steps hold (r13): a second
+        # gate's bootstrap cannot interleave with a first gate's batch
+        with writer_lease(work):
+            if not _has_index():
+                seed_fp.repartition(F.col("fpart")).write.mode(
+                    "overwrite"
+                ).partitionBy("fpart").parquet(idx_dir)
+            else:
+                seed_fp = seed_fp.localCheckpoint(eager=False)
+                sparts = [
+                    int(r["fpart"])
+                    for r in seed_fp.select("fpart").distinct().collect()
+                ]
+                existing = (
+                    spark.read.parquet(idx_dir)
+                    .filter(F.col("fpart").isin(sparts))
+                    .select(F.col("doc_id").cast("long").alias("doc_id"))
+                )
+                seed_fp.join(existing, "doc_id", "left_anti").repartition(
+                    F.col("fpart")
+                ).write.mode("append").partitionBy("fpart").parquet(idx_dir)
 
     def _step(batch_df: DataFrame, bid: int) -> None:
+        # the gate's admission decision spans check -> sink -> append:
+        # hold the work-dir writer lease for the WHOLE step (r13), so a
+        # second gate process on the same tier refuses loudly instead of
+        # checking against an index another writer is mid-appending to
+        # (the per-op leases inside acquire reentrantly under this one)
+        from actuarial_reserve_modelling_spark.sources.lease import writer_lease
+
+        with writer_lease(work):
+            _step_locked(batch_df, bid)
+
+    def _step_locked(batch_df: DataFrame, bid: int) -> None:
         shutil.rmtree(os.path.join(out_dir, f"e{bid}"), ignore_errors=True)
         cadence_due = compact_every and bid > 0 and bid % compact_every == 0
         if (cadence_due or auto_compact) and bid > 0 and _has_index():
@@ -608,6 +625,17 @@ def incremental_neardup_ingest(
         return _time.time()
 
     def _step(batch_df: DataFrame, bid: int) -> None:
+        # the gate's admission decision spans check -> sink -> append:
+        # hold the work-dir writer lease for the WHOLE step (r13), so a
+        # second gate process on the same tier refuses loudly instead of
+        # checking against an index another writer is mid-appending to
+        # (the per-op leases inside acquire reentrantly under this one)
+        from actuarial_reserve_modelling_spark.sources.lease import writer_lease
+
+        with writer_lease(work):
+            _step_locked(batch_df, bid)
+
+    def _step_locked(batch_df: DataFrame, bid: int) -> None:
         _marks.clear()
         t0 = _time.time()
         shutil.rmtree(os.path.join(out_dir, f"e{bid}"), ignore_errors=True)
@@ -849,6 +877,17 @@ def incremental_semantic_ingest(
         return os.path.exists(os.path.join(idx_dir, "meta"))
 
     def _step(batch_df: DataFrame, bid: int) -> None:
+        # the gate's admission decision spans check -> sink -> append:
+        # hold the work-dir writer lease for the WHOLE step (r13), so a
+        # second gate process on the same tier refuses loudly instead of
+        # checking against an index another writer is mid-appending to
+        # (the per-op leases inside acquire reentrantly under this one)
+        from actuarial_reserve_modelling_spark.sources.lease import writer_lease
+
+        with writer_lease(work):
+            _step_locked(batch_df, bid)
+
+    def _step_locked(batch_df: DataFrame, bid: int) -> None:
         shutil.rmtree(os.path.join(out_dir, f"e{bid}"), ignore_errors=True)
         if compact_every and bid > 0 and bid % compact_every == 0 and _have_index():
             compact_vecsig_index(
@@ -1028,6 +1067,17 @@ def incremental_ann_ingest(
     os.makedirs(out_dir)
 
     def _step(batch_df: DataFrame, bid: int) -> None:
+        # the gate's admission decision spans check -> sink -> append:
+        # hold the work-dir writer lease for the WHOLE step (r13), so a
+        # second gate process on the same tier refuses loudly instead of
+        # checking against an index another writer is mid-appending to
+        # (the per-op leases inside acquire reentrantly under this one)
+        from actuarial_reserve_modelling_spark.sources.lease import writer_lease
+
+        with writer_lease(work):
+            _step_locked(batch_df, bid)
+
+    def _step_locked(batch_df: DataFrame, bid: int) -> None:
         shutil.rmtree(os.path.join(out_dir, f"e{bid}"), ignore_errors=True)
         have_index = os.path.exists(os.path.join(idx_dir, "supers"))
         if compact_every and bid > 0 and bid % compact_every == 0 and have_index:

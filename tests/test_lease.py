@@ -211,3 +211,36 @@ def test_gate_composition_under_lease(spark, tmp_path):
     n = spark.read.parquet(idx + "/fingerprints").select("doc_id").distinct().count()
     assert n == 40
     assert not os.path.exists(os.path.join(idx, LEASE_NAME))
+
+
+def test_gate_step_refuses_under_foreign_work_lease(spark, tmp_path):
+    """r13: each gate batch holds the work-dir lease across its whole
+    check→sink→append step, so a second gate process on the same tier
+    fails LOUDLY instead of admitting duplicates past an in-flight
+    append. Simulated by a foreign lease on the work dir."""
+    from pyspark.errors import StreamingQueryException
+
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_ingest_dedup,
+    )
+
+    work = str(tmp_path / "gate")
+    b0 = spark.createDataFrame(
+        [(0, "alpha text"), (1, "beta text")], ["doc_id", "text"]
+    )
+    lp = _plant_foreign_lease(work)
+    with pytest.raises(StreamingQueryException, match="writer lease"):
+        incremental_ingest_dedup(
+            spark, [b0], cache_key="t_lease_gate_0", work_dir=work
+        )
+    os.unlink(lp)
+    import shutil
+
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+    got = {
+        r["doc_id"]
+        for r in incremental_ingest_dedup(
+            spark, [b0], cache_key="t_lease_gate_1", work_dir=work
+        ).collect()
+    }
+    assert got == {0, 1}
