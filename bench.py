@@ -481,6 +481,12 @@ def main() -> None:
     # bench's own CPU, so a wall jump with flat CPU is noise and a CPU
     # jump is a real engine regression (envelope in BASELINE.md)
     cpu_per_query: dict[str, float] = {}
+    # steady-pass CPU is the CLEAN regression signal: the cold pass's
+    # CPU includes JVM JIT-compiler threads whose scheduling varies run
+    # to run (l2 observed 27-49 s cold vs a stable 21.5 s steady on the
+    # same code) — compare cpu_steady_per_query across rounds, use the
+    # cold number only for the compile-cost decomposition
+    cpu_steady_per_query: dict[str, float] = {}
     all_names = []
     for name, fn in _bench_queries(
         spark, sf_dir, ann_index_path, ivfpq_index_path, dedup_index_path,
@@ -489,7 +495,7 @@ def main() -> None:
         all_names.append(name)
         loadavg_per_query[name] = round(os.getloadavg()[0], 2)
         for target in (timings, steady):
-            c0 = _tree_cpu_seconds() if target is timings else None
+            c0 = _tree_cpu_seconds()
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
@@ -498,8 +504,10 @@ def main() -> None:
                 errors[name] = traceback.format_exc()
                 break
             target[name] = round(time.time() - t0, 3)
-            if c0 is not None:
-                cpu_per_query[name] = round(_tree_cpu_seconds() - c0, 3)
+            cpu_target = (
+                cpu_per_query if target is timings else cpu_steady_per_query
+            )
+            cpu_target[name] = round(_tree_cpu_seconds() - c0, 3)
 
     recall = _pair_recall_canary(spark)
     recall_ok = all(v.get("ok") for v in recall.values())
@@ -586,8 +594,12 @@ def main() -> None:
                     and all(band4_slot_ok.values())
                 ),
                 "cpu_per_query": cpu_per_query,
+                "cpu_steady_per_query": cpu_steady_per_query,
                 "cpu_headline_total": round(
                     sum(cpu_per_query.get(q, 0.0) for q in headline), 3
+                ),
+                "cpu_steady_headline_total": round(
+                    sum(cpu_steady_per_query.get(q, 0.0) for q in headline), 3
                 ),
                 "session_spinup_sec": session_spinup,
                 "warmup_sec": warmup_sec,
