@@ -244,3 +244,39 @@ def test_gate_step_refuses_under_foreign_work_lease(spark, tmp_path):
         ).collect()
     }
     assert got == {0, 1}
+
+
+def test_tier_health_summary(spark, tmp_path):
+    """tier_health reports datasets, meta, advisory count, lease holder
+    liveness, and the dry-run orphan list — read-only, no lease taken."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        persist_vecsig_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.health import tier_health
+
+    path = str(tmp_path / "tier")
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array([(F.col("id") * (i + 1) % 9).cast("double") + 0.3 for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    persist_vecsig_index(vecs, path, num_planes=4, num_tables=2, dim=8)
+    os.makedirs(os.path.join(path, "sigs", "_temporary", "0"))  # orphan
+
+    h = tier_health(spark, path)
+    assert set(h["datasets"]) >= {"sigs", "vectors", "meta", "stats"}
+    assert h["datasets"]["vectors"]["data_files"] >= 1
+    assert h["datasets"]["vectors"]["partitions"] >= 1
+    assert h["meta"]["num_planes"] == 4
+    assert h["stats_n_rows"] == 50
+    assert h["writer"] is None  # read path takes no lease
+    assert any("_temporary" in o for o in h["orphans"])
+
+    # live and dead holders are distinguished by heartbeat age
+    lp = _plant_foreign_lease(path)
+    assert tier_health(spark, path)["writer"]["live"] is True
+    t = time.time() - 3600
+    os.utime(lp, (t, t))
+    w = tier_health(spark, path)["writer"]
+    assert w["live"] is False and w["writer_id"] == "foreign-gate"
