@@ -2561,6 +2561,114 @@ def ann_index_recall_audit(
             "ann_index_recall_audit: slim layout (has_vectors=False) — "
             "pass embeddings= so the exact side has vectors to scan"
         )
+    def index_fn(sample: DataFrame) -> DataFrame:
+        return ann_ivf_hier_topk_persisted(
+            spark,
+            path,
+            embeddings if not meta["has_vectors"] else None,
+            sample,
+            k=k + 1,
+            nprobe_super=nprobe_super,
+            child_probe=child_probe,
+        )
+
+    return _recall_audit_core(
+        spark,
+        corpus,
+        queries=queries,
+        n_sample=n_sample,
+        k=k,
+        salt=salt,
+        id_col=id_col,
+        vec_col=vec_col,
+        index_fn=index_fn,
+        supers=_load_ann_supers(spark, path),
+        nprobe=nprobe_super,
+    )
+
+
+def ivfpq_index_recall_audit(
+    spark: SparkSession,
+    path: str,
+    n_sample: int = 64,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 32,
+    salt: int = 7,
+    queries: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ann_index_recall_audit``'s analogue for the persisted IVF-PQ
+    tier — same contract (sampled stored vectors, pruned ADC answers vs
+    a bounded exact scan, self-excluded on both sides, deterministic
+    per tier+settings), so BOTH persisted ANN tiers expose the same
+    per-corpus recall/probe observability. The exact side reads the
+    stored vectors out of ``codes/`` on vector-bearing layouts
+    (``store_vectors=True``, the default); slim layouts need
+    ``embeddings=``. The quantization loss PQ trades for its 32×
+    compression shows up here as lower recall at equal probes than the
+    hierarchical tier — that visible trade is the point of the audit."""
+    _centroids, _books, meta = load_ivfpq_index(spark, path)
+    if embeddings is not None:
+        corpus = embeddings.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+        )
+    elif meta["has_vectors"]:
+        corpus = spark.read.parquet(path + "/codes").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("vec").alias("embedding"),
+        )
+    else:
+        raise ValueError(
+            "ivfpq_index_recall_audit: slim layout (has_vectors=False) — "
+            "pass embeddings= so the exact side has vectors to scan"
+        )
+
+    def index_fn(sample: DataFrame) -> DataFrame:
+        return ann_ivfpq_topk_persisted(
+            spark,
+            path,
+            embeddings if not meta["has_vectors"] else None,
+            sample,
+            k=k + 1,
+            nprobe=nprobe,
+            rerank=rerank,
+        )
+
+    return _recall_audit_core(
+        spark,
+        corpus,
+        queries=queries,
+        n_sample=n_sample,
+        k=k,
+        salt=salt,
+        id_col=id_col,
+        vec_col=vec_col,
+        index_fn=index_fn,
+        supers=_centroids,
+        nprobe=nprobe,
+    )
+
+
+def _recall_audit_core(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame | None,
+    n_sample: int,
+    k: int,
+    salt: int,
+    id_col: str,
+    vec_col: str,
+    index_fn,
+    supers: np.ndarray,
+    nprobe: int,
+) -> DataFrame:
+    """Shared audit core (see ann_index_recall_audit for the contract):
+    deterministic sample → index top-(k+1) minus self vs exact top-k →
+    per-query recall + probed-partition count."""
     if queries is None:
         sample = (
             corpus.orderBy(F.xxhash64(F.col("vec_id"), F.lit(salt)), "vec_id")
@@ -2575,15 +2683,7 @@ def ann_index_recall_audit(
     sample = sample.localCheckpoint(eager=False)
 
     # index side: ask for k+1, drop self, re-rank to k
-    idx = ann_ivf_hier_topk_persisted(
-        spark,
-        path,
-        embeddings if not meta["has_vectors"] else None,
-        sample,
-        k=k + 1,
-        nprobe_super=nprobe_super,
-        child_probe=child_probe,
-    )
+    idx = index_fn(sample)
     w = Window.partitionBy("query_id").orderBy("rank")
     idx_k = (
         idx.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -2600,7 +2700,7 @@ def ann_index_recall_audit(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     probes = (
-        ivf_assign(sample, _load_ann_supers(spark, path), nprobe=nprobe_super)
+        ivf_assign(sample, supers, nprobe=nprobe)
         .groupBy(F.col("vec_id").alias("query_id"))
         .agg(F.countDistinct("cluster").alias("n_probed_supers"))
     )

@@ -521,3 +521,48 @@ def l46_recall_audit_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_recall_audit(spark, out, k=1, queries=planted).select(
         "query_id", "n_hits", "exact_n", "recall_at_k"
     )
+
+
+@register(
+    "l47_ivfpq_recall_audit_planted",
+    "L3,L10 (recall self-audit of the persisted IVF-PQ tier, hash-grade via planted twins)",
+    oracle="""
+    SELECT vec_id + 100000 AS query_id, CAST(1 AS BIGINT) AS n_hits,
+           CAST(1 AS BIGINT) AS exact_n, CAST(1.0 AS DOUBLE) AS recall_at_k
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def l47_ivfpq_recall_audit_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l46's analogue for the persisted IVF-PQ tier
+    (``ivfpq_index_recall_audit``): both persisted ANN tiers expose the
+    same per-corpus recall observability, and this row pins the PQ
+    side's planted floor as hash-grade driver evidence. The l3h/l3i
+    argument carries through the audit plumbing: a planted twin encodes
+    to exactly its source's code word and hard-routes to its cluster,
+    the ADC scan shortlists it (rerank=32 absorbs the code-sharing
+    tie-break caveat at both checked scales on this corpus), and the
+    exact rerank pins sim 1.0 — so recall@1 over the planted set is
+    exactly 1.0 row for row. The quantization-loss trade on GENERAL
+    queries (lower recall at equal probes than the hierarchical tier)
+    is covered by the sampled pytest, which is rows-only territory by
+    nature."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ivfpq_index_recall_audit,
+        persist_ivfpq_index,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = plant_twins(emb, 50)
+    corpus = emb.unionByName(planted)
+    root, fresh = staging_dir("l47", sf_dir)
+    out = root + "/ivfpq_index"
+    if fresh:
+        persist_ivfpq_index(corpus, out)
+        staging_commit(root)
+    return ivfpq_index_recall_audit(
+        spark, out, k=1, queries=planted, rerank=32
+    ).select("query_id", "n_hits", "exact_n", "recall_at_k")

@@ -41,6 +41,8 @@ _ROUND13_FRONT = [
     #    - l46: NEW — query-time recall self-audit of the persisted ANN
     #      tier, planted-twin hash grade (r12 task 4).
     "l46_recall_audit_planted",
+    #    - l47: NEW — the IVF-PQ tier's recall self-audit analogue.
+    "l47_ivfpq_recall_audit_planted",
     #    - l45: the DuckDB oracle was reformulated (prefix-filtered
     #      exact similarity join + unrolled min-label CC) so the
     #      end-to-end row re-earns on the new same-tool evidence that
@@ -103,7 +105,6 @@ _ROUND13_FRONT = [
     "a17_bit_aggregates",
     "a18_count_if_mode",
     "a7c_grouping_sets",
-    "a9_stats_aggregates",
 ]
 
 _ROUND12_FRONT = [

@@ -117,3 +117,68 @@ def test_slim_layout_requires_embeddings(spark, tier, tmp_path):
         queries=corpus.filter(F.col("vec_id") >= 100_000),
     ).collect()
     assert all(r["recall_at_k"] == 1.0 for r in rows)
+
+
+@pytest.fixture(scope="module")
+def pq_tier(spark, tmp_path_factory):
+    """IVF-PQ tier over ISOTROPIC vectors + planted twins. Deliberately
+    NOT the clustered fixture: PQ's ADC ties break by ascending id
+    among code-sharers, and a dense cluster makes whole neighborhoods
+    share code words — the planted twin can then be crowded out of a
+    bounded shortlist by lower-id code-sharers (the documented l3h
+    empirical caveat). Diverse codes make the twin's exact code match
+    the strict ADC maximum, which is the structural property the
+    planted floor tests."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        persist_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(13)
+    pts = rng.standard_normal((800, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)], SCHEMA
+    ).repartition(8)
+    twins = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twins).localCheckpoint()
+    path = str(tmp_path_factory.mktemp("pq_audit")) + "/ivfpq_index"
+    persist_ivfpq_index(corpus, path, n_centroids=8, m_subspaces=4, n_codes=16)
+    return path, corpus
+
+
+def test_ivfpq_planted_twin_recall_is_one(spark, pq_tier):
+    """The IVF-PQ tier's audit analogue: a planted exact twin encodes
+    to its source's code word and hard-routes to the same cluster, so
+    recall@1 on the planted set is exactly 1.0 (the l3h/l3i argument
+    through the audit plumbing)."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ivfpq_index_recall_audit,
+    )
+
+    path, corpus = pq_tier
+    planted = corpus.filter(F.col("vec_id") >= 100_000)
+    rows = ivfpq_index_recall_audit(
+        spark, path, k=1, queries=planted, rerank=32
+    ).collect()
+    assert len(rows) == planted.count()
+    assert all(r["recall_at_k"] == 1.0 for r in rows)
+
+
+def test_ivfpq_sampled_audit_shows_quantization_trade(spark, pq_tier):
+    """Sampled recall through the PQ tier is valid (0..1, deterministic)
+    and the probe column reflects nprobe — the per-corpus visibility of
+    the 32x-compression/recall trade the audit exists to expose."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ivfpq_index_recall_audit,
+    )
+
+    path, _corpus = pq_tier
+    a = ivfpq_index_recall_audit(spark, path, n_sample=24, k=5, nprobe=4).collect()
+    b = ivfpq_index_recall_audit(spark, path, n_sample=24, k=5, nprobe=4).collect()
+    key = lambda r: r["query_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+    assert len(a) == 24
+    for r in a:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert 1 <= r["n_probed_supers"] <= 4
