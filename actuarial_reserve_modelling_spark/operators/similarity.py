@@ -3729,8 +3729,18 @@ def mine_hard_negatives(
             .join(q, "anchor_id")
             .join(c, "cand_id")
         )
+        # pos scales with the anchor set, which in the candidates path
+        # is unbounded (corpus-scale mining anchors on every training
+        # pair) — a forced broadcast would blow past the broadcast
+        # ceiling at scale. The join is keyed on (anchor_id,
+        # positive_id), which the candidates join already shuffles by;
+        # let AQE pick broadcast vs shuffle from the observed size.
+        pos_side = pos
     else:
         scored = c.crossJoin(F.broadcast(q))
+        # exact path: the bounded-query-batch contract holds, so pos
+        # (one row per anchor pair) is broadcast-sized by construction
+        pos_side = F.broadcast(pos)
     sims = (
         scored.filter(
             (F.col("cand_id") != F.col("anchor_id"))
@@ -3742,7 +3752,7 @@ def mine_hard_negatives(
             F.col("cand_id").alias("negative_id"),
             F.round(cosine_from_sq("qvec", "cvec", "dqq", "dcc"), 6).alias("neg_sim"),
         )
-        .join(F.broadcast(pos), ["anchor_id", "positive_id"])
+        .join(pos_side, ["anchor_id", "positive_id"])
         .filter(F.col("neg_sim") <= F.col("pos_sim") - F.lit(float(margin)))
     )
     # ranked per (anchor, positive) pair — the docstring contract; an

@@ -11,8 +11,15 @@ k_cand candidate pairs, so the whole pipeline is bounded by the anchor
 batch, never the corpus. Brute force (the l41 exact path) is the
 correctness oracle at small scale, not the production shape.
 
-Usage: python tools/mining_stress.py [n] [n_anchors] [k_cand]
-(defaults 64000, 100, 8)
+Usage: python tools/mining_stress.py [n] [n_anchors] [k_cand] [bcast_bytes]
+(defaults 64000, 100, 8, unset)
+
+``bcast_bytes``: optional spark.sql.autoBroadcastJoinThreshold override.
+Passing a value SMALLER than the pos-side size (one row per anchor
+pair) proves the r13-verdict fix — the candidates path carries no
+forced broadcast hint, so when the anchor set exceeds the broadcast
+ceiling AQE falls back to a shuffle join and the run COMPLETES instead
+of OOMing on a forced broadcast (similarity.py mine_hard_negatives).
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000
     n_anchors = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     k_cand = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    bcast_bytes = int(sys.argv[4]) if len(sys.argv) > 4 else None
     dim = 64
 
     from pyspark.sql import functions as F
@@ -45,7 +53,12 @@ def main() -> None:
     )
     from actuarial_reserve_modelling_spark.session import get_spark
 
-    spark = get_spark()
+    extra = (
+        {"spark.sql.autoBroadcastJoinThreshold": str(bcast_bytes)}
+        if bcast_bytes is not None
+        else None
+    )
+    spark = get_spark(extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     rng = np.random.default_rng(31)
@@ -114,6 +127,7 @@ def main() -> None:
                 "n_corpus": int(n_total),
                 "n_anchors": int(len(anchors_np)),
                 "k_cand": k_cand,
+                "bcast_bytes": bcast_bytes,
                 "index_build_sec": build_sec,
                 "mine_sec": mine_sec,
                 "mined_rows": len(mined),

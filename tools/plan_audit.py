@@ -137,6 +137,20 @@ ALLOWED: dict[str, Allow] = {
         # one-row scalar broadcast; both instances reviewed
         max_occurrences=2,
     ),
+    "l47_ivfpq_recall_audit_planted": Allow(
+        "BroadcastNestedLoopJoin",
+        "IVF-PQ twin of l46: the recall audit's exact side IS a bounded "
+        "brute-force pass (_recall_audit_core: the n_sample=64 sampled/"
+        "planted query set broadcast against one corpus scan) — O(corpus) "
+        "once per audit, never per production query",
+        probe=lambda spark, sf: _table("embeddings")(spark, sf).filter(
+            F.col("vec_id") % 50 == 0
+        ),
+        max_rows=1_000,
+        # the k+1 ADC indexed query inside the audit also carries bounded
+        # one-row scalar broadcasts; instances reviewed like l46's
+        max_occurrences=3,
+    ),
     "l3d_ann_pq_topk": Allow(
         "BroadcastNestedLoopJoin",
         "ADC scan: bounded query set (vec_id<10) broadcast against the m-byte codes table — the PQ design scans codes, never raw vectors",
@@ -338,12 +352,15 @@ SKIP = {
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])  # optional name filter for fast single-query audits
     from actuarial_reserve_modelling_spark.plans.registry import load_all
     from actuarial_reserve_modelling_spark.session import get_spark
 
     spark = get_spark(app_name="arm-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
+    if only:
+        registry = {n: q for n, q in registry.items() if n in only}
     bad: list[str] = []
     for name, q in sorted(registry.items()):
         if name in SKIP:
@@ -376,7 +393,8 @@ def main() -> None:
                 )
     for b in bad:
         print("SMELL", b)
-    print(f"{len(registry) - len(SKIP)} plans audited, {len(bad)} violations")
+    audited = sum(1 for n in registry if n not in SKIP)
+    print(f"{audited} plans audited, {len(bad)} violations")
     sys.exit(1 if bad else 0)
 
 
