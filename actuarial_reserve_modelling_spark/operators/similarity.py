@@ -143,12 +143,42 @@ def cosine_from_sq(a: str, b: str, asq: str, bsq: str):
     return dot(a, b) / F.sqrt(F.col(asq) * F.col(bsq))
 
 
+# The bounded-query-batch contract (r13 verdict #5): several exact /
+# ADC query tails hold the QUERY batch on the driver (broadcast or
+# collect) by documented design — the corpus streams, the batch does
+# not. Nothing used to enforce the bound: a 10M-row query frame meant a
+# driver OOM instead of an actionable error. Every such entry point now
+# probes the batch size first and fails loudly, naming the persisted
+# ANN path as the scale alternative. The probe is a limit(n+1) count —
+# one cheap job, never a full scan of a large batch.
+DEFAULT_MAX_QUERY_ROWS = 100_000
+
+
+def _require_bounded_queries(
+    queries: DataFrame, op: str, max_query_rows: int | None
+) -> None:
+    if max_query_rows is None:
+        return
+    n = queries.limit(max_query_rows + 1).count()
+    if n > max_query_rows:
+        raise ValueError(
+            f"{op}: query batch exceeds max_query_rows={max_query_rows} — "
+            "this path holds the query batch in driver memory by design "
+            "(the bounded-query-batch contract). For large batches use the "
+            "persisted ANN tier (ann_ivf_hier_topk_persisted / "
+            "ann_ivfpq_topk_persisted with candidates=... for mining), or "
+            "pass a larger max_query_rows / max_query_rows=None only if "
+            "the batch genuinely fits driver memory."
+        )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -156,6 +186,7 @@ def cosine_topk(
     *before* ranking so ordering (and therefore rank) is stable across
     engines; ties broken by neighbor id. Excludes self-matches.
     """
+    _require_bounded_queries(queries, "cosine_topk", max_query_rows)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -2938,6 +2969,7 @@ def ann_pq_topk(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """PQ ANN with asymmetric distance computation (ADC; Jégou et al.,
     "Product Quantization for Nearest Neighbor Search", TPAMI'11):
@@ -2986,6 +3018,7 @@ def ann_pq_topk(
     # batch and scores its partition's codes by pure numpy gather,
     # emitting only its per-batch top rerank·k rows per query — exact,
     # because any global top-R row ranks ≤ R within its own batch too.
+    _require_bounded_queries(q, "ann_pq_topk", max_query_rows)
     q_rows = q.collect()
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = (
@@ -3087,6 +3120,7 @@ def ann_ivfpq_topk(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IVFPQ composite; Jégou et al. TPAMI'11
     §V): a coarse k-means quantizer partitions the corpus into inverted
@@ -3155,6 +3189,7 @@ def ann_ivfpq_topk(
         rerank=rerank,
         id_col=id_col,
         vec_col=vec_col,
+        max_query_rows=max_query_rows,
     )
 
 
@@ -3169,6 +3204,7 @@ def _ivfpq_query(
     rerank: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Shared IVF-PQ query tail (the ADC scan + exact rerank of
     ``ann_ivfpq_topk``, verbatim) over any codes table — in-memory
@@ -3185,6 +3221,7 @@ def _ivfpq_query(
     books_c = np.ascontiguousarray(books, dtype=np.float64)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    _require_bounded_queries(q, "ann_ivfpq_topk", max_query_rows)
     q_rows = q.collect()
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = (
@@ -3508,6 +3545,7 @@ def ann_ivfpq_topk_persisted(
     rerank: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index: reload the driver-resident
     centroids + codebooks (tiny), then run the one-shot path's exact
@@ -3532,6 +3570,7 @@ def ann_ivfpq_topk_persisted(
         rerank=rerank,
         id_col=id_col,
         vec_col=vec_col,
+        max_query_rows=max_query_rows,
     )
 
 
@@ -3664,6 +3703,7 @@ def mine_hard_negatives(
     vec_col: str = "embedding",
     positive_id_col: str = "positive_id",
     candidates: DataFrame | None = None,
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Contrastive hard-negative mining for embedding-model training
     (the ANCE/RocketQA curation step, arXiv:2007.00808 /
@@ -3737,9 +3777,14 @@ def mine_hard_negatives(
         # let AQE pick broadcast vs shuffle from the observed size.
         pos_side = pos
     else:
+        # exact path: the anchor batch broadcasts — enforce the
+        # bounded-query-batch contract before building the plan
+        _require_bounded_queries(
+            q, "mine_hard_negatives (exact path)", max_query_rows
+        )
         scored = c.crossJoin(F.broadcast(q))
-        # exact path: the bounded-query-batch contract holds, so pos
-        # (one row per anchor pair) is broadcast-sized by construction
+        # the contract holds, so pos (one row per anchor pair) is
+        # broadcast-sized by construction
         pos_side = F.broadcast(pos)
     sims = (
         scored.filter(

@@ -544,8 +544,7 @@ def main() -> None:
             or (la_trace[-1] - la_trace[0]) >= 2.0
         )
     )
-    print(
-        json.dumps(
+    result = (
             {
                 "metric": "headline_queries_total_wall",
                 # `value` sums ONLY the round-1 headline set measured by
@@ -616,8 +615,48 @@ def main() -> None:
                 "cpus": os.cpu_count(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
     )
+    # Full record: print for humans/logs AND persist next to the repo so
+    # every field survives regardless of how stdout is captured.
+    print(json.dumps(result))
+    result_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_result.json")
+    with open(result_path, "w") as f:
+        json.dump(result, f)
+    # The driver artifact keeps only the TAIL of stdout (r13 verdict #3:
+    # the full dict is >2000 bytes, so its head — including
+    # sec_per_query — was truncated to `parsed: null`). End with a
+    # COMPACT line carrying the contract keys (metric/value/unit/
+    # queries/sf) plus the gate verdicts, sized to survive a 2000-byte
+    # tail capture; the full dict is above and in bench_result.json.
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+        "steady_total": result["steady_total"],
+        "value2": result["value2"],
+        "value2_ok": result["value2_ok"],
+        "value3": result["value3"],
+        "value3_ok": result["value3_ok"],
+        "value4": result["value4"],
+        "value4_ok": result["value4_ok"],
+        "recall_ok": result["recall_ok"],
+        "noise_flag": result["noise_flag"],
+        "cpu_headline_total": result["cpu_headline_total"],
+        "cpu_steady_headline_total": result["cpu_steady_headline_total"],
+        "errors": sorted(errors),
+        "full_result": "bench_result.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # shed the bulkiest field rather than overflow the tail window
+        compact["queries"] = {k: v for k, v in result["queries"].items()}
+        while len(line) > 1900 and compact["queries"]:
+            compact["queries"].popitem()
+            line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     if errors:
         sys.exit(1)
 

@@ -2223,6 +2223,38 @@ def test_mine_hard_negatives_candidates_path_matches_bruteforce(spark):
     assert viacand.exceptAll(brute).count() == 0
 
 
+def test_bounded_query_batch_contract_enforced(spark):
+    """r13 verdict #5: the exact/ADC query tails hold the query batch on
+    the driver by contract, and the contract must fail LOUDLY (naming
+    the persisted ANN path) instead of OOMing when a too-large batch is
+    passed. Tiny max_query_rows triggers the guard cheaply."""
+    import pytest
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        ann_pq_topk,
+        cosine_topk,
+        mine_hard_negatives,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    with pytest.raises(ValueError, match="bounded-query-batch"):
+        cosine_topk(emb, queries, k=1, max_query_rows=3)
+    with pytest.raises(ValueError, match="ann_ivf_hier_topk_persisted"):
+        ann_pq_topk(emb, queries, k=1, max_query_rows=3)
+    with pytest.raises(ValueError, match="bounded-query-batch"):
+        ann_ivfpq_topk(emb, queries, k=1, max_query_rows=3)
+    anchors = queries.select(
+        "vec_id", "embedding", (F.col("vec_id") + 1).alias("positive_id")
+    )
+    with pytest.raises(ValueError, match="mine_hard_negatives"):
+        mine_hard_negatives(emb, anchors, k=1, max_query_rows=3)
+    # within the bound (and with the default) the paths run unchanged
+    assert cosine_topk(emb, queries, k=1, max_query_rows=10).count() == 10
+    assert cosine_topk(emb, queries, k=1).count() == 10
+
+
 def test_mine_hard_negatives_candidates_path_no_forced_broadcast(spark):
     """The candidates path is the corpus-scale shape: the anchor set is
     unbounded there, so the pos_sim side must NOT carry a forced
