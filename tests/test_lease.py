@@ -280,3 +280,140 @@ def test_tier_health_summary(spark, tmp_path):
     os.utime(lp, (t, t))
     w = tier_health(spark, path)["writer"]
     assert w["live"] is False and w["writer_id"] == "foreign-gate"
+
+
+def test_unregistered_object_store_scheme_fails_loudly(tmp_path):
+    """r13 verdict #4: the single-writer guarantee must never silently
+    evaporate on non-POSIX storage. An unregistered scheme raises at
+    acquire (pre-r14 it was a silent no-op); an explicit env opt-in
+    restores the unguarded mode as a greppable decision."""
+    import pytest
+
+    from actuarial_reserve_modelling_spark.sources.lease import (
+        UnsupportedStorageError,
+        writer_lease,
+    )
+
+    with pytest.raises(UnsupportedStorageError, match="register_lease_backend"):
+        with writer_lease("s3://bucket/tier"):
+            pass
+
+    os.environ["ARM_LEASE_UNGUARDED_SCHEMES"] = "s3"
+    try:
+        with writer_lease("s3://bucket/tier"):
+            pass  # explicit opt-in: documented no-op
+    finally:
+        del os.environ["ARM_LEASE_UNGUARDED_SCHEMES"]
+
+
+def test_backend_without_atomic_create_refuses(tmp_path):
+    """A registered backend that cannot provide an exclusive create
+    (e.g. a naive read-then-write object-store locker) is refused up
+    front — leasing without it would only PRETEND to exclude."""
+    import pytest
+
+    from actuarial_reserve_modelling_spark.sources import lease as lease_mod
+    from actuarial_reserve_modelling_spark.sources.lease import (
+        LeaseBackend,
+        UnsupportedStorageError,
+        register_lease_backend,
+        writer_lease,
+    )
+
+    class NoAtomicCreate(LeaseBackend):
+        atomic_create = False
+
+    register_lease_backend("fakestore", NoAtomicCreate())
+    try:
+        with pytest.raises(UnsupportedStorageError, match="atomic_create"):
+            with writer_lease("fakestore://bucket/tier"):
+                pass
+    finally:
+        lease_mod._BACKENDS.pop("fakestore", None)
+
+
+def test_non_atomic_rename_backend_degrades_loudly_on_stale(tmp_path):
+    """The non-atomic-rename double (r13 verdict #4): a backend that
+    emulates an object store's copy+delete 'rename' must NOT be used to
+    break a stale lease — two breakers could both claim the win and
+    interleave writers. The lease machinery refuses with an actionable
+    error instead; fresh-holder refusal and normal acquire/release are
+    unaffected."""
+    import json as _json
+
+    import pytest
+
+    from actuarial_reserve_modelling_spark.sources import lease as lease_mod
+    from actuarial_reserve_modelling_spark.sources.lease import (
+        ConcurrentWriterError,
+        PosixLeaseBackend,
+        register_lease_backend,
+        writer_lease,
+    )
+
+    class CopyDeleteRename(PosixLeaseBackend):
+        """POSIX primitives except rename: copy+delete, as S3-likes do.
+        Declares the capability honestly; roots map to a local dir."""
+
+        atomic_rename = False
+
+        def __init__(self, base):
+            self.base = base
+
+        def _local(self, path):
+            # ancestor walks can shorten "fakes3://b/t" to "fakes3:/",
+            # so strip the scheme prefix tolerantly
+            rest = path.split("://", 1)[1] if "://" in path else path.split(":", 1)[-1]
+            return os.path.join(self.base, rest.lstrip("/"))
+
+        def makedirs(self, root):
+            os.makedirs(self._local(root), exist_ok=True)
+
+        def create_exclusive(self, path, payload):
+            return super().create_exclusive(self._local(path), payload)
+
+        def read(self, path):
+            return super().read(self._local(path))
+
+        def age_seconds(self, path):
+            return super().age_seconds(self._local(path))
+
+        def touch(self, path):
+            super().touch(self._local(path))
+
+        def unlink(self, path):
+            super().unlink(self._local(path))
+
+        def break_stale(self, path):
+            raise AssertionError("non-atomic rename must never be used")
+
+        def lease_dirs(self, root, max_depth=None):
+            yield from super().lease_dirs(self._local(root), max_depth)
+
+    backend = CopyDeleteRename(str(tmp_path))
+    register_lease_backend("fakes3", backend)
+    root = "fakes3://bucket/tier"
+    try:
+        # normal acquire/release works (atomic create is provided)
+        with writer_lease(root):
+            assert os.path.exists(
+                os.path.join(str(tmp_path), "bucket/tier/_writer_lease")
+            )
+        # plant a STALE foreign lease: breaking it needs atomic rename,
+        # which this storage lacks — loud refusal, zero break attempts
+        lp = os.path.join(str(tmp_path), "bucket/tier/_writer_lease")
+        with open(lp, "w") as fh:
+            fh.write(_json.dumps({"writer_id": "dead-writer", "pid": 1}))
+        t = time.time() - 3600
+        os.utime(lp, (t, t))
+        with pytest.raises(ConcurrentWriterError, match="atomic rename"):
+            with writer_lease(root, ttl=10.0):
+                pass
+        assert os.path.exists(lp)  # nothing touched the stale lease
+        # a FRESH foreign holder still refuses with identity, same as POSIX
+        os.utime(lp)
+        with pytest.raises(ConcurrentWriterError, match="dead-writer"):
+            with writer_lease(root, ttl=600.0):
+                pass
+    finally:
+        lease_mod._BACKENDS.pop("fakes3", None)
