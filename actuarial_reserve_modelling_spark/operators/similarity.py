@@ -2474,17 +2474,162 @@ def _write_index_stats(spark: SparkSession, path: str, n_rows: int) -> None:
     _INDEX_STATS_CACHE.pop(path, None)
 
 
+# --- recall-driven probe defaulting (r13 verdict #6) ------------------------
+# The dedup tier routes adaptively; the ANN tiers had per-corpus recall
+# observability (the l46/l47 self-audits) but still took a static nprobe.
+# persist_recall_audit sweeps the audit across probe settings ONCE per
+# corpus change and persists the curve into the tier's recall_stats/;
+# nprobe="auto" on the persisted query paths then defaults from the
+# measured curve — clustered corpora settle at 1-2 probes, isotropic
+# ones surface a warning with the curve instead of silently burning
+# probes on an ANN-hostile distribution.
+
+RECALL_STATS_DS = "recall_stats"
+DEFAULT_RECALL_TARGET = 0.95
+
+
+def _detect_tier(spark: SparkSession, path: str) -> str:
+    """'hier' (supers/) or 'ivfpq' (cents/) from the persisted layout."""
+    for ds, tier in (("supers", "hier"), ("cents", "ivfpq")):
+        try:
+            spark.read.parquet(f"{path}/{ds}").schema
+            return tier
+        except AnalysisException as e:
+            if not _is_path_missing(e):
+                raise
+    raise ValueError(
+        f"no persisted ANN tier at {path!r} (neither supers/ nor cents/) — "
+        "build one with persist_ann_index or persist_ivfpq_index first"
+    )
+
+
+@leased()
+def persist_recall_audit(
+    spark: SparkSession,
+    path: str,
+    probe_settings: tuple[int, ...] = (1, 2, 4),
+    n_sample: int = 64,
+    k: int = 10,
+    salt: int = 7,
+    embeddings: DataFrame | None = None,
+) -> list[dict]:
+    """Run the tier's recall self-audit at each probe setting and
+    persist the summary curve into ``recall_stats/`` — the measured
+    basis ``nprobe="auto"`` defaults from. One bounded exact pass per
+    setting (n_sample × corpus — the audit's documented envelope), so
+    run it per corpus change (after persist/add/compact), never per
+    query; the ingest gates do NOT run it implicitly.
+
+    Returns the persisted rows: [{probe, mean_recall, n_sample, k}].
+    The dataset is advisory like ``stats/`` — a torn read degrades to
+    "no curve" (auto falls back with a warning), never a wrong answer.
+    Tier kind is detected from the layout (supers/ vs cents/)."""
+    tier = _detect_tier(spark, path)
+    curve: list[tuple[int, float]] = []
+    for p in probe_settings:
+        if tier == "hier":
+            audit = ann_index_recall_audit(
+                spark, path, n_sample=n_sample, k=k, nprobe_super=int(p),
+                salt=salt, embeddings=embeddings,
+            )
+        else:
+            audit = ivfpq_index_recall_audit(
+                spark, path, n_sample=n_sample, k=k, nprobe=int(p),
+                salt=salt, embeddings=embeddings,
+            )
+        r = audit.agg(F.avg("recall_at_k").alias("m")).first()
+        curve.append((int(p), float(r["m"]) if r["m"] is not None else 0.0))
+    frames = [
+        spark.range(1).select(
+            F.lit(p).cast("int").alias("probe"),
+            F.lit(round(m, 4)).cast("double").alias("mean_recall"),
+            F.lit(int(n_sample)).cast("int").alias("n_sample"),
+            F.lit(int(k)).cast("int").alias("k"),
+        )
+        for p, m in curve
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{RECALL_STATS_DS}")
+    spark.catalog.refreshByPath(f"{path}/{RECALL_STATS_DS}")
+    return [
+        {"probe": p, "mean_recall": round(m, 4), "n_sample": n_sample, "k": k}
+        for p, m in curve
+    ]
+
+
+def read_recall_stats(spark: SparkSession, path: str) -> list[dict] | None:
+    """The persisted recall curve, ascending by probe, or None when
+    absent/unreadable (advisory: a torn rewrite reads as absent)."""
+    try:
+        rows = (
+            spark.read.parquet(f"{path}/{RECALL_STATS_DS}")
+            .orderBy("probe")
+            .collect()
+        )
+    except Exception:
+        return None
+    return [
+        {
+            "probe": int(r["probe"]),
+            "mean_recall": float(r["mean_recall"]),
+            "n_sample": int(r["n_sample"]),
+            "k": int(r["k"]),
+        }
+        for r in rows
+    ] or None
+
+
+def _auto_probe(
+    spark: SparkSession,
+    path: str,
+    op: str,
+    target: float,
+    fallback: int,
+) -> int:
+    """Smallest measured probe setting reaching ``target`` mean recall;
+    warn (with the curve) when the corpus plateaus below target —
+    the isotropic signature — or when no audit was persisted."""
+    import warnings
+
+    stats = read_recall_stats(spark, path)
+    if not stats:
+        warnings.warn(
+            f"{op}: nprobe='auto' but no persisted recall audit at "
+            f"{path}/{RECALL_STATS_DS} — run persist_recall_audit after "
+            f"building the tier; falling back to nprobe={fallback}",
+            stacklevel=3,
+        )
+        return fallback
+    for s in stats:
+        if s["mean_recall"] >= target:
+            return s["probe"]
+    best = max(stats, key=lambda s: (s["mean_recall"], -s["probe"]))
+    curve = ", ".join(f"probe={s['probe']}: {s['mean_recall']:.3f}" for s in stats)
+    warnings.warn(
+        f"{op}: measured recall plateaus below target {target} on this "
+        f"corpus ({curve}) — the isotropic signature; ANN pruning may be "
+        f"a poor fit here. Using the best measured setting "
+        f"(probe={best['probe']}, recall {best['mean_recall']:.3f}); "
+        f"consider the exact path or re-auditing at higher settings",
+        stacklevel=3,
+    )
+    return best["probe"]
+
+
 def ann_ivf_hier_topk_persisted(
     spark: SparkSession,
     path: str,
     embeddings: DataFrame | None,
     queries: DataFrame,
     k: int = 5,
-    nprobe_super: int = 4,
+    nprobe_super: int | str = 4,
     child_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_cap: int | None = None,
+    recall_target: float = DEFAULT_RECALL_TARGET,
 ) -> DataFrame:
     """Query a persisted index with partition-pruned reads: soft-assign
     the (bounded) query batch against the reloaded super-centroids,
@@ -2505,7 +2650,14 @@ def ann_ivf_hier_topk_persisted(
     slim layouts. ``group_cap=None`` (default) decodes the child-id
     slot stride with the PERSISTED build cap from ``meta/`` — an index
     built with a non-default cap routes correctly without the caller
-    repeating the knob."""
+    repeating the knob. ``nprobe_super="auto"`` defaults from the
+    tier's persisted recall curve (``persist_recall_audit``): the
+    smallest measured setting reaching ``recall_target``, with a loud
+    warning (and the measured curve) when the corpus plateaus below it."""
+    if nprobe_super == "auto":
+        nprobe_super = _auto_probe(
+            spark, path, "ann_ivf_hier_topk_persisted", recall_target, fallback=4
+        )
     if group_cap is None:
         group_cap = read_ann_index_meta(spark, path)["group_cap"]
     super_cent = _load_ann_supers(spark, path)
@@ -3541,11 +3693,12 @@ def ann_ivfpq_topk_persisted(
     embeddings: DataFrame | None,
     queries: DataFrame,
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int | str = 4,
     rerank: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
+    recall_target: float = DEFAULT_RECALL_TARGET,
 ) -> DataFrame:
     """Query a persisted IVF-PQ index: reload the driver-resident
     centroids + codebooks (tiny), then run the one-shot path's exact
@@ -3554,7 +3707,14 @@ def ann_ivfpq_topk_persisted(
     PartitionFilters, so a query batch reads nprobe/k of the CODE
     bytes (already 32× smaller than raw vectors). With
     ``embeddings=None`` on a vector-bearing layout the rerank too reads
-    only those pruned rows — zero corpus files per batch."""
+    only those pruned rows — zero corpus files per batch.
+    ``nprobe="auto"`` defaults from the tier's persisted recall curve
+    (``persist_recall_audit``), warning with the measured curve when
+    the corpus plateaus below ``recall_target``."""
+    if nprobe == "auto":
+        nprobe = _auto_probe(
+            spark, path, "ann_ivfpq_topk_persisted", recall_target, fallback=4
+        )
     centroids, books, meta = load_ivfpq_index(spark, path)
     codes = spark.read.parquet(path + "/codes").withColumn(
         "cluster", F.col("cluster").cast("int")

@@ -182,3 +182,116 @@ def test_ivfpq_sampled_audit_shows_quantization_trade(spark, pq_tier):
     for r in a:
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert 1 <= r["n_probed_supers"] <= 4
+
+
+def test_persist_recall_audit_and_auto_probe_clustered(spark, tier):
+    """r13 verdict #6: persist the measured recall curve into the
+    tier's recall_stats/ and default nprobe from it — a clustered
+    corpus reaches the target at 1-2 probes, so "auto" must pick low
+    and answer identically to the explicit setting."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        _auto_probe,
+        ann_ivf_hier_topk_persisted,
+        persist_recall_audit,
+        read_recall_stats,
+    )
+
+    path, corpus = tier
+    curve = persist_recall_audit(spark, path, probe_settings=(1, 2, 4), n_sample=32, k=5)
+    assert [c["probe"] for c in curve] == [1, 2, 4]
+    assert read_recall_stats(spark, path) == curve
+    # recall is non-decreasing in probes, and this clustered corpus
+    # reaches the 0.95 target by probe 2 at the latest
+    recalls = [c["mean_recall"] for c in curve]
+    assert recalls == sorted(recalls)
+    chosen = _auto_probe(spark, path, "test", 0.95, fallback=4)
+    assert chosen <= 2
+    queries = corpus.filter(F.col("vec_id") % 40 == 1)
+    auto = ann_ivf_hier_topk_persisted(
+        spark, path, None, queries, k=3, nprobe_super="auto"
+    )
+    explicit = ann_ivf_hier_topk_persisted(
+        spark, path, None, queries, k=3, nprobe_super=chosen
+    )
+    assert auto.exceptAll(explicit).count() == 0
+    assert explicit.exceptAll(auto).count() == 0
+
+
+def test_auto_probe_isotropic_warns_with_curve(spark, tmp_path):
+    """An isotropic corpus plateaus below the recall target at every
+    measured setting — "auto" must surface the measured curve in a
+    warning (ANN-hostile distribution) and still answer, using the
+    best measured setting."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk_persisted,
+        ivf_hier_build,
+        persist_ann_index,
+        persist_recall_audit,
+    )
+
+    rng = np.random.default_rng(3)
+    iso = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(rng.standard_normal((400, 16)))],
+        SCHEMA,
+    ).repartition(8).localCheckpoint()
+    path = str(tmp_path) + "/iso_tier"
+    index, sup = ivf_hier_build(iso)
+    persist_ann_index(index, sup, path, embeddings=iso)
+    curve = persist_recall_audit(spark, path, probe_settings=(1, 2), n_sample=32, k=5)
+    assert max(c["mean_recall"] for c in curve) < 0.95
+    queries = iso.filter(F.col("vec_id") % 40 == 1)
+    with pytest.warns(UserWarning, match="plateaus below target"):
+        out = ann_ivf_hier_topk_persisted(
+            spark, path, None, queries, k=3, nprobe_super="auto"
+        )
+        n = out.count()
+    assert n > 0
+
+
+def test_auto_probe_without_audit_warns_and_falls_back(spark, tier):
+    """nprobe="auto" on a tier with no persisted curve warns (run
+    persist_recall_audit) and falls back to the static default."""
+    import shutil
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        RECALL_STATS_DS,
+        _auto_probe,
+    )
+
+    path, _corpus = tier
+    shutil.rmtree(f"{path}/{RECALL_STATS_DS}", ignore_errors=True)
+    with pytest.warns(UserWarning, match="no persisted recall audit"):
+        assert _auto_probe(spark, path, "test", 0.95, fallback=4) == 4
+
+
+def test_ivfpq_auto_probe_clustered_defaults_low(spark, tmp_path):
+    """The IVF-PQ tier shares the persisted-curve defaulting: a
+    clustered corpus reaches target at probe 1-2 despite the
+    quantization loss, and the auto answer equals the explicit one.
+    (Builds its own clustered tier — the module pq_tier fixture is
+    deliberately isotropic for the planted-floor tests.)"""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        _auto_probe,
+        ann_ivfpq_topk_persisted,
+        persist_ivfpq_index,
+        persist_recall_audit,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((16, 16))
+    assign = rng.integers(0, 16, size=800)
+    pts = centers[assign] + 0.1 * rng.standard_normal((800, 16))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)], SCHEMA
+    ).repartition(8).localCheckpoint()
+    path = str(tmp_path) + "/pq_clustered"
+    persist_ivfpq_index(corpus, path, n_centroids=16, m_subspaces=8, n_codes=16)
+    curve = persist_recall_audit(spark, path, probe_settings=(1, 2, 4), n_sample=32, k=5)
+    assert [c["probe"] for c in curve] == [1, 2, 4]
+    chosen = _auto_probe(spark, path, "test", 0.95, fallback=4)
+    assert chosen <= 2
+    queries = corpus.filter(F.col("vec_id") % 40 == 1)
+    auto = ann_ivfpq_topk_persisted(spark, path, None, queries, k=3, nprobe="auto")
+    explicit = ann_ivfpq_topk_persisted(spark, path, None, queries, k=3, nprobe=chosen)
+    assert auto.exceptAll(explicit).count() == 0
+    assert explicit.exceptAll(auto).count() == 0
