@@ -32,6 +32,77 @@ REGISTRY: dict[str, Query] = {}
 # every query that has never appeared in a driver CORRECTNESS_r*.json,
 # plus queries added or rewritten this round. Names not yet registered
 # are skipped (harmless); everything else keeps registration order.
+_ROUND14_FRONT = [
+    # 1) queries whose code paths CHANGED in round 14 — they lead the
+    #    window to (re-)earn driver evidence on the new code:
+    #    - l41 family: mine_hard_negatives dropped the forced broadcast
+    #      of the pos_sim side in the candidates path (r13 verdict #2)
+    #      and the exact path gained the bounded-query-batch guard.
+    "l41_hard_negative_mining",
+    "l41b_hard_negative_ann_planted",
+    #    - the exact/ADC query tails now probe the query-batch bound
+    #      before the driver collect (r13 verdict #5).
+    "l3_cosine_topk",
+    "l3d_ann_pq_topk",
+    #    - persisted tier queries: nprobe="auto" branch added (static
+    #      defaults unchanged) + the lease behind every tier mutation
+    #      was refactored onto the pluggable backend (r13 verdict #4/#6).
+    "l34_ann_index_persisted",
+    "l37_ivfpq_index_persisted",
+    #    - the recall audits ride cosine_topk (guard) and now back the
+    #      persisted recall curve; l47 earned its plan-audit allowlist
+    #      entry (r13 verdict #1).
+    "l46_recall_audit_planted",
+    "l47_ivfpq_recall_audit_planted",
+    #    - ingest gates: every leased add/compact/vacuum step runs on
+    #      the refactored backend.
+    "t10_incremental_ingest_dedup",
+    "t13_ann_index_ingest_gate",
+    # 2) window fill: the 40 r08-era rows BASELINE.md booked for r14 —
+    #    after this window no registry row's latest driver evidence
+    #    predates r09.
+    "a9_stats_aggregates",
+    "f1b_string_funcs2",
+    "f4c_month_grid",
+    "f5b_array_ops",
+    "f5c_explode_outer",
+    "f7b_json_typed",
+    "f7c_to_json",
+    "j7_salted_join",
+    "l11_rag_index_search",
+    "l2d_embedding_dedup",
+    "l30_media_decode",
+    "l5h_tfidf",
+    "l5i_bm25",
+    "l6c_frame_sample",
+    "l9_fuzzy_levenshtein",
+    "o5b_multiset_ops",
+    "o7_unpivot",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q20_excess_shipments",
+    "q21_waiting_supplier",
+    "s2_file_provenance",
+    "s5b_orc_roundtrip",
+    "s5c_jsonl_roundtrip",
+    "s6_partitioned_roundtrip",
+    "s7_resume_roundtrip",
+    "s9_json_roundtrip",
+    "s10_schema_evolution",
+    "s11_orc_roundtrip",
+    "t5_watermark_equivalence",
+    "t6_stream_dedup_equivalence",
+    "w5_range_frame",
+    "w6_distribution_ranks",
+    "w7_nth_value",
+    "w8_nulls_ordering",
+]
+
 _ROUND13_FRONT = [
     # 1) queries ADDED or whose code paths CHANGED in round 13 — they
     #    lead the window to (re-)earn driver evidence on the new code:
@@ -607,7 +678,8 @@ def load_all() -> dict[str, Query]:
         window_queries2,
     )
 
-    front = [n for n in _ROUND13_FRONT if n in REGISTRY]
+    front = [n for n in _ROUND14_FRONT if n in REGISTRY]
+    front += [n for n in _ROUND13_FRONT if n in REGISTRY and n not in front]
     front += [n for n in _ROUND12_FRONT if n in REGISTRY and n not in front]
     front += [n for n in _ROUND11_FRONT if n in REGISTRY and n not in front]
     front += [n for n in _ROUND10_FRONT if n in REGISTRY and n not in front]
