@@ -2520,11 +2520,18 @@ def persist_recall_audit(
     run it per corpus change (after persist/add/compact), never per
     query; the ingest gates do NOT run it implicitly.
 
-    Returns the persisted rows: [{probe, mean_recall, n_sample, k}].
-    The dataset is advisory like ``stats/`` — a torn read degrades to
-    "no curve" (auto falls back with a warning), never a wrong answer.
-    Tier kind is detected from the layout (supers/ vs cents/)."""
+    Returns the persisted rows: [{probe, mean_recall, n_sample, k,
+    n_corpus}]. ``n_corpus`` stamps the corpus size the curve was
+    measured at, so ``nprobe="auto"`` can flag a curve the tier has
+    since grown/shrunk away from. The dataset is advisory like
+    ``stats/`` — a torn read degrades to "no curve" (auto falls back
+    with a warning), never a wrong answer. Tier kind is detected from
+    the layout (supers/ vs cents/)."""
     tier = _detect_tier(spark, path)
+    n_corpus = read_index_stats(spark, path)
+    if n_corpus is None:
+        ds = "members" if tier == "hier" else "codes"
+        n_corpus = spark.read.parquet(f"{path}/{ds}").count()
     curve: list[tuple[int, float]] = []
     for p in probe_settings:
         if tier == "hier":
@@ -2545,6 +2552,7 @@ def persist_recall_audit(
             F.lit(round(m, 4)).cast("double").alias("mean_recall"),
             F.lit(int(n_sample)).cast("int").alias("n_sample"),
             F.lit(int(k)).cast("int").alias("k"),
+            F.lit(int(n_corpus)).cast("bigint").alias("n_corpus"),
         )
         for p, m in curve
     ]
@@ -2554,7 +2562,13 @@ def persist_recall_audit(
     out.coalesce(1).write.mode("overwrite").parquet(f"{path}/{RECALL_STATS_DS}")
     spark.catalog.refreshByPath(f"{path}/{RECALL_STATS_DS}")
     return [
-        {"probe": p, "mean_recall": round(m, 4), "n_sample": n_sample, "k": k}
+        {
+            "probe": p,
+            "mean_recall": round(m, 4),
+            "n_sample": n_sample,
+            "k": k,
+            "n_corpus": int(n_corpus),
+        }
         for p, m in curve
     ]
 
@@ -2576,6 +2590,7 @@ def read_recall_stats(spark: SparkSession, path: str) -> list[dict] | None:
             "mean_recall": float(r["mean_recall"]),
             "n_sample": int(r["n_sample"]),
             "k": int(r["k"]),
+            "n_corpus": int(r["n_corpus"]),
         }
         for r in rows
     ] or None
@@ -2602,6 +2617,20 @@ def _auto_probe(
             stacklevel=3,
         )
         return fallback
+    # staleness: the curve was measured at a corpus size; a tier that
+    # has since doubled/halved (adds, deletes, compaction of a grown
+    # corpus) may route on a curve that no longer describes it
+    audited_n = stats[0].get("n_corpus", 0)
+    current_n = read_index_stats(spark, path)
+    if audited_n and current_n is not None and not (
+        0.5 * audited_n <= current_n <= 2.0 * audited_n
+    ):
+        warnings.warn(
+            f"{op}: persisted recall curve was measured at n_corpus="
+            f"{audited_n} but the tier now holds ~{current_n} rows — "
+            f"re-run persist_recall_audit; using the stale curve meanwhile",
+            stacklevel=3,
+        )
     for s in stats:
         if s["mean_recall"] >= target:
             return s["probe"]

@@ -295,3 +295,26 @@ def test_ivfpq_auto_probe_clustered_defaults_low(spark, tmp_path):
     explicit = ann_ivfpq_topk_persisted(spark, path, None, queries, k=3, nprobe=chosen)
     assert auto.exceptAll(explicit).count() == 0
     assert explicit.exceptAll(auto).count() == 0
+
+
+def test_auto_probe_warns_when_curve_stale_vs_corpus(spark, tier):
+    """The persisted curve stamps the corpus size it was measured at;
+    a tier that has since grown/shrunk ≥2× triggers a staleness
+    warning on auto (using the curve meanwhile — advisory)."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        _auto_probe,
+        _write_index_stats,
+        persist_recall_audit,
+        read_recall_stats,
+    )
+
+    path, _corpus = tier
+    curve = persist_recall_audit(spark, path, probe_settings=(1,), n_sample=16, k=3)
+    assert curve[0]["n_corpus"] > 0
+    assert read_recall_stats(spark, path)[0]["n_corpus"] == curve[0]["n_corpus"]
+    _write_index_stats(spark, path, curve[0]["n_corpus"] * 3)
+    try:
+        with pytest.warns(UserWarning, match="re-run persist_recall_audit"):
+            _auto_probe(spark, path, "test", 0.5, fallback=4)
+    finally:
+        _write_index_stats(spark, path, curve[0]["n_corpus"])
