@@ -39,6 +39,9 @@ def tier_health(
     * ``meta`` / ``stats_n_rows``: the tier's build parameters and
       advisory corpus count (None when absent — pre-r12 tier or
       mid-rewrite crash; consumers route pruned on None by contract).
+    * ``recall_curve``: the persisted recall/probe curve (ANN tiers
+      after ``persist_recall_audit``; None elsewhere) with the corpus
+      size it was measured at.
     * ``writer``: the current lease holder (id/pid/host/heartbeat age)
       with ``live`` = heartbeat younger than ttl, or None when
       unheld — dead holders surface as ``live: False`` until a writer
@@ -98,11 +101,17 @@ def tier_health(
     if spark is not None:
         from actuarial_reserve_modelling_spark.operators.similarity import (
             read_index_stats,
+            read_recall_stats,
         )
 
         out["stats_n_rows"] = read_index_stats(spark, path)
+        # ANN tiers only; None elsewhere (advisory, r14): the measured
+        # recall/probe curve nprobe="auto" routes on, plus the corpus
+        # size it was measured at (staleness signal vs stats_n_rows)
+        out["recall_curve"] = read_recall_stats(spark, path)
     else:
         out["stats_n_rows"] = None
+        out["recall_curve"] = None
 
     writer = None
     if local is not None:

@@ -312,6 +312,10 @@ def test_auto_probe_warns_when_curve_stale_vs_corpus(spark, tier):
     curve = persist_recall_audit(spark, path, probe_settings=(1,), n_sample=16, k=3)
     assert curve[0]["n_corpus"] > 0
     assert read_recall_stats(spark, path)[0]["n_corpus"] == curve[0]["n_corpus"]
+    # ops surface: tier_health exposes the persisted curve
+    from actuarial_reserve_modelling_spark.sources.health import tier_health
+
+    assert tier_health(spark, path)["recall_curve"] == curve
     _write_index_stats(spark, path, curve[0]["n_corpus"] * 3)
     try:
         with pytest.warns(UserWarning, match="re-run persist_recall_audit"):
