@@ -2526,23 +2526,44 @@ def persist_recall_audit(
     since grown/shrunk away from. The dataset is advisory like
     ``stats/`` — a torn read degrades to "no curve" (auto falls back
     with a warning), never a wrong answer. Tier kind is detected from
-    the layout (supers/ vs cents/)."""
+    the layout (supers/ vs cents/).
+
+    Sweep cost: the sample is drawn once (the audit's deterministic
+    xxhash64 rule) and its exact top-k is MATERIALIZED once — the
+    O(n_sample × corpus) brute-force pass is paid once per sweep, not
+    once per probe setting; only the pruned index side re-runs per
+    setting."""
     tier = _detect_tier(spark, path)
     n_corpus = read_index_stats(spark, path)
     if n_corpus is None:
         ds = "members" if tier == "hier" else "codes"
         n_corpus = spark.read.parquet(f"{path}/{ds}").count()
+    if tier == "hier":
+        meta = read_ann_index_meta(spark, path)
+    else:
+        _c, _b, meta = load_ivfpq_index(spark, path)
+    corpus = _audit_corpus(spark, path, tier, meta, embeddings)
+    sample = (
+        corpus.orderBy(F.xxhash64(F.col("vec_id"), F.lit(salt)), "vec_id")
+        .limit(int(n_sample))
+        .localCheckpoint(eager=True)
+    )
+    exact = (
+        cosine_topk(corpus, sample, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     curve: list[tuple[int, float]] = []
     for p in probe_settings:
         if tier == "hier":
             audit = ann_index_recall_audit(
                 spark, path, n_sample=n_sample, k=k, nprobe_super=int(p),
-                salt=salt, embeddings=embeddings,
+                salt=salt, embeddings=embeddings, queries=sample, _exact=exact,
             )
         else:
             audit = ivfpq_index_recall_audit(
                 spark, path, n_sample=n_sample, k=k, nprobe=int(p),
-                salt=salt, embeddings=embeddings,
+                salt=salt, embeddings=embeddings, queries=sample, _exact=exact,
             )
         r = audit.agg(F.avg("recall_at_k").alias("m")).first()
         curve.append((int(p), float(r["m"]) if r["m"] is not None else 0.0))
@@ -2721,6 +2742,7 @@ def ann_index_recall_audit(
     embeddings: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _exact: DataFrame | None = None,
 ) -> DataFrame:
     """Sampled recall self-audit of a persisted hierarchical ANN tier
     (VERDICT r12 task 4): the offline benchmarks pinned recall@10 at
@@ -2758,21 +2780,10 @@ def ann_index_recall_audit(
     mid-audit, which surfaces as a loud empty index side, not a wrong
     number)."""
     meta = read_ann_index_meta(spark, path)
-    if embeddings is not None:
-        corpus = embeddings.select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-        )
-    elif meta["has_vectors"]:
-        corpus = spark.read.parquet(path + "/members").select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-            F.col("vec").alias("embedding"),
-        )
-    else:
-        raise ValueError(
-            "ann_index_recall_audit: slim layout (has_vectors=False) — "
-            "pass embeddings= so the exact side has vectors to scan"
-        )
+    corpus = _audit_corpus(
+        spark, path, "hier", meta, embeddings, id_col=id_col, vec_col=vec_col
+    )
+
     def index_fn(sample: DataFrame) -> DataFrame:
         return ann_ivf_hier_topk_persisted(
             spark,
@@ -2796,6 +2807,7 @@ def ann_index_recall_audit(
         index_fn=index_fn,
         supers=_load_ann_supers(spark, path),
         nprobe=nprobe_super,
+        exact=_exact,
     )
 
 
@@ -2811,6 +2823,7 @@ def ivfpq_index_recall_audit(
     embeddings: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _exact: DataFrame | None = None,
 ) -> DataFrame:
     """``ann_index_recall_audit``'s analogue for the persisted IVF-PQ
     tier — same contract (sampled stored vectors, pruned ADC answers vs
@@ -2823,21 +2836,9 @@ def ivfpq_index_recall_audit(
     compression shows up here as lower recall at equal probes than the
     hierarchical tier — that visible trade is the point of the audit."""
     _centroids, _books, meta = load_ivfpq_index(spark, path)
-    if embeddings is not None:
-        corpus = embeddings.select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-        )
-    elif meta["has_vectors"]:
-        corpus = spark.read.parquet(path + "/codes").select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-            F.col("vec").alias("embedding"),
-        )
-    else:
-        raise ValueError(
-            "ivfpq_index_recall_audit: slim layout (has_vectors=False) — "
-            "pass embeddings= so the exact side has vectors to scan"
-        )
+    corpus = _audit_corpus(
+        spark, path, "ivfpq", meta, embeddings, id_col=id_col, vec_col=vec_col
+    )
 
     def index_fn(sample: DataFrame) -> DataFrame:
         return ann_ivfpq_topk_persisted(
@@ -2862,6 +2863,38 @@ def ivfpq_index_recall_audit(
         index_fn=index_fn,
         supers=_centroids,
         nprobe=nprobe,
+        exact=_exact,
+    )
+
+
+def _audit_corpus(
+    spark: SparkSession,
+    path: str,
+    tier: str,
+    meta: dict,
+    embeddings: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus frame a recall audit's exact side scans: the caller's
+    ``embeddings`` when given, else the stored vectors out of the
+    vector-bearing layout (members/ for hier, codes/ for IVF-PQ); slim
+    layouts without ``embeddings`` raise loudly."""
+    if embeddings is not None:
+        return embeddings.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+        )
+    if meta["has_vectors"]:
+        ds = "members" if tier == "hier" else "codes"
+        return spark.read.parquet(f"{path}/{ds}").select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("vec").alias("embedding"),
+        )
+    op = "ann_index_recall_audit" if tier == "hier" else "ivfpq_index_recall_audit"
+    raise ValueError(
+        f"{op}: slim layout (has_vectors=False) — "
+        "pass embeddings= so the exact side has vectors to scan"
     )
 
 
@@ -2877,10 +2910,16 @@ def _recall_audit_core(
     index_fn,
     supers: np.ndarray,
     nprobe: int,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Shared audit core (see ann_index_recall_audit for the contract):
     deterministic sample → index top-(k+1) minus self vs exact top-k →
-    per-query recall + probed-partition count."""
+    per-query recall + probed-partition count. ``exact`` (columns
+    query_id, neighbor_id — a precomputed ``cosine_topk(corpus,
+    sample, k)``) lets a probe-setting SWEEP pay the O(corpus) exact
+    pass once instead of once per setting (persist_recall_audit); the
+    caller must have computed it over the SAME sample this call
+    receives via ``queries``."""
     if queries is None:
         sample = (
             corpus.orderBy(F.xxhash64(F.col("vec_id"), F.lit(salt)), "vec_id")
@@ -2903,8 +2942,10 @@ def _recall_audit_core(
         .filter(F.col("_r") <= k)
         .select("query_id", "neighbor_id")
     )
-    # exact side: brute-force top-k (self excluded by cosine_topk)
-    exact = cosine_topk(corpus, sample, k=k)
+    # exact side: brute-force top-k (self excluded by cosine_topk),
+    # unless the sweep caller precomputed it over the same sample
+    if exact is None:
+        exact = cosine_topk(corpus, sample, k=k)
     exact_n = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("exact_n"))
     hits = (
         idx_k.join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
