@@ -986,6 +986,7 @@ def incremental_ann_ingest(
     compact_every: int | None = None,
     auto_compact: int | None = 8,
     work_dir: str | None = None,
+    refresh_recall_curve: int | None = None,
 ) -> DataFrame:
     """Continuous ingest with the PERSISTED hierarchical ANN index as
     the gate state (the L10 tier driving a T-row stream — t12's
@@ -1039,6 +1040,16 @@ def incremental_ann_ingest(
     planted-twin registry query (t13) carries hash-grade driver
     evidence (exact twins planted across and within batches must all
     be rejected, originals all admitted).
+
+    ``refresh_recall_curve=N`` (opt-in, r14) re-runs
+    ``persist_recall_audit`` on the tier every N batches after the
+    append — the ingested corpus drifts away from whatever curve the
+    tier was audited at, and this keeps ``nprobe="auto"`` consumers
+    routing on a measured curve instead of tripping the 2×-staleness
+    warning. One bounded exact pass per refresh (n_sample=32 × corpus,
+    the sweep's shared-exact cost) — pick N so that cost amortizes
+    over your batch cadence; OFF by default because the gate itself
+    queries at an explicit k/threshold and never consumes the curve.
 
     Returns admitted rows ``(vec_id, batch)``.
     """
@@ -1135,6 +1146,17 @@ def incremental_ann_ingest(
         if os.path.exists(os.path.join(idx_dir, "supers")) and bid > 0:
             committed = spark.read.parquet(out_epoch).select("vec_id", "embedding")
             add_to_ann_index(spark, idx_dir, committed)
+        if refresh_recall_curve and bid > 0 and bid % refresh_recall_curve == 0:
+            # post-append: audit the corpus the NEXT batch will query.
+            # Reentrant under the step lease (persist_recall_audit's own
+            # lease nests inside the held work-dir lease, like add's).
+            from actuarial_reserve_modelling_spark.operators.similarity import (
+                persist_recall_audit,
+            )
+
+            persist_recall_audit(
+                spark, idx_dir, probe_settings=(1, 2, 4), n_sample=32
+            )
 
     stream = staged_ordered_source(
         spark, [b.select("vec_id", "embedding") for b in batches], cache_key

@@ -1039,3 +1039,41 @@ def test_incremental_ingest_dedup_grown_seed_resume(spark, tmp_path):
         ).collect()
     }
     assert got1 == {(8, 0)}
+
+
+def test_ann_ingest_gate_refreshes_recall_curve(spark, tmp_path):
+    """r14: refresh_recall_curve=N re-audits the tier every N batches
+    post-append, so nprobe="auto" consumers route on a curve measured
+    against the INGESTED corpus — and the admitted set is unchanged by
+    the refresh (it is observability, not admission logic)."""
+    from pyspark.sql import functions as F
+
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        read_recall_stats,
+    )
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        incremental_ann_ingest,
+    )
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    batches = [emb.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    work = str(tmp_path / "gate")
+    got = {
+        (r["vec_id"], r["batch"])
+        for r in incremental_ann_ingest(
+            spark,
+            batches,
+            cache_key="test_ann_ingest_recall",
+            work_dir=work,
+            refresh_recall_curve=2,
+        ).collect()
+    }
+    expect = {(r["vec_id"], r["vec_id"] % 3) for r in emb.collect()}
+    assert got == expect
+    curve = read_recall_stats(spark, work + "/ann_index")
+    assert curve is not None and [c["probe"] for c in curve] == [1, 2, 4]
+    # the curve was measured after batch 2's append: its corpus stamp
+    # covers at least the first two batches' admitted rows
+    assert curve[0]["n_corpus"] >= batches[0].count() + batches[1].count()
