@@ -219,11 +219,27 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """L4: all pairs with cosine ≥ threshold (exact self-join form —
     correctness baseline; use ann_lsh blocking at scale). The n²/2
     pair scores run in the batch Arrow kernel (_kernel_cosine_sims —
-    bit-identical sequential sums); rounding + threshold stay JVM."""
+    bit-identical sequential sums); rounding + threshold stay JVM.
+
+    O(n²) by construction AND one side broadcasts whole, so the input
+    is probed against ``max_rows`` (the r13-watched hazard, guarded
+    like the query tails): past the bound this raises loudly naming
+    the blocked pair stages instead of OOMing executors/driver."""
+    if max_rows is not None:
+        n = embeddings.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs: input exceeds max_rows={max_rows} — the "
+                "exact all-pairs baseline is O(n²) with one side broadcast "
+                "whole. Use lsh_cosine_pairs (near-dup thresholds) or "
+                "ivf_cosine_pairs (moderate thresholds) at corpus scale, "
+                "or raise max_rows / pass max_rows=None deliberately."
+            )
     a = embeddings.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
     b = embeddings.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
     joined = a.join(F.broadcast(b), F.col("v1") < F.col("v2"))

@@ -2250,6 +2250,10 @@ def test_bounded_query_batch_contract_enforced(spark):
     )
     with pytest.raises(ValueError, match="mine_hard_negatives"):
         mine_hard_negatives(emb, anchors, k=1, max_query_rows=3)
+    from actuarial_reserve_modelling_spark.operators.similarity import cosine_pairs
+
+    with pytest.raises(ValueError, match="lsh_cosine_pairs"):
+        cosine_pairs(emb, threshold=0.9, max_rows=3)
     # within the bound (and with the default) the paths run unchanged
     assert cosine_topk(emb, queries, k=1, max_query_rows=10).count() == 10
     assert cosine_topk(emb, queries, k=1).count() == 10
