@@ -2696,6 +2696,7 @@ def ann_ivf_hier_topk_persisted(
     vec_col: str = "embedding",
     group_cap: int | None = None,
     recall_target: float = DEFAULT_RECALL_TARGET,
+    max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Query a persisted index with partition-pruned reads: soft-assign
     the (bounded) query batch against the reloaded super-centroids,
@@ -2720,6 +2721,9 @@ def ann_ivf_hier_topk_persisted(
     tier's persisted recall curve (``persist_recall_audit``): the
     smallest measured setting reaching ``recall_target``, with a loud
     warning (and the measured curve) when the corpus plateaus below it."""
+    _require_bounded_queries(
+        queries, "ann_ivf_hier_topk_persisted", max_query_rows
+    )
     if nprobe_super == "auto":
         nprobe_super = _auto_probe(
             spark, path, "ann_ivf_hier_topk_persisted", recall_target, fallback=4

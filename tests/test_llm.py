@@ -2254,6 +2254,22 @@ def test_bounded_query_batch_contract_enforced(spark):
 
     with pytest.raises(ValueError, match="lsh_cosine_pairs"):
         cosine_pairs(emb, threshold=0.9, max_rows=3)
+    import tempfile
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk_persisted,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    path = tempfile.mkdtemp(prefix="arm_guard_") + "/idx"
+    index, sup = ivf_hier_build(emb)
+    persist_ann_index(index, sup, path, embeddings=emb)
+    with pytest.raises(ValueError, match="bounded-query-batch"):
+        ann_ivf_hier_topk_persisted(spark, path, None, queries, k=1, max_query_rows=3)
+    assert (
+        ann_ivf_hier_topk_persisted(spark, path, None, queries, k=1).count() == 10
+    )
     # within the bound (and with the default) the paths run unchanged
     assert cosine_topk(emb, queries, k=1, max_query_rows=10).count() == 10
     assert cosine_topk(emb, queries, k=1).count() == 10
