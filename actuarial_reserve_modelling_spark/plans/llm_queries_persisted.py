@@ -566,3 +566,49 @@ def l47_ivfpq_recall_audit_planted(spark: SparkSession, sf_dir: str) -> DataFram
     return ivfpq_index_recall_audit(
         spark, out, k=1, queries=planted, rerank=32
     ).select("query_id", "n_hits", "exact_n", "recall_at_k")
+
+
+@register(
+    "l48_auto_probe_planted",
+    "L3,L10 (recall-curve-driven nprobe defaulting on the persisted ANN tier, hash-grade via planted twins)",
+    oracle=_PLANTED_TOP1_ORACLE,
+)
+def l48_auto_probe_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-grade evidence for ``nprobe="auto"`` (r14): the tier is
+    built WITHOUT the twins, ``persist_recall_audit`` persists its
+    measured probe curve into ``recall_stats/``, and the planted twins
+    are answered through ``ann_ivf_hier_topk_persisted(nprobe_super=
+    "auto")`` — the probe setting comes entirely from the persisted
+    curve (deterministic: fixed sample rule, fixed tier → same curve →
+    same choice every run). Correctness does not depend on WHICH
+    setting auto picks: a twin hard-routes to its source's super at
+    ANY probe count (the l3g argument), so top-1 is the source at sim
+    1.0 row for row — but a broken curve write, a reader that can't
+    parse it, or a defaulting path that crashes instead of warning on
+    this corpus's curve all fail the row loudly. The curve-choice
+    LOGIC (clustered picks 1-2, isotropic warns, staleness warns) is
+    pinned by the 12 recall pytests; this row pins the end-to-end
+    plumbing as a hash oracle."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        ann_ivf_hier_topk_persisted,
+        ivf_hier_build,
+        persist_ann_index,
+        persist_recall_audit,
+    )
+    from actuarial_reserve_modelling_spark.sources.sinks import (
+        staging_commit,
+        staging_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root, fresh = staging_dir("l48", sf_dir)
+    out = root + "/ann_index"
+    if fresh:
+        index, super_cent = ivf_hier_build(emb)
+        persist_ann_index(index, super_cent, out, embeddings=emb)
+        persist_recall_audit(spark, out, probe_settings=(1, 2, 4), n_sample=32, k=5)
+        staging_commit(root)
+    queries = plant_twins(emb, 50)
+    return ann_ivf_hier_topk_persisted(
+        spark, out, None, queries, k=1, nprobe_super="auto"
+    )
