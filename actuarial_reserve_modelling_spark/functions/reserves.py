@@ -111,7 +111,9 @@ def simulate_reserves(
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    src = spread_for_kernel(policies.select("id", "term"))
+    # Monte Carlo cost is ~n_trials draws per row — thousands of
+    # CPU-seconds per MB of input — so spread even tiny portfolios
+    src = spread_for_kernel(policies.select("id", "term"), bytes_per_task=4096)
     return src.mapInPandas(kernel, schema=_RESULT_SCHEMA)
 
 
@@ -229,7 +231,9 @@ def trial_reserves_sql(
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    t = spread_for_kernel(policies.select("id", "term")).withColumn(
+    # same per-row cost model as the Arrow kernel: n_trials rows
+    # explode out of every input row, so spread tiny inputs wide
+    t = spread_for_kernel(policies.select("id", "term"), bytes_per_task=4096).withColumn(
         "trial", F.explode(F.sequence(F.lit(0), F.lit(n_trials - 1)))
     )
     x = -(F.col("term") / F.lit(claim_interval)) * F.log(unif(1))

@@ -161,7 +161,13 @@ def _signatures_from_hashed(
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    return spread_for_kernel(hashed).mapInArrow(kernel, schema=schema)
+    # the (num_hashes × tokens) u64 broadcast-multiply makes this kernel
+    # ~4 µs/input-byte (measured r14: ~2.4 s single-task at sf0.1) —
+    # orders denser than the vectorized-kernel default, so spread from a
+    # much smaller per-task budget (~65 ms of kernel CPU per task)
+    return spread_for_kernel(hashed, bytes_per_task=16384).mapInArrow(
+        kernel, schema=schema
+    )
 
 
 def lsh_candidate_pairs(

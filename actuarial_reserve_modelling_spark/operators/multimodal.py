@@ -220,7 +220,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    return spread_for_kernel(media.select("doc_id", "payload")).mapInPandas(
+    return spread_for_kernel(media.select("doc_id", "payload"), bytes_per_task=262144).mapInPandas(
         kernel, schema=FEATURE_SCHEMA
     )
 
@@ -280,7 +280,7 @@ def resize_media(
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    return spread_for_kernel(media.select("doc_id", payload_col)).mapInPandas(
+    return spread_for_kernel(media.select("doc_id", payload_col), bytes_per_task=262144).mapInPandas(
         kernel, schema=schema
     )
 
@@ -326,7 +326,7 @@ def decode_features(media: DataFrame) -> DataFrame:
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    return spread_for_kernel(media.select("doc_id", "payload", "meta")).mapInPandas(
+    return spread_for_kernel(media.select("doc_id", "payload", "meta"), bytes_per_task=262144).mapInPandas(
         kernel, schema=DECODED_SCHEMA
     )
 
@@ -374,6 +374,6 @@ def audio_frame_energy(media: DataFrame, frame_bytes: int = 64) -> DataFrame:
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    return spread_for_kernel(media.select("doc_id", "payload")).mapInPandas(
+    return spread_for_kernel(media.select("doc_id", "payload"), bytes_per_task=262144).mapInPandas(
         kernel, schema=ENERGY_SCHEMA
     )

@@ -419,8 +419,10 @@ def bpe_encode(
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
+    # per-word Python merge loop: ~ms per row — far denser CPU per
+    # input byte than the vectorized kernels' default budget
     return spread_for_kernel(
-        docs.select("doc_id", F.col(text_col).alias("text"))
+        docs.select("doc_id", F.col(text_col).alias("text")), bytes_per_task=65536
     ).mapInPandas(kernel, schema=out_schema)
 
 

@@ -611,3 +611,50 @@ def test_bpe_batched_equals_pure_python_sequential(spark, words, k):
             nv[key] = nv.get(key, 0) + cnt
         vocab = nv
     assert got == expected, (words, k, got, expected)
+
+
+def test_spread_for_kernel_is_size_adaptive(spark):
+    """r14 optimization contract: the pre-kernel repartition is sized
+    from Catalyst's plan-size stat — a tiny scan is NOT exchanged (the
+    32-way Arrow stage would cost more in Python-worker round-trips
+    than the kernel computes), a CPU-dense kernel (small
+    bytes_per_task) still spreads wide, and an unknown-size input
+    (checkpointed RDD scan) keeps the conservative full spread."""
+    from actuarial_reserve_modelling_spark.catalog import load_table
+    from actuarial_reserve_modelling_spark.operators import (
+        _plan_size_bytes,
+        spread_for_kernel,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    size = _plan_size_bytes(docs)
+    assert size is not None and 0 < size < (1 << 30)  # a real, small stat
+
+    cores = spark.sparkContext.defaultParallelism
+    # tiny input + vectorized-kernel default budget: no exchange at all
+    assert (
+        spread_for_kernel(docs).rdd.getNumPartitions()
+        == docs.rdd.getNumPartitions()
+    )
+    # CPU-dense kernel: the small budget forces the full spread
+    assert spread_for_kernel(docs, bytes_per_task=1).rdd.getNumPartitions() == cores
+    # mid-density: the target scales with ceil(size / budget)
+    budget = max(1, size // 3)
+    expected = min(cores, -(-size // budget))
+    assert (
+        spread_for_kernel(docs, bytes_per_task=budget).rdd.getNumPartitions()
+        == expected
+    )
+    # checkpointed inputs keep a real (propagated) stat — they adapt too
+    ck = docs.localCheckpoint(eager=False)
+    ck_size = _plan_size_bytes(ck)
+    assert ck_size is not None and 0 < ck_size < (1 << 30)
+    # unknown size (raw RDD-backed input, no stat): conservative full spread
+    rdd_df = spark.createDataFrame(
+        spark.sparkContext.parallelize([(1, "a"), (2, "b")], 2),
+        "doc_id long, text string",
+    )
+    if _plan_size_bytes(rdd_df) is None:
+        assert spread_for_kernel(rdd_df).rdd.getNumPartitions() == cores
