@@ -495,15 +495,18 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14): every node connects its strictly
     LARGER neighbors to the minimum of its neighborhood (incl. itself).
-    Input and output are symmetric-orientation edge lists."""
-    mins = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("mv"))
-        .select("u", F.least("mv", F.col("u")).alias("m"))
-    )
+    Input and output are symmetric-orientation edge lists.
+
+    r14: the neighborhood minimum comes from a WINDOW over the same
+    partitioning instead of a groupBy-min + join back — one exchange
+    of the edge list per round instead of an aggregate exchange plus a
+    join whose min-table (one row per vertex) stops being
+    broadcastable exactly when the graph is large, degrading to a
+    second full edge shuffle. Same emitted edge set, bit for bit."""
+    w = Window.partitionBy("u")
     emitted = (
-        edges.filter(F.col("v") > F.col("u"))
-        .join(mins, "u")
+        edges.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("d1"), F.col("m").alias("d2"))
     )
     # dedup happens once inside _symmetrize — no extra shuffle here
@@ -512,13 +515,22 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Small-star round: every node connects its smaller-or-equal
-    neighbors (and itself) to the minimum among them."""
+    neighbors (and itself) to the minimum among them. Window-based for
+    the same one-exchange-per-round reason as ``_large_star``; the
+    per-vertex (u, min) row the old groupBy produced is recovered from
+    the row_number()==1 row of the same sorted window pass."""
     oriented = edges.filter(F.col("v") < F.col("u"))  # smaller neighbors only
-    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-    emitted = (
-        oriented.join(mins, "u")
-        .select(F.col("v").alias("d1"), F.col("m").alias("d2"))
-        .unionByName(mins.select(F.col("u").alias("d1"), F.col("m").alias("d2")))
+    w = Window.partitionBy("u")
+    ranked = oriented.select(
+        "u",
+        "v",
+        F.min("v").over(w).alias("m"),
+        F.row_number().over(w.orderBy("v")).alias("_rn"),
+    )
+    emitted = ranked.select(F.col("v").alias("d1"), F.col("m").alias("d2")).unionByName(
+        ranked.filter(F.col("_rn") == 1).select(
+            F.col("u").alias("d1"), F.col("m").alias("d2")
+        )
     )
     return _symmetrize(emitted)
 
@@ -542,7 +554,14 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     after convergence the edge set IS the star forest, so child→root
     edges are read off directly and roots map to themselves.
     """
-    edges = _symmetrize(pairs).localCheckpoint(eager=True)
+    # Lazy checkpoints, materialized BY the signature aggregate: the
+    # eager form paid one driver job to checkpoint and a second to
+    # compute the signature over it — per round. The signature's
+    # collect is the first action over the checkpointed plan, so it
+    # both pins the edge set and reads it in ONE job (r14: halves the
+    # per-round job count; the cc loop is fixed-overhead-bound on
+    # small graphs and job-count-bound at any scale).
+    edges = _symmetrize(pairs).localCheckpoint(eager=False)
     # Vertex set off the checkpointed symmetric edges — NOT off ``pairs``,
     # which would re-run the (often expensive) upstream pair pipeline.
     verts = edges.select(F.col("u").alias("doc_id")).distinct()
@@ -556,7 +575,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
     sig = signature(edges)
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = signature(edges)
         if new_sig == sig:
             break

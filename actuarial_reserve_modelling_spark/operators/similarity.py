@@ -572,6 +572,68 @@ def _collapse_units(
     )
 
 
+def _unit_normalize(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, unit-vector) rows for every nonzero-norm vector — the Arrow
+    form of ``filter(sq > 0).select(transform(x / sqrt(greatest(sq,
+    1e-300))))``, bit-identical to that interpreted HOF fold: element
+    squares round through the column's float32 storage type, the norm
+    accumulates left-to-right into a float64, and each element divides
+    as float64. Zero-norm and NaN-norm rows are dropped by the keep
+    mask (sq > 0 is false for both), null vectors by the pre-filter."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from actuarial_reserve_modelling_spark.operators.arrowkit import (
+            fixed_vecs,
+            int_col,
+            rows_to_list_array,
+        )
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = int_col(batch.column(id_col))
+            col = batch.column(vec_col)
+            ctype = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+            # square in the column's STORAGE type, exactly as x*x does
+            # (float32 elements round their squares to float32 before
+            # the float64 accumulation; float64 elements do not)
+            store = (
+                np.float32
+                if pa.types.is_float32(ctype.value_type)
+                else np.float64
+            )
+            vs = fixed_vecs(col, dtype=store)
+            acc = np.zeros(len(ids), dtype=np.float64)
+            for j in range(vs.shape[1]):
+                acc += vs[:, j] * vs[:, j]
+            keep = acc > 0.0
+            denom = np.sqrt(np.maximum(acc[keep], 1e-300))
+            out = vs[keep].astype(np.float64) / denom[:, None]
+            yield pa.record_batch(
+                [
+                    pa.array(ids[keep], type=pa.int64()),
+                    rows_to_list_array(out, pa.float64()),
+                ],
+                names=[id_col, vec_col],
+            )
+
+    return (
+        embeddings.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInArrow(kernel, schema=schema)
+    )
+
+
 def ivf_cosine_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -653,26 +715,20 @@ def ivf_cosine_pairs(
     auto-sizing counts the NONZERO corpus (the vectors actually
     clustered), not the raw input.
     """
-    sq = F.aggregate(
-        F.transform(vec_col, lambda x: x * x),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nonzero = embeddings.filter(sq > 0)
-    # the division must be TOTAL even though zero vectors are filtered
-    # out: Catalyst's subexpression elimination is free to evaluate the
-    # projected transform inside the filter's codegen predicate, where
-    # ANSI mode turns x/0 into a task failure instead of a NULL the
-    # filter would have dropped anyway. greatest(sq, 1e-300) is exact
-    # for every surviving vector (real norms dwarf it) and makes the
-    # zero-vector evaluation defined.
-    unit = nonzero.select(
-        id_col,
-        F.transform(
-            vec_col,
-            lambda x: x.cast("double") / F.sqrt(F.greatest(sq, F.lit(1e-300))),
-        ).alias(vec_col),
-    )
+    # r14: the unit projection runs as an Arrow kernel, not the
+    # interpreted transform/aggregate HOF pair it replaced — Catalyst
+    # evaluates higher-order lambdas per ELEMENT in the expression
+    # interpreter (~4 µs/element measured; ~0.5 s per materialization
+    # of this subtree at a 2,400×64 corpus, linear at scale). The
+    # kernel reproduces the fold BITWISE: squares round through
+    # float32 (the storage element type, as x*x did), accumulate left
+    # to right into a float64 (same promotion), and the division is
+    # the same f64-cast-over-sqrt(greatest(sq, 1e-300)) — pinned by
+    # test_unit_normalize_kernel_matches_hof_bitwise. Zero-norm/NaN
+    # rows drop via the keep mask exactly as the sq > 0 filter did;
+    # null vectors are pre-filtered (the HOF dropped them via a NULL
+    # sq, fixed_vecs would instead raise on them).
+    unit = _unit_normalize(embeddings, id_col, vec_col)
     # r9: exact-duplicate collapse BEFORE any quantizer (see
     # _collapse_units) — train/assign/candidate/verify run on one rep
     # per distinct vector; members re-enter at the end by inheriting
@@ -716,8 +772,15 @@ def ivf_cosine_pairs(
     # oracle compares keep flags, never sims, and the recall gates
     # re-held on the kernel form). Rounding + threshold stay JVM.
     # Verification uses the reps' ORIGINAL (un-normalized) vectors, as
-    # every pair path does.
-    orig = nonzero.join(reps.select(id_col), id_col, "left_semi")
+    # every pair path does. No sq > 0 filter here: reps only holds ids
+    # that survived the normalize kernel's nonzero mask, so the semi-
+    # join already excludes zero-norm rows — the interpreted HOF filter
+    # would re-evaluate the fold over both verify-side scans for
+    # nothing (r14: ~0.5 s per side at sf0.1, a full corpus pass each
+    # at scale).
+    orig = embeddings.select(id_col, vec_col).join(
+        reps.select(id_col), id_col, "left_semi"
+    )
     a = orig.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("e1"))
     b = orig.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("e2"))
     sims = _kernel_cosine_sims(cand.join(a, "v1").join(b, "v2"))

@@ -2587,3 +2587,60 @@ def test_vecsig_lookup_adaptive_routing_parity_and_stats(spark, tmp_path):
     assert n1 == n0 + extra.count()
     S.delete_from_vecsig_index(spark, path, extra.select("vec_id").limit(7))
     assert S.read_index_stats(spark, path) == n1 - 7
+
+
+def test_unit_normalize_kernel_matches_hof_bitwise(spark):
+    """r14: ivf_cosine_pairs' unit projection moved from the interpreted
+    transform/aggregate HOF pair to an Arrow kernel — the kernel must
+    reproduce the fold BITWISE for both element storage types (float32
+    squares round before the f64 accumulation; float64 squares do not),
+    drop zero-norm vectors, and drop null vectors like a NULL sq did."""
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        _unit_normalize,
+    )
+
+    def hof_unit(df):
+        sq = F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return df.filter(sq > 0).select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") / F.sqrt(F.greatest(sq, F.lit(1e-300))),
+            ).alias("embedding"),
+        )
+
+    def diffs(df):
+        a = hof_unit(df).select("vec_id", F.xxhash64("embedding").alias("h"))
+        b = _unit_normalize(df, "vec_id", "embedding").select(
+            "vec_id", F.xxhash64("embedding").alias("h")
+        )
+        n_a, n_b = a.count(), b.count()
+        assert n_a == n_b
+        return a.alias("a").join(b.alias("b"), "vec_id").filter("a.h != b.h").count()
+
+    # float32 storage (the parquet corpora) — includes a planted twin
+    emb32 = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    assert diffs(emb32) == 0
+
+    # float64 storage (createDataFrame callers) + zero and null rows
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(8)]) for i in range(50)]
+    rows.append((100, [0.0] * 8))  # zero norm: dropped by both forms
+    rows.append((101, None))  # null vector: dropped by both forms
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb64 = spark.createDataFrame(rows, schema)
+    assert diffs(emb64) == 0
+    assert _unit_normalize(emb64, "vec_id", "embedding").count() == 50
