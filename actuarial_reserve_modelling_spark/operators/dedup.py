@@ -89,22 +89,30 @@ def _signatures_from_tokens(
 
 
 def _signatures_from_hashed(
-    hashed: DataFrame, num_hashes: int = 192, seed: int = 42
+    hashed: DataFrame, num_hashes: int = 192, seed: int = 42,
+    carry_htok: bool = False,
 ) -> DataFrame:
     """MinHash kernel over a pre-hashed (doc_id, htok: array<bigint>)
     frame — the innermost entry point, for callers (exact-collapse) that
     already hold xxhash64 token arrays. Token order is irrelevant: the
-    signature is a min over the set."""
+    signature is a min over the set.
+
+    ``carry_htok=True`` passes the input token arrays through the
+    kernel (zero-copy Arrow column) and returns (doc_id, htok, sig) —
+    for callers that need tokens AND signatures side by side
+    (``build_dedup_index``): the r14 profile showed the join-back
+    formulation re-running the whole tokenize/hash/sort subtree once
+    per join side, so the index build paid tokenization twice plus a
+    join exchange for a column the kernel already held."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("sig", T.ArrayType(T.LongType())),
-        ]
-    )
+    fields = [T.StructField("doc_id", T.LongType())]
+    if carry_htok:
+        fields.append(T.StructField("htok", T.ArrayType(T.LongType())))
+    fields.append(T.StructField("sig", T.ArrayType(T.LongType())))
+    schema = T.StructType(fields)
 
     def kernel(batches):
         # mapInArrow (r8): the token lists arrive as an Arrow ListArray
@@ -154,10 +162,19 @@ def _signatures_from_hashed(
                     mins = np.minimum.reduceat(m, bounds, axis=1)  # (k, docs)
                     sig_rows[nonempty, :] = mins.T.view(np.int64)
                 start = end
-            yield pa.record_batch(
-                [pa.array(ids, type=pa.int64()), rows_to_list_array(sig_rows, pa.int64())],
-                names=["doc_id", "sig"],
-            )
+            cols = [pa.array(ids, type=pa.int64())]
+            names = ["doc_id"]
+            if carry_htok:
+                # zero-copy passthrough: output rows are emitted in
+                # input order, so the original column aligns as-is
+                htok_col = batch.column("htok")
+                if isinstance(htok_col, pa.ChunkedArray):
+                    htok_col = htok_col.combine_chunks()
+                cols.append(htok_col)
+                names.append("htok")
+            cols.append(rows_to_list_array(sig_rows, pa.int64()))
+            names.append("sig")
+            yield pa.record_batch(cols, names=names)
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
@@ -416,19 +433,16 @@ def minhash_near_dup_pairs(
         # keep the tokenization+shuffle subtree from running 4×
         .localCheckpoint(eager=False)
     )
-    sigs = _signatures_from_hashed(
+    # the kernel carries htok through, so the token-set size the bucket
+    # expansion prunes on is a narrow projection — not the join back to
+    # ``groups`` this replaced (r14); the 1e-6 slack matches the
+    # round-before-filter verify below
+    sigs_sz = _signatures_from_hashed(
         groups.select(F.col("rep_id").alias("doc_id"), "htok"),
         num_hashes=bands * rows_per_band,
         seed=seed,
-    )
-    # attach the token-set size (one AQE-broadcast join over the
-    # collapsed reps) so bucket expansion can size-prune pairs before
-    # the candidate-distinct shuffle; the 1e-6 slack matches the
-    # round-before-filter verify below
-    sigs_sz = sigs.join(
-        groups.select(F.col("rep_id").alias("doc_id"), F.size("htok").alias("sz")),
-        "doc_id",
-    )
+        carry_htok=True,
+    ).select("doc_id", "sig", F.size("htok").alias("sz"))
     cands = lsh_candidate_pairs(
         sigs_sz,
         bands=bands,
@@ -977,10 +991,13 @@ def build_dedup_index(
             F.array_sort(F.expr("transform(tokens, t -> xxhash64(t))")).alias("htok"),
         )
     )
-    sigs = _signatures_from_hashed(
-        htoks, num_hashes=bands * rows_per_band, seed=seed
+    # one narrow pass: the kernel carries htok through alongside the
+    # signatures it computes — the former ``htoks.join(sigs, "doc_id")``
+    # executed the tokenize/hash/sort subtree once per join side and
+    # paid a join exchange for a column the kernel already held
+    return _signatures_from_hashed(
+        htoks, num_hashes=bands * rows_per_band, seed=seed, carry_htok=True
     )
-    return htoks.join(sigs, "doc_id")
 
 
 @leased("path")
