@@ -1785,8 +1785,15 @@ def segment_dedup(
         f"transform(sequence(1, greatest(size(_toks), 1), {seg_words}),"
         f" i -> concat_ws(' ', slice(_toks, i, {seg_words})))"
     )
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    # segment expansion + hashing amplifies CPU well past the scanned
+    # bytes and the frequency/kept/totals branches re-run this map —
+    # spread the (projected) rows adaptively so it is not single-task
+    # on a one-split corpus (no-op once the scan has enough splits)
     exploded = (
-        docs.select("doc_id", toks.alias("_toks"))
+        spread_for_kernel(docs.select("doc_id", toks.alias("_toks")),
+                          bytes_per_task=65536)
         .select("doc_id", F.posexplode(segs).alias("seg_idx", "seg_text"))
         .filter(F.col("seg_text") != "")
     )
@@ -1873,7 +1880,13 @@ def repeated_span_removal(
         f" i -> struct(i as s, concat_ws(' ', slice(_t, i, {span_words})) as w))"
         " else cast(array() as array<struct<s:int,w:string>>) end"
     )
-    base = docs.select("doc_id", toks.alias("_t"))
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    # overlapping windows emit ~n_words rows per doc — same adaptive
+    # spread rationale as segment_dedup (the pos subtree runs twice)
+    base = spread_for_kernel(
+        docs.select("doc_id", toks.alias("_t")), bytes_per_task=65536
+    )
     pos = (
         base.select("doc_id", F.explode(wins).alias("p"))
         .select("doc_id", F.col("p.s").alias("s"), F.xxhash64("p.w").alias("_h"))

@@ -188,8 +188,15 @@ def word_shingles(
     )
     if distinct:
         grams = F.array_distinct(grams)
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    # the shingle expansion amplifies per-row CPU ~n_words-fold over
+    # the scanned bytes, and a small corpus arrives in one split — the
+    # r14 profile showed this map stage single-task; spread it like the
+    # Arrow kernels (adaptive: no-op once the scan has enough splits)
     return (
-        docs.select("doc_id", toks.alias("_toks"))
+        spread_for_kernel(docs.select("doc_id", toks.alias("_toks")),
+                          bytes_per_task=65536)
         .filter(F.size("_toks") >= n)
         .select("doc_id", F.explode(grams).alias("shingle"))
     )

@@ -646,8 +646,14 @@ def _hashed_grams(
     if flag is not None:
         cols.append(flag.alias("_tgt"))
         carry = ["_tgt"]
+    from actuarial_reserve_modelling_spark.operators import spread_for_kernel
+
+    # unigram+bigram explode + per-gram md5: ~100x CPU amplification
+    # over the scanned bytes, and the corpus subtree executes twice
+    # (counts pass + per-doc reduce) — spread adaptively so neither
+    # pass is single-task on a one-split corpus
     return (
-        docs.select(*cols)
+        spread_for_kernel(docs.select(*cols), bytes_per_task=65536)
         .select("_id", F.explode(grams).alias("_g"), *carry)
         .select(
             "_id",
