@@ -2784,9 +2784,6 @@ def ann_ivf_hier_topk_persisted(
     tier's persisted recall curve (``persist_recall_audit``): the
     smallest measured setting reaching ``recall_target``, with a loud
     warning (and the measured curve) when the corpus plateaus below it."""
-    _require_bounded_queries(
-        queries, "ann_ivf_hier_topk_persisted", max_query_rows
-    )
     if nprobe_super == "auto":
         nprobe_super = _auto_probe(
             spark, path, "ann_ivf_hier_topk_persisted", recall_target, fallback=4
@@ -2797,7 +2794,28 @@ def ann_ivf_hier_topk_persisted(
     probes = ivf_assign(
         queries, super_cent, id_col=id_col, vec_col=vec_col, nprobe=nprobe_super
     )
-    probed = [int(r["cluster"]) for r in probes.select("cluster").distinct().collect()]
+    # One collect serves BOTH driver needs (r14 — was a limit-probe job
+    # plus a distinct-collect job): the per-cluster counts are bounded
+    # by k1 rows whatever the batch size, and since ivf_assign emits
+    # exactly min(nprobe_super, k1) rows per query vector, the exact
+    # query count falls out of their sum — enforcing the bounded-query
+    # contract before the batch is broadcast, with one driver job.
+    per_cluster = probes.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).collect()
+    m = max(1, min(int(nprobe_super), int(super_cent.shape[0])))
+    n_queries = sum(int(r["_n"]) for r in per_cluster) // m
+    if max_query_rows is not None and n_queries > max_query_rows:
+        raise ValueError(
+            f"ann_ivf_hier_topk_persisted: query batch exceeds "
+            f"max_query_rows={max_query_rows} — this path holds the query "
+            "batch in driver memory by design (the bounded-query-batch "
+            "contract). For large batches use the persisted ANN tier "
+            "query in slices, or pass a larger max_query_rows / "
+            "max_query_rows=None only if the batch genuinely fits driver "
+            "memory."
+        )
+    probed = [int(r["cluster"]) for r in per_cluster]
     index = _load_ann_frames(spark, path, id_col=id_col, supers=probed)
     return ann_ivf_hier_topk_indexed(
         index,
