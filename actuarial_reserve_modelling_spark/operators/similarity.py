@@ -954,21 +954,34 @@ def _hierarchical_ivf_lists(
     super_cent = ivf_train_centroids(
         unit, k1, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
-    # one materialization: the assignment feeds both the per-super
-    # counts and the membership join below — without it the k-means
-    # assignment kernel would run twice
+    # r14: the assignment kernel runs TWICE (counts pass + membership
+    # pass) and carries the vectors through on the second — the prior
+    # shape checkpointed a slim (id, cluster) assignment and attached
+    # vectors with an id-keyed join, which at corpus scale is a full
+    # shuffle of n·nprobe vector rows; the matmul re-run is executor
+    # compute over the checkpointed reps, deterministic, and orders of
+    # magnitude cheaper than that exchange. ``counts`` is k1-bounded.
     sup = ivf_assign(
         unit, super_cent, id_col=id_col, vec_col=vec_col, nprobe=min(nprobe, k1)
-    ).localCheckpoint(eager=False)
+    )
     split_target = max(1, (group_cap * 3) // 4)
     counts = sup.groupBy("cluster").agg(F.count(F.lit(1)).alias("_gsz"))
-    split = (
-        sup.join(F.broadcast(counts), "cluster")
+    members = (
+        ivf_assign(
+            unit,
+            super_cent,
+            id_col=id_col,
+            vec_col=vec_col,
+            nprobe=min(nprobe, k1),
+            carry_vec=True,
+        )
+        .join(F.broadcast(counts), "cluster")
         .withColumn(
             "_nsplit", F.ceil(F.col("_gsz") / F.lit(split_target)).cast("long")
         )
         .select(
             id_col,
+            vec_col,
             (
                 F.col("cluster").cast("long")
                 + F.lit(int(k1))
@@ -976,7 +989,6 @@ def _hierarchical_ivf_lists(
             ).alias("_super"),
         )
     )
-    members = split.join(unit.select(id_col, vec_col), id_col)
     child_probe = child_nprobe
     iters = n_iters
     cap = group_cap  # closure-captured so tests can shrink it per call
@@ -1138,14 +1150,28 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by L2
     (ties → lowest centroid index). One Arrow kernel pass: (batch × d)
     @ (d × k) — the coarse-quantizer matmul every IVF implementation
-    runs; centroids ride along in the task closure (k·d doubles)."""
-    schema = T.StructType(
-        [T.StructField(id_col, T.LongType()), T.StructField("cluster", T.IntegerType())]
-    )
+    runs; centroids ride along in the task closure (k·d doubles).
+
+    ``carry_vec=True`` additionally passes the input vector through to
+    every emitted (id, cluster) row (zero-copy Arrow take) — for
+    callers that need the vectors alongside the assignment
+    (``_hierarchical_ivf_lists``'s level-2 shuffle): attaching them
+    with an id-keyed join instead costs a full shuffle of the vector
+    rows at corpus scale (r14)."""
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("cluster", T.IntegerType()),
+    ]
+    if carry_vec:
+        fields.append(
+            T.StructField(vec_col, embeddings.schema[vec_col].dataType)
+        )
+    schema = T.StructType(fields)
     cent = np.ascontiguousarray(centroids, dtype=np.float64)
     cent_sq = (cent * cent).sum(axis=1)
 
@@ -1162,13 +1188,20 @@ def ivf_assign(
             d2 = cent_sq[None, :] - 2.0 * (vecs @ cent.T)
             # O(k) selection with the same tie rule as stable argsort
             order = _stable_top_nprobe(d2, nprobe)
-            yield pa.record_batch(
-                [
-                    pa.array(np.repeat(int_col(batch.column(id_col)), order.shape[1])),
-                    pa.array(order.astype(np.int32).ravel(), type=pa.int32()),
-                ],
-                names=[id_col, "cluster"],
-            )
+            m = order.shape[1]
+            cols = [
+                pa.array(np.repeat(int_col(batch.column(id_col)), m)),
+                pa.array(order.astype(np.int32).ravel(), type=pa.int32()),
+            ]
+            names = [id_col, "cluster"]
+            if carry_vec:
+                vcol = batch.column(vec_col)
+                if isinstance(vcol, pa.ChunkedArray):
+                    vcol = vcol.combine_chunks()
+                idx = pa.array(np.repeat(np.arange(batch.num_rows), m))
+                cols.append(vcol.take(idx))
+                names.append(vec_col)
+            yield pa.record_batch(cols, names=names)
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
@@ -1470,17 +1503,23 @@ def ivf_hier_build(
     super_cent = ivf_train_centroids(
         reps, k1, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
-    # one materialization: the hard assignment feeds both the counts
-    # aggregate and the membership join
-    sup = ivf_assign(
-        reps, super_cent, id_col=id_col, vec_col=vec_col
-    ).localCheckpoint(eager=False)
+    # r14: the hard assignment runs twice (counts pass + membership
+    # pass, vectors carried through the second) instead of once into a
+    # checkpoint + an id-keyed vector join — the join is a full shuffle
+    # of the member vector rows at corpus scale, the matmul re-run is
+    # cheap executor compute over the checkpointed reps. ``counts`` is
+    # k1-bounded either way.
+    sup = ivf_assign(reps, super_cent, id_col=id_col, vec_col=vec_col)
     split_target = max(1, (group_cap * 3) // 4)
     counts = sup.groupBy("cluster").agg(F.count(F.lit(1)).alias("_gsz"))
-    split = (
-        sup.join(F.broadcast(counts), "cluster")
+    members = (
+        ivf_assign(
+            reps, super_cent, id_col=id_col, vec_col=vec_col, carry_vec=True
+        )
+        .join(F.broadcast(counts), "cluster")
         .select(
             id_col,
+            vec_col,
             F.col("cluster").alias("_super"),
             F.pmod(
                 F.xxhash64(F.col(id_col), F.lit(47)),
@@ -1488,7 +1527,6 @@ def ivf_hier_build(
             ).alias("_slot"),
         )
     )
-    members = split.join(reps.select(id_col, vec_col), id_col)
     iters = n_iters
     cap = group_cap  # closure-captured so tests can shrink it per call
     schema = T.StructType(
