@@ -1207,6 +1207,7 @@ def add_to_dedup_index(
     new_docs: DataFrame,
     text_col: str = "text",
     check_existing: bool = True,
+    presigned: DataFrame | None = None,
 ) -> None:
     """Incremental ingest into the persisted fingerprint tier: sign the
     batch with the index's OWN persisted parameters (meta/ — never the
@@ -1219,15 +1220,42 @@ def add_to_dedup_index(
     worst mid-crash state is orphaned banded rows, which the verify
     join neutralizes, never a fingerprinted doc invisible to lookups).
     Per-batch cost is the batch's signing + two partition-local appends
-    — the corpus is never re-signed (the D8 contract)."""
+    — the corpus is never re-signed (the D8 contract).
+
+    ``presigned``: an existing ``build_dedup_index`` output
+    (doc_id, htok, sig) covering a SUPERSET of ``new_docs``'s ids,
+    built with the tier's persisted parameters. When given, the batch
+    is taken as ``presigned`` semi-joined to ``new_docs``'s ids instead
+    of re-tokenizing and re-signing — the ingest-gate flow signs its
+    batch once for the cross-batch check and reuses the same frame
+    here. Signatures are deterministic in (text, bands, rows_per_band,
+    seed), so the appended rows are identical either way; a one-row
+    probe validates the signature length against meta/ so a frame
+    signed with foreign parameters fails loudly instead of corrupting
+    the tier."""
     meta = read_dedup_index_meta(spark, path)
-    batch = build_dedup_index(
-        new_docs,
-        bands=meta["bands"],
-        rows_per_band=meta["rows_per_band"],
-        seed=meta["seed"],
-        text_col=text_col,
-    ).select(
+    if presigned is not None:
+        probe = presigned.select(F.size("sig").alias("_n")).limit(1).collect()
+        want = meta["bands"] * meta["rows_per_band"]
+        if probe and int(probe[0]["_n"]) != want:
+            raise ValueError(
+                f"add_to_dedup_index: presigned sig length {probe[0]['_n']} "
+                f"!= persisted bands*rows_per_band = {want} — the frame was "
+                "signed with different parameters than this tier; refusing "
+                "to append mismatched signatures"
+            )
+        signed = presigned.join(
+            new_docs.select("doc_id"), "doc_id", "leftsemi"
+        )
+    else:
+        signed = build_dedup_index(
+            new_docs,
+            bands=meta["bands"],
+            rows_per_band=meta["rows_per_band"],
+            seed=meta["seed"],
+            text_col=text_col,
+        )
+    batch = signed.select(
         "doc_id",
         "htok",
         "sig",
@@ -1484,6 +1512,7 @@ def minhash_dedup_against_index(
     text_col: str = "text",
     max_bucket_size: int = 10_000,
     exclude_same_id: bool = True,
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup check: (new_id, index_id, jac ≥ τ) pairs
     between an ingest batch and an existing ``build_dedup_index``
@@ -1507,10 +1536,23 @@ def minhash_dedup_against_index(
     (other bands recover recall; at 100 TB you lower the cap and log
     the drops). ``bands``/``rows_per_band``/``seed`` must match the
     values the index was built with.
+
+    ``presigned``: an existing ``build_dedup_index`` output over
+    exactly ``new_docs`` with the same parameters — skips the batch's
+    tokenize+sign pass (validated by the persisted-tier caller; direct
+    callers own the parameter match, as they already do for ``index``).
     """
-    new_index = build_dedup_index(
-        new_docs, bands=bands, rows_per_band=rows_per_band, seed=seed, text_col=text_col
-    ).localCheckpoint(eager=False)
+    new_index = (
+        presigned
+        if presigned is not None
+        else build_dedup_index(
+            new_docs,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            seed=seed,
+            text_col=text_col,
+        ).localCheckpoint(eager=False)
+    )
     return _against_index_full_scan(
         new_index, index, threshold, bands, rows_per_band, max_bucket_size,
         exclude_same_id,
@@ -1587,6 +1629,7 @@ def minhash_dedup_against_index_persisted(
     max_bucket_size: int = 10_000,
     exclude_same_id: bool = True,
     route: str = "auto",
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """``minhash_dedup_against_index`` against a PERSISTED tier, with
     per-batch cost O(batch's bucket footprint) instead of O(index) —
@@ -1626,7 +1669,17 @@ def minhash_dedup_against_index_persisted(
     verdict asked to close. Both sides are answer-identical (twin
     pytest), so routing is pure performance; unknown stats (pre-r12
     tier, crashed stats rewrite) routes pruned — the scale-safe side.
-    ``"pruned"`` / ``"full"`` force a side (stress tools, tests)."""
+    ``"pruned"`` / ``"full"`` force a side (stress tools, tests).
+
+    ``presigned``: an existing ``build_dedup_index`` output
+    (doc_id, htok, sig) over EXACTLY ``new_docs``, built with the
+    tier's persisted parameters — the caller manages its
+    materialization. When given, the batch is never re-tokenized or
+    re-signed (the ingest gate signs its batch once and shares the
+    frame with ``add_to_dedup_index``); a one-row probe validates the
+    signature length against meta/ so foreign-parameter frames fail
+    loudly. Answers are identical either way (deterministic
+    signatures)."""
     from actuarial_reserve_modelling_spark.operators.similarity import (
         read_index_stats,
     )
@@ -1634,6 +1687,16 @@ def minhash_dedup_against_index_persisted(
     if route not in ("auto", "pruned", "full"):
         raise ValueError(f"route must be auto|pruned|full, got {route!r}")
     meta = read_dedup_index_meta(spark, path)
+    if presigned is not None:
+        probe = presigned.select(F.size("sig").alias("_n")).limit(1).collect()
+        want = meta["bands"] * meta["rows_per_band"]
+        if probe and int(probe[0]["_n"]) != want:
+            raise ValueError(
+                f"minhash_dedup_against_index_persisted: presigned sig "
+                f"length {probe[0]['_n']} != persisted bands*rows_per_band "
+                f"= {want} — the frame was signed with different parameters "
+                "than this tier; refusing to compare mismatched signatures"
+            )
     if meta["k_band_parts"] is None:
         return minhash_dedup_against_index(
             new_docs,
@@ -1645,6 +1708,7 @@ def minhash_dedup_against_index_persisted(
             text_col=text_col,
             max_bucket_size=max_bucket_size,
             exclude_same_id=exclude_same_id,
+            presigned=presigned,
         )
     bands, rpb = meta["bands"], meta["rows_per_band"]
     new_docs = new_docs.localCheckpoint(eager=False)
@@ -1674,10 +1738,19 @@ def minhash_dedup_against_index_persisted(
             text_col=text_col,
             max_bucket_size=max_bucket_size,
             exclude_same_id=exclude_same_id,
+            presigned=presigned,
         )
-    new_index = build_dedup_index(
-        new_docs, bands=bands, rows_per_band=rpb, seed=meta["seed"], text_col=text_col
-    ).localCheckpoint(eager=False)
+    new_index = (
+        presigned
+        if presigned is not None
+        else build_dedup_index(
+            new_docs,
+            bands=bands,
+            rows_per_band=rpb,
+            seed=meta["seed"],
+            text_col=text_col,
+        ).localCheckpoint(eager=False)
+    )
     new_banded = _banded_projection(
         new_index, bands, rpb, meta["k_band_parts"]
     ).localCheckpoint(eager=False)

@@ -586,6 +586,7 @@ def incremental_neardup_ingest(
         minhash_near_dup_pairs,
         persist_dedup_index,
         build_dedup_index,
+        read_dedup_index_meta,
     )
     from actuarial_reserve_modelling_spark.operators.similarity import (
         compact_partitioned_index,
@@ -714,11 +715,28 @@ def incremental_neardup_ingest(
                 eager=True
             )
         t0 = _mark("within_batch", t0)
-        # 3) cross-batch near-dup vs the persisted dedup tier (pruned)
+        # 3) cross-batch near-dup vs the persisted dedup tier (pruned).
+        # The batch is signed ONCE here with the tier's persisted
+        # parameters and the eager-checkpointed frame is shared with
+        # the index append below — committed ⊆ docs_e and signatures
+        # are deterministic, so the appended rows are identical to a
+        # re-sign of the committed batch (the pre-r14 shape paid the
+        # tokenize+MinHash kernel twice per batch).
         if _have_index():
+            meta_idx = read_dedup_index_meta(spark, idx_dir)
+            signed_e = build_dedup_index(
+                docs_e,
+                bands=meta_idx["bands"],
+                rows_per_band=meta_idx["rows_per_band"],
+                seed=meta_idx["seed"],
+            ).localCheckpoint(eager=True)
             hits = (
                 minhash_dedup_against_index_persisted(
-                    spark, idx_dir, docs_e, threshold=threshold
+                    spark,
+                    idx_dir,
+                    docs_e,
+                    threshold=threshold,
+                    presigned=signed_e,
                 )
                 .select(F.col("new_id").alias("doc_id"))
                 .distinct()
@@ -726,6 +744,7 @@ def incremental_neardup_ingest(
             admitted = docs_e.join(hits, "doc_id", "left_anti")
             bootstrapped = False
         else:
+            signed_e = None
             admitted = docs_e
             bootstrapped = True
         admitted = admitted.localCheckpoint(eager=True)
@@ -748,9 +767,16 @@ def incremental_neardup_ingest(
                 rows_per_band=rows_per_band,
             )
         else:
-            add_to_dedup_index(spark, idx_dir, committed)
+            add_to_dedup_index(spark, idx_dir, committed, presigned=signed_e)
         t0 = _mark("index_append", t0)
-        newfp = content_fingerprints(committed).withColumn("fpart", _fpart)
+        # fingerprint append reuses the exact tier's checkpointed
+        # (doc_id, fingerprint, fpart) rows — committed ⊆ first, so the
+        # semi-join replaces a full re-normalize+md5 pass over the
+        # committed text (identical values: same fingerprint function
+        # over the same rows)
+        newfp = first.select("doc_id", "fingerprint", "fpart").join(
+            committed.select("doc_id"), "doc_id", "leftsemi"
+        )
         if _have_fp():
             existing = (
                 spark.read.parquet(fp_dir)

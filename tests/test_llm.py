@@ -2644,3 +2644,80 @@ def test_unit_normalize_kernel_matches_hof_bitwise(spark):
     emb64 = spark.createDataFrame(rows, schema)
     assert diffs(emb64) == 0
     assert _unit_normalize(emb64, "vec_id", "embedding").count() == 50
+
+
+def test_presigned_dedup_batch_shared_across_lookup_and_append(spark, tmp_path):
+    """r14: the ingest gate signs its batch once and shares the frame
+    between the cross-batch check and the tier append. Pin (a) the
+    presigned lookup answers identically to the self-signing path,
+    (b) an append fed a presigned SUPERSET frame (semi-joined to the
+    committed ids) writes a tier byte-identical in content to the
+    re-signing append, and (c) a frame signed with foreign parameters
+    fails loudly in both consumers instead of corrupting the tier."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        add_to_dedup_index,
+        build_dedup_index,
+        minhash_dedup_against_index_persisted,
+        persist_dedup_index,
+        read_dedup_index_meta,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    committed = new.filter(F.col("doc_id") % 2 == 0)  # strict subset
+
+    def fresh_tier(sub: str) -> str:
+        path = str(tmp_path / sub)
+        persist_dedup_index(
+            build_dedup_index(corpus, bands=16, rows_per_band=16),
+            path,
+            bands=16,
+            rows_per_band=16,
+            n_buckets=16,
+            k_band_parts=16,
+        )
+        return path
+
+    path_a = fresh_tier("tier_resign")
+    path_b = fresh_tier("tier_presigned")
+    meta = read_dedup_index_meta(spark, path_a)
+    signed = build_dedup_index(
+        new,
+        bands=meta["bands"],
+        rows_per_band=meta["rows_per_band"],
+        seed=meta["seed"],
+    ).localCheckpoint(eager=True)
+
+    # (a) lookup parity, both routes
+    for route in ("pruned", "full"):
+        base = minhash_dedup_against_index_persisted(
+            spark, path_a, new, threshold=0.9, route=route
+        )
+        pre = minhash_dedup_against_index_persisted(
+            spark, path_a, new, threshold=0.9, route=route, presigned=signed
+        )
+        key = lambda r: (r["new_id"], r["index_id"], r["jac"])
+        assert sorted(map(key, base.collect())) == sorted(map(key, pre.collect()))
+
+    # (b) append parity: presigned superset vs re-sign of the subset
+    add_to_dedup_index(spark, path_a, committed)
+    add_to_dedup_index(spark, path_b, committed, presigned=signed)
+    for sub in ("/fingerprints", "/banded"):
+        a = spark.read.parquet(path_a + sub)
+        b = spark.read.parquet(path_b + sub)
+        cols = sorted(a.columns)
+        assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+            map(tuple, b.select(*cols).collect())
+        )
+
+    # (c) foreign-parameter frames fail loudly in both consumers
+    wrong = build_dedup_index(new, bands=8, rows_per_band=8).localCheckpoint(
+        eager=True
+    )
+    with pytest.raises(ValueError, match="presigned sig length"):
+        add_to_dedup_index(spark, path_a, committed, presigned=wrong)
+    with pytest.raises(ValueError, match="presigned sig length"):
+        minhash_dedup_against_index_persisted(
+            spark, path_a, new, threshold=0.9, presigned=wrong
+        )
