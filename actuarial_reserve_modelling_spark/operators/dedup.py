@@ -561,8 +561,11 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     volume decreases instead of staying flat. Each round is a groupBy-min
     plus one broadcast-or-hash join keyed on the node id; edge lists are
     localCheckpointed per round to cut the growing lineage. Convergence
-    is detected by an order-insensitive edge-set signature (count +
-    xxhash64 sum) — one cheap aggregate, no full comparison join.
+    is detected by a structural star-forest test folded into the same
+    per-round aggregate as the order-insensitive edge-set signature
+    (count + xxhash64 sum, kept as the fallback) — an already-converged
+    edge set stops WITHOUT a confirming round, and a star-forest input
+    runs zero rounds.
 
     Returns (doc_id, rep_id) for every vertex that appears in ``pairs``:
     after convergence the edge set IS the star forest, so child→root
@@ -581,17 +584,50 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     verts = edges.select(F.col("u").alias("doc_id")).distinct()
 
     def signature(e: DataFrame) -> tuple:
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+        # One job returns the order-insensitive edge-set signature AND
+        # a structural star-forest test (r14): a symmetric, distinct,
+        # self-loop-free edge list is a star forest rooted at component
+        # minima iff every vertex either has all-larger neighbors (a
+        # root) or exactly one smaller neighbor (a child) — "viol"
+        # counts the vertices violating that. viol == 0 implies both
+        # star rounds are the identity on e (a child emits nothing in
+        # large-star and re-emits its one (child, root) edge in
+        # small-star; a root re-emits (child, root) for every child),
+        # so the loop can stop WITHOUT the confirming round the
+        # signature-equality test costs — and an input that is already
+        # a star forest (disjoint pairs are the common gate-batch
+        # shape) runs zero rounds. The per-vertex grouping adds one
+        # exchange of partially-aggregated (vertex, count, min) rows
+        # to this job — bounded by the vertex count, versus the full
+        # extra round (two windows + a distinct over the edge list) it
+        # replaces.
+        row = (
+            e.groupBy("u")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("_h"),
+                F.min("v").alias("_mn"),
+            )
+            .agg(
+                F.sum("_n").alias("n"),
+                F.sum("_h").alias("h"),
+                F.sum(
+                    F.when(
+                        (F.col("_mn") < F.col("u")) & (F.col("_n") > 1), 1
+                    ).otherwise(0)
+                ).alias("viol"),
+            )
+            .collect()[0]
+        )
+        return (row["n"], row["h"]), int(row["viol"] or 0)
 
-    sig = signature(edges)
+    sig, viol = signature(edges)
     for _ in range(max_iterations):
+        if viol == 0:
+            break
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        new_sig = signature(edges)
-        if new_sig == sig:
+        new_sig, viol = signature(edges)
+        if viol == 0 or new_sig == sig:
             break
         sig = new_sig
     else:

@@ -2721,3 +2721,38 @@ def test_presigned_dedup_batch_shared_across_lookup_and_append(spark, tmp_path):
         minhash_dedup_against_index_persisted(
             spark, path_a, new, threshold=0.9, presigned=wrong
         )
+
+
+def test_dedup_clusters_star_forest_input_skips_rounds(spark, monkeypatch):
+    """r14 structural convergence: an input that is already a star
+    forest (the common gate-batch shape — disjoint pairs) must produce
+    its clusters WITHOUT running any large-star/small-star round, and
+    a non-trivial graph must still converge to the same answer as the
+    signature-only loop did (pinned against union-find elsewhere)."""
+    from actuarial_reserve_modelling_spark.operators import dedup as D
+
+    calls = {"n": 0}
+    orig = D._large_star
+
+    def counting(edges):
+        calls["n"] += 1
+        return orig(edges)
+
+    monkeypatch.setattr(D, "_large_star", counting)
+
+    # disjoint pairs + an explicit star (1 -> 2,3,4): zero rounds
+    pairs = spark.createDataFrame(
+        [(10, 11), (20, 21), (1, 2), (1, 3), (1, 4)], "d1 long, d2 long"
+    )
+    got = {r["doc_id"]: r["rep_id"] for r in D.dedup_clusters(pairs).collect()}
+    assert got == {10: 10, 11: 10, 20: 20, 21: 20, 1: 1, 2: 1, 3: 1, 4: 1}
+    assert calls["n"] == 0
+
+    # a chain needs rounds and still converges to the component min
+    calls["n"] = 0
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "d1 long, d2 long"
+    )
+    got = {r["doc_id"]: r["rep_id"] for r in D.dedup_clusters(chain).collect()}
+    assert got == {i: 1 for i in range(1, 10)}
+    assert calls["n"] >= 1
