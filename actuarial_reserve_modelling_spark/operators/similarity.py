@@ -4015,6 +4015,7 @@ def lsh_cosine_dedup_against_index(
     vec_col: str = "embedding",
     max_bucket_size: int = 10_000,
     exclude_same_id: bool = False,
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup check — the vector analogue of
     ``minhash_dedup_against_index``: (new_id, index_id, sim ≥ τ) pairs
@@ -4033,10 +4034,20 @@ def lsh_cosine_dedup_against_index(
     the MinHash form. Identical vectors collide in EVERY table
     deterministically, so exact re-encounters are found with
     probability 1.
+
+    ``presigned``: an existing ``hyperplane_signatures_multi`` output
+    over exactly ``new_vecs`` with the same parameters — skips the
+    batch's signing kernel (extra columns like ``spart`` are dropped;
+    validated by the persisted-tier caller, direct callers own the
+    parameter match as they already do for ``sig_index``).
     """
-    new_sigs = hyperplane_signatures_multi(
-        new_vecs, num_planes, num_tables, seed, dim, id_col=id_col, vec_col=vec_col
-    ).select(F.col(id_col).alias("new_id"), "table", "sig")
+    new_sigs = (
+        presigned.select(F.col(id_col).alias("new_id"), "table", "sig")
+        if presigned is not None
+        else hyperplane_signatures_multi(
+            new_vecs, num_planes, num_tables, seed, dim, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col).alias("new_id"), "table", "sig")
+    )
     idx_sigs = sig_index.select(F.col(id_col).alias("index_id"), "table", "sig")
     bucket_sizes = idx_sigs.groupBy("table", "sig").agg(F.count(F.lit(1)).alias("_n"))
     idx_sigs = (
@@ -4345,6 +4356,7 @@ def add_to_vecsig_index(
     path: str,
     new_vecs: DataFrame,
     check_existing: bool = True,
+    presigned: DataFrame | None = None,
 ) -> None:
     """Incremental ingest into the persisted vector tier: sign the
     batch with the index's OWN persisted parameters and append to both
@@ -4356,13 +4368,43 @@ def add_to_vecsig_index(
     already-indexed ids). sigs/ is written FIRST
     — the worst mid-crash state is orphaned signature rows, which the
     verify join's inner join on vectors/ neutralizes, never an indexed
-    vector invisible to lookups (the dedup tier's crash contract)."""
+    vector invisible to lookups (the dedup tier's crash contract).
+
+    ``presigned``: an existing ``hyperplane_signatures_multi`` output
+    (with ``spart``) covering a SUPERSET of ``new_vecs``'s ids, built
+    with the tier's persisted parameters — semi-joined to the batch's
+    ids instead of re-signing (the semantic ingest gate signs its
+    batch once for the cross-batch check and reuses the frame here;
+    signatures are deterministic, so appended rows are identical). A
+    one-pass probe validates the table count against meta/; deeper
+    parameter mismatches rest on the caller, as for the lookup twin."""
     meta = read_vecsig_index_meta(spark, path)
     batch = new_vecs.select("vec_id", "embedding").localCheckpoint(eager=False)
-    sigs = hyperplane_signatures_multi(
-        batch, meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
-    ).withColumn("spart", _vecsig_spart(meta["k_sig_parts"]))
-    sigs = sigs.localCheckpoint(eager=False)
+    if presigned is not None:
+        if "spart" not in presigned.columns:
+            raise ValueError(
+                "add_to_vecsig_index: presigned frame lacks the 'spart' "
+                "partition column — pass the hyperplane_signatures_multi "
+                "output with spart attached (see incremental_semantic_ingest)"
+            )
+        probe = presigned.agg(F.countDistinct("table").alias("_t")).collect()
+        got_t = int(probe[0]["_t"] or 0) if probe else 0
+        if got_t not in (0, meta["num_tables"]):
+            raise ValueError(
+                f"add_to_vecsig_index: presigned frame carries {got_t} "
+                f"signature tables != persisted num_tables = "
+                f"{meta['num_tables']} — the frame was signed with "
+                "different parameters than this tier; refusing to append "
+                "mismatched signatures"
+            )
+        sigs = presigned.select("vec_id", "table", "sig", "spart").join(
+            batch.select("vec_id"), "vec_id", "leftsemi"
+        )
+    else:
+        sigs = hyperplane_signatures_multi(
+            batch, meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
+        ).withColumn("spart", _vecsig_spart(meta["k_sig_parts"]))
+        sigs = sigs.localCheckpoint(eager=False)
     if check_existing:
         sparts = [int(r["spart"]) for r in sigs.select("spart").distinct().collect()]
         existing_s = (
@@ -4534,6 +4576,7 @@ def lsh_cosine_dedup_against_index_persisted(
     max_bucket_size: int = 10_000,
     exclude_same_id: bool = True,
     route: str = "auto",
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """``lsh_cosine_dedup_against_index`` against the PERSISTED tier,
     with per-batch cost O(batch's signature footprint) instead of
@@ -4568,10 +4611,38 @@ def lsh_cosine_dedup_against_index_persisted(
     identical answers (twin pytest), so routing is pure performance.
     ``"pruned"`` / ``"full"`` force a side (stress tools, tests).
     Unknown stats (pre-r12 tier, crashed stats rewrite) routes pruned
-    — the scale-safe side."""
+    — the scale-safe side.
+
+    ``presigned``: an existing ``hyperplane_signatures_multi`` output
+    over EXACTLY ``new_vecs``, built with the tier's persisted
+    parameters and carrying the ``spart`` partition column (the
+    semantic ingest gate signs its batch once and shares the frame
+    with ``add_to_vecsig_index``); the caller manages its
+    materialization. A one-pass probe validates the table count
+    against meta/ so a frame signed with a different ``num_tables``
+    fails loudly (planes/seed/dim mismatches are not detectable from
+    signature values — that part of the contract rests on the caller,
+    exactly as it does for the in-memory twin's ``sig_index``)."""
     if route not in ("auto", "pruned", "full"):
         raise ValueError(f"route must be auto|pruned|full, got {route!r}")
     meta = read_vecsig_index_meta(spark, path)
+    if presigned is not None:
+        if "spart" not in presigned.columns:
+            raise ValueError(
+                "lsh_cosine_dedup_against_index_persisted: presigned frame "
+                "lacks the 'spart' partition column — pass the "
+                "hyperplane_signatures_multi output with spart attached "
+                "(see incremental_semantic_ingest)"
+            )
+        probe = presigned.agg(F.countDistinct("table").alias("_t")).collect()
+        got_t = int(probe[0]["_t"] or 0) if probe else 0
+        if got_t not in (0, meta["num_tables"]):
+            raise ValueError(
+                f"lsh_cosine_dedup_against_index_persisted: presigned frame "
+                f"carries {got_t} signature tables != persisted num_tables "
+                f"= {meta['num_tables']} — the frame was signed with "
+                "different parameters than this tier"
+            )
     batch = new_vecs.select("vec_id", "embedding").localCheckpoint(eager=False)
     if route == "auto":
         # decide BEFORE signing: the decision needs only |batch| (a
@@ -4599,9 +4670,12 @@ def lsh_cosine_dedup_against_index_persisted(
             dim=meta["dim"],
             max_bucket_size=max_bucket_size,
             exclude_same_id=exclude_same_id,
+            presigned=presigned,
         )
     new_sigs = (
-        hyperplane_signatures_multi(
+        presigned
+        if presigned is not None
+        else hyperplane_signatures_multi(
             batch, meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
         )
         .withColumn("spart", _vecsig_spart(meta["k_sig_parts"]))

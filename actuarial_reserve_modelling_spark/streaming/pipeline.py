@@ -881,11 +881,14 @@ def incremental_semantic_ingest(
 
     from actuarial_reserve_modelling_spark.operators.dedup import dedup_clusters
     from actuarial_reserve_modelling_spark.operators.similarity import (
+        _vecsig_spart,
         add_to_vecsig_index,
         compact_vecsig_index,
+        hyperplane_signatures_multi,
         lsh_cosine_dedup_against_index_persisted,
         lsh_cosine_pairs,
         persist_vecsig_index,
+        read_vecsig_index_meta,
     )
 
     if work_dir is None:
@@ -960,10 +963,29 @@ def incremental_semantic_ingest(
             admitted = vecs
             bootstrapped = True
         else:
-            # 2) cross-batch check, pruned to the batch's own partitions
+            # 2) cross-batch check, pruned to the batch's own
+            # partitions. The batch is signed ONCE with the tier's
+            # persisted parameters and the eager-checkpointed frame is
+            # shared with the index append below — committed ⊆ vecs
+            # and the hyperplane signatures are deterministic, so the
+            # appended rows are identical to a re-sign of the
+            # committed batch (the pre-r14 shape paid the signing
+            # kernel twice per batch).
+            meta_idx = read_vecsig_index_meta(spark, idx_dir)
+            sigs_e = (
+                hyperplane_signatures_multi(
+                    vecs,
+                    meta_idx["num_planes"],
+                    meta_idx["num_tables"],
+                    meta_idx["seed"],
+                    meta_idx["dim"],
+                )
+                .withColumn("spart", _vecsig_spart(meta_idx["k_sig_parts"]))
+                .localCheckpoint(eager=True)
+            )
             hits = (
                 lsh_cosine_dedup_against_index_persisted(
-                    spark, idx_dir, vecs, threshold=threshold
+                    spark, idx_dir, vecs, threshold=threshold, presigned=sigs_e
                 )
                 .select(F.col("new_id").alias("vec_id"))
                 .distinct()
@@ -978,7 +1000,7 @@ def incremental_semantic_ingest(
         ).write.mode("overwrite").parquet(out_epoch)
         if not bootstrapped:
             committed = spark.read.parquet(out_epoch).select("vec_id", "embedding")
-            add_to_vecsig_index(spark, idx_dir, committed)
+            add_to_vecsig_index(spark, idx_dir, committed, presigned=sigs_e)
 
     stream = staged_ordered_source(
         spark, [b.select("vec_id", "embedding") for b in batches], cache_key

@@ -2756,3 +2756,80 @@ def test_dedup_clusters_star_forest_input_skips_rounds(spark, monkeypatch):
     got = {r["doc_id"]: r["rep_id"] for r in D.dedup_clusters(chain).collect()}
     assert got == {i: 1 for i in range(1, 10)}
     assert calls["n"] >= 1
+
+
+def test_presigned_vecsig_batch_shared_across_lookup_and_append(spark, tmp_path):
+    """r14, vector twin of the dedup presigned test: the semantic
+    ingest gate signs its batch once and shares the frame between the
+    cross-batch check and the tier append. Pin lookup parity (both
+    routes), append parity from a presigned SUPERSET frame, and the
+    loud failure on foreign-parameter frames."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        _vecsig_spart,
+        add_to_vecsig_index,
+        hyperplane_signatures_multi,
+        lsh_cosine_dedup_against_index_persisted,
+        persist_vecsig_index,
+        read_vecsig_index_meta,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    committed = new.filter(F.col("vec_id") % 2 == 0)  # strict subset
+
+    def fresh_tier(sub: str) -> str:
+        path = str(tmp_path / sub)
+        persist_vecsig_index(corpus, path)
+        return path
+
+    path_a = fresh_tier("tier_resign")
+    path_b = fresh_tier("tier_presigned")
+    meta = read_vecsig_index_meta(spark, path_a)
+    signed = (
+        hyperplane_signatures_multi(
+            new, meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
+        )
+        .withColumn("spart", _vecsig_spart(meta["k_sig_parts"]))
+        .localCheckpoint(eager=True)
+    )
+
+    for route in ("pruned", "full"):
+        base = lsh_cosine_dedup_against_index_persisted(
+            spark, path_a, new, threshold=0.5, route=route
+        )
+        pre = lsh_cosine_dedup_against_index_persisted(
+            spark, path_a, new, threshold=0.5, route=route, presigned=signed
+        )
+        key = lambda r: (r["new_id"], r["index_id"], r["sim"])
+        assert sorted(map(key, base.collect())) == sorted(map(key, pre.collect()))
+
+    add_to_vecsig_index(spark, path_a, committed)
+    add_to_vecsig_index(spark, path_b, committed, presigned=signed)
+    for sub in ("/sigs", "/vectors"):
+        a = spark.read.parquet(path_a + sub)
+        b = spark.read.parquet(path_b + sub)
+        cols = sorted(a.columns)
+        assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+            map(tuple, b.select(*cols).collect())
+        )
+
+    wrong = (
+        hyperplane_signatures_multi(
+            new, meta["num_planes"], meta["num_tables"] // 2, meta["seed"], meta["dim"]
+        )
+        .withColumn("spart", _vecsig_spart(meta["k_sig_parts"]))
+        .localCheckpoint(eager=True)
+    )
+    with pytest.raises(ValueError, match="signature tables"):
+        add_to_vecsig_index(spark, path_a, committed, presigned=wrong)
+    with pytest.raises(ValueError, match="signature tables"):
+        lsh_cosine_dedup_against_index_persisted(
+            spark, path_a, new, threshold=0.5, presigned=wrong
+        )
+    with pytest.raises(ValueError, match="spart"):
+        add_to_vecsig_index(
+            spark, path_a, committed, presigned=signed.drop("spart")
+        )
