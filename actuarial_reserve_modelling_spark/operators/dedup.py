@@ -362,6 +362,40 @@ def _jaccard_score_filter(
     return out.drop("_inter", "_raw_jac")
 
 
+def minhash_near_dup_pairs_with_index(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    bands: int = 24,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    text_col: str = "text",
+    broadcast_verify: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """``minhash_near_dup_pairs`` that ALSO returns the signed
+    exact-collapse rep frame (doc_id, htok, sig — the
+    ``build_dedup_index`` shape) it computed internally, eagerly
+    checkpointed so the pair pipeline and the caller share ONE kernel
+    run. Every rep that survives near-dup collapse is an exact-collapse
+    rep, so the frame covers any downstream survivor subset — the
+    ingest gate semi-joins it instead of re-signing its batch for the
+    cross-batch check, the tier append, and the bootstrap persist
+    (r14: one MinHash pass per batch where the gate paid up to three).
+    Signatures are bit-identical to ``build_dedup_index`` over the same
+    docs: same tokenizer, same kernel, same parameters, and every
+    member of an exact-collapse group carries the identical htok
+    array."""
+    return _minhash_near_dup_pairs(
+        docs,
+        threshold=threshold,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        seed=seed,
+        text_col=text_col,
+        broadcast_verify=broadcast_verify,
+        with_index=True,
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.95,
@@ -402,6 +436,33 @@ def minhash_near_dup_pairs(
     Jaccard with anything — including each other — is 0/0 = NULL in the
     oracle, never ≥ threshold.
     """
+    return _minhash_near_dup_pairs(
+        docs,
+        threshold=threshold,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        seed=seed,
+        text_col=text_col,
+        broadcast_verify=broadcast_verify,
+        with_index=False,
+    )
+
+
+def _minhash_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float,
+    bands: int,
+    rows_per_band: int,
+    seed: int,
+    text_col: str,
+    broadcast_verify: bool,
+    with_index: bool,
+):
+    """Body of both public forms. ``with_index=False`` keeps the
+    signed frame an unnamed subtree feeding the banding stage (plan
+    identical to the historical single-output operator);
+    ``with_index=True`` eagerly checkpoints it so the pair pipeline
+    reads the one materialization the caller also receives."""
     toks = docs.select(
         "doc_id", F.expr(TOKENS.replace("text", text_col)).alias("tokens")
     ).filter(F.size("tokens") > 0)
@@ -437,12 +498,19 @@ def minhash_near_dup_pairs(
     # expansion prunes on is a narrow projection — not the join back to
     # ``groups`` this replaced (r14); the 1e-6 slack matches the
     # round-before-filter verify below
-    sigs_sz = _signatures_from_hashed(
+    signed = _signatures_from_hashed(
         groups.select(F.col("rep_id").alias("doc_id"), "htok"),
         num_hashes=bands * rows_per_band,
         seed=seed,
         carry_htok=True,
-    ).select("doc_id", "sig", F.size("htok").alias("sz"))
+    )
+    if with_index:
+        # materialized once, shared between the banding stage below and
+        # the caller (the ingest gate's cross-batch/append/bootstrap
+        # consumers); the plain path keeps the kernel fused into the
+        # banding stage — a checkpoint there would only add storage
+        signed = signed.localCheckpoint(eager=True)
+    sigs_sz = signed.select("doc_id", "sig", F.size("htok").alias("sz"))
     cands = lsh_candidate_pairs(
         sigs_sz,
         bands=bands,
@@ -492,7 +560,8 @@ def minhash_near_dup_pairs(
         )
         .withColumn("jac", F.lit(1.0))
     )
-    return cross.unionByName(within)
+    pairs = cross.unionByName(within)
+    return (pairs, signed) if with_index else pairs
 
 
 def _symmetrize(pairs: DataFrame) -> DataFrame:

@@ -583,7 +583,7 @@ def incremental_neardup_ingest(
         compact_dedup_index,
         dedup_clusters,
         minhash_dedup_against_index_persisted,
-        minhash_near_dup_pairs,
+        minhash_near_dup_pairs_with_index,
         persist_dedup_index,
         build_dedup_index,
         read_dedup_index_meta,
@@ -697,14 +697,16 @@ def incremental_neardup_ingest(
         t0 = _mark("exact_tier", t0)
         # 2) within-batch near-dup clustering → cluster representatives
         # eager checkpoint: the emptiness probe and the CC rounds below
-        # would otherwise each re-run the whole LSH pair pipeline
-        pairs = (
-            minhash_near_dup_pairs(
-                docs_e, threshold=threshold, bands=bands, rows_per_band=rows_per_band
-            )
-            .select("d1", "d2")
-            .localCheckpoint(eager=True)
+        # would otherwise each re-run the whole LSH pair pipeline.
+        # The _with_index form also hands back the signed exact-collapse
+        # rep frame (one materialization), which the cross-batch check,
+        # the tier append and the bootstrap persist below reuse instead
+        # of re-signing — every survivor of the near-dup collapse is an
+        # exact-collapse rep, so semi-joins of this frame cover them.
+        pairs_raw, signed_reps = minhash_near_dup_pairs_with_index(
+            docs_e, threshold=threshold, bands=bands, rows_per_band=rows_per_band
         )
+        pairs = pairs_raw.select("d1", "d2").localCheckpoint(eager=True)
         if pairs.limit(1).count() > 0:
             non_reps = (
                 dedup_clusters(pairs)
@@ -724,12 +726,26 @@ def incremental_neardup_ingest(
         # tokenize+MinHash kernel twice per batch).
         if _have_index():
             meta_idx = read_dedup_index_meta(spark, idx_dir)
-            signed_e = build_dedup_index(
-                docs_e,
-                bands=meta_idx["bands"],
-                rows_per_band=meta_idx["rows_per_band"],
-                seed=meta_idx["seed"],
-            ).localCheckpoint(eager=True)
+            if (
+                meta_idx["bands"],
+                meta_idx["rows_per_band"],
+                meta_idx["seed"],
+            ) == (bands, rows_per_band, 42):
+                # gate-managed tier (bootstrapped below with exactly
+                # these parameters; 42 is the shared default seed of
+                # both signing calls): restrict the within-batch rep
+                # frame to the survivors — zero extra kernel runs
+                signed_e = signed_reps.join(
+                    docs_e.select("doc_id"), "doc_id", "leftsemi"
+                )
+            else:
+                # foreign tier in the work dir: sign with ITS params
+                signed_e = build_dedup_index(
+                    docs_e,
+                    bands=meta_idx["bands"],
+                    rows_per_band=meta_idx["rows_per_band"],
+                    seed=meta_idx["seed"],
+                ).localCheckpoint(eager=True)
             hits = (
                 minhash_dedup_against_index_persisted(
                     spark,
@@ -758,9 +774,11 @@ def incremental_neardup_ingest(
         committed = spark.read.parquet(out_epoch).select("doc_id", "text")
         t0 = _mark("sink", t0)
         if bootstrapped:
+            # the rep frame was signed with exactly these parameters —
+            # restrict to committed ids instead of re-signing
             persist_dedup_index(
-                build_dedup_index(
-                    committed, bands=bands, rows_per_band=rows_per_band
+                signed_reps.join(
+                    committed.select("doc_id"), "doc_id", "leftsemi"
                 ),
                 idx_dir,
                 bands=bands,

@@ -2833,3 +2833,26 @@ def test_presigned_vecsig_batch_shared_across_lookup_and_append(spark, tmp_path)
         add_to_vecsig_index(
             spark, path_a, committed, presigned=signed.drop("spart")
         )
+
+
+def test_minhash_near_dup_pairs_with_index_parity(spark):
+    """r14 three-way signature share: the _with_index form must return
+    (a) the exact same pairs as the single-output operator and (b) a
+    signed rep frame bitwise-equal to build_dedup_index restricted to
+    the rep ids (same kernel, same parameters — the property that lets
+    the ingest gate reuse it for its cross-batch check and appends)."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        build_dedup_index,
+        minhash_near_dup_pairs,
+        minhash_near_dup_pairs_with_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = sorted(map(tuple, minhash_near_dup_pairs(docs, threshold=0.9).collect()))
+    pairs, signed = minhash_near_dup_pairs_with_index(docs, threshold=0.9)
+    assert sorted(map(tuple, pairs.collect())) == base
+
+    full = build_dedup_index(docs)
+    ref = full.join(signed.select("doc_id"), "doc_id", "leftsemi")
+    key = lambda r: (r["doc_id"], tuple(r["htok"]), tuple(r["sig"]))
+    assert sorted(map(key, signed.collect())) == sorted(map(key, ref.collect()))
