@@ -411,6 +411,37 @@ def ann_lsh_topk(
     )
 
 
+def lsh_cosine_pairs_with_index(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    num_tables: int = 24,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket_size: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """``lsh_cosine_pairs`` that ALSO returns the multi-table
+    signature frame (vec_id, table, sig) it computed internally,
+    eagerly checkpointed so the pair pipeline and the caller share ONE
+    kernel run — the vector analogue of
+    ``minhash_near_dup_pairs_with_index``. The semantic ingest gate
+    semi-joins it (with ``spart`` attached — a pure projection of the
+    (table, sig) cell) instead of re-signing its batch for the
+    cross-batch check and the tier append. Signatures are bit-identical
+    to ``hyperplane_signatures_multi`` under the same parameters — it
+    IS that kernel."""
+    return _lsh_cosine_pairs(
+        embeddings,
+        threshold=threshold,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        seed=seed,
+        dim=dim,
+        max_bucket_size=max_bucket_size,
+        with_index=True,
+    )
+
+
 def lsh_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -455,10 +486,38 @@ def lsh_cosine_pairs(
     (``_kernel_cosine_sims``), so the per-candidate cost is a
     vectorized multiply-accumulate, not an interpreted fold.
     """
+    return _lsh_cosine_pairs(
+        embeddings,
+        threshold=threshold,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        seed=seed,
+        dim=dim,
+        max_bucket_size=max_bucket_size,
+        with_index=False,
+    )
+
+
+def _lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+    dim: int,
+    max_bucket_size: int,
+    with_index: bool,
+):
+    """Body of both public forms — ``with_index=False`` keeps the
+    signature kernel fused into the bucket aggregation (the historical
+    single-output plan); ``with_index=True`` checkpoints it for
+    sharing."""
     # one corpus scan + one Arrow stage for all tables' signatures (the
     # per-table-kernel formulation read the corpus num_tables times —
     # 12 passes over the vectors at the defaults)
     sigs = hyperplane_signatures_multi(embeddings, num_planes, num_tables, seed, dim)
+    if with_index:
+        sigs = sigs.localCheckpoint(eager=True)
     grouped = (
         sigs.groupBy("table", "sig")
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
@@ -488,9 +547,10 @@ def lsh_cosine_pairs(
     # (measured 215 s → the kernel replaces it with three vectorized
     # (batch × d) elementwise passes). Rounding + threshold stay JVM.
     sims = _kernel_cosine_sims(cand.join(a, "v1").join(b, "v2"))
-    return sims.select(
+    pairs = sims.select(
         "v1", "v2", F.round("sim", 6).alias("sim")
     ).filter(F.col("sim") >= threshold)
+    return (pairs, sigs) if with_index else pairs
 
 
 # --- IVF (inverted-file) ANN ------------------------------------------------

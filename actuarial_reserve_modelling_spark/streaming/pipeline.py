@@ -904,7 +904,7 @@ def incremental_semantic_ingest(
         compact_vecsig_index,
         hyperplane_signatures_multi,
         lsh_cosine_dedup_against_index_persisted,
-        lsh_cosine_pairs,
+        lsh_cosine_pairs_with_index,
         persist_vecsig_index,
         read_vecsig_index_meta,
     )
@@ -945,19 +945,23 @@ def incremental_semantic_ingest(
             if auto_vacuum:
                 vacuum_index(spark, work, dry_run=False)
         vecs = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
-        # 1) within-batch semantic clustering → cluster representatives
-        pairs = (
-            lsh_cosine_pairs(
-                vecs,
-                threshold=threshold,
-                num_planes=num_planes,
-                num_tables=num_tables,
-                seed=seed,
-                dim=dim,
-            )
-            .select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
-            .localCheckpoint(eager=True)
+        # 1) within-batch semantic clustering → cluster representatives.
+        # The _with_index form also hands back the batch's signature
+        # frame (one kernel run) — the cross-batch check and the tier
+        # append below reuse it instead of re-signing when the tier's
+        # persisted parameters match the gate's (always true for a
+        # gate-managed tier: the bootstrap persists with exactly these).
+        pairs_raw, batch_sigs = lsh_cosine_pairs_with_index(
+            vecs,
+            threshold=threshold,
+            num_planes=num_planes,
+            num_tables=num_tables,
+            seed=seed,
+            dim=dim,
         )
+        pairs = pairs_raw.select(
+            F.col("v1").alias("d1"), F.col("v2").alias("d2")
+        ).localCheckpoint(eager=True)
         if pairs.limit(1).count() > 0:
             non_reps = (
                 dedup_clusters(pairs)
@@ -990,17 +994,33 @@ def incremental_semantic_ingest(
             # committed batch (the pre-r14 shape paid the signing
             # kernel twice per batch).
             meta_idx = read_vecsig_index_meta(spark, idx_dir)
-            sigs_e = (
-                hyperplane_signatures_multi(
-                    vecs,
-                    meta_idx["num_planes"],
-                    meta_idx["num_tables"],
-                    meta_idx["seed"],
-                    meta_idx["dim"],
+            if (
+                meta_idx["num_planes"],
+                meta_idx["num_tables"],
+                meta_idx["seed"],
+                meta_idx["dim"],
+            ) == (num_planes, num_tables, seed, dim):
+                # reuse the within-batch kernel run: spart is a pure
+                # projection of the (table, sig) cell, and the
+                # semi-join restricts to the surviving vectors
+                sigs_e = (
+                    batch_sigs.withColumn(
+                        "spart", _vecsig_spart(meta_idx["k_sig_parts"])
+                    ).join(vecs.select("vec_id"), "vec_id", "leftsemi")
                 )
-                .withColumn("spart", _vecsig_spart(meta_idx["k_sig_parts"]))
-                .localCheckpoint(eager=True)
-            )
+            else:
+                # foreign tier in the work dir: sign with ITS params
+                sigs_e = (
+                    hyperplane_signatures_multi(
+                        vecs,
+                        meta_idx["num_planes"],
+                        meta_idx["num_tables"],
+                        meta_idx["seed"],
+                        meta_idx["dim"],
+                    )
+                    .withColumn("spart", _vecsig_spart(meta_idx["k_sig_parts"]))
+                    .localCheckpoint(eager=True)
+                )
             hits = (
                 lsh_cosine_dedup_against_index_persisted(
                     spark, idx_dir, vecs, threshold=threshold, presigned=sigs_e

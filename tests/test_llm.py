@@ -2856,3 +2856,21 @@ def test_minhash_near_dup_pairs_with_index_parity(spark):
     ref = full.join(signed.select("doc_id"), "doc_id", "leftsemi")
     key = lambda r: (r["doc_id"], tuple(r["htok"]), tuple(r["sig"]))
     assert sorted(map(key, signed.collect())) == sorted(map(key, ref.collect()))
+
+
+def test_lsh_cosine_pairs_with_index_parity(spark):
+    """r14, vector analogue of the minhash _with_index parity test:
+    identical pairs, and a signature frame bitwise-equal to
+    hyperplane_signatures_multi under the same parameters."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        hyperplane_signatures_multi,
+        lsh_cosine_pairs,
+        lsh_cosine_pairs_with_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    base = sorted(map(tuple, lsh_cosine_pairs(emb, threshold=0.5).collect()))
+    pairs, sigs = lsh_cosine_pairs_with_index(emb, threshold=0.5)
+    assert sorted(map(tuple, pairs.collect())) == base
+    ref = hyperplane_signatures_multi(emb, 12, 24, 42, 64)
+    assert sorted(map(tuple, sigs.collect())) == sorted(map(tuple, ref.collect()))
