@@ -4315,6 +4315,7 @@ def persist_vecsig_index(
     dim: int = 64,
     n_buckets: int | None = None,
     k_sig_parts: int | None = None,
+    presigned: DataFrame | None = None,
 ) -> None:
     """Persist (vec_id, embedding) rows as the maintained vector
     near-dup tier:
@@ -4346,7 +4347,16 @@ def persist_vecsig_index(
     bytes stay constant and a fixed batch's touched fraction SHRINKS as
     the corpus grows — the flat-per-batch acceptance curve
     tools/vecsig_stress.py records. meta/ is written LAST (the commit
-    marker: every reader requires it)."""
+    marker: every reader requires it).
+
+    ``presigned``: an existing ``hyperplane_signatures_multi`` output
+    (WITHOUT spart — the partition count is sized here) covering a
+    SUPERSET of ``vecs``'s ids, built with the same parameters this
+    call asserts — semi-joined to the input ids instead of re-signing
+    (the semantic ingest gate's bootstrap reuses its within-batch
+    kernel run). A one-pass table-count probe guards the num_tables
+    match; deeper parameter mismatches rest on the caller, which is
+    already asserting the parameters meta/ will record."""
     spark = vecs.sparkSession
     vecs = vecs.select("vec_id", "embedding").localCheckpoint(eager=False)
     # duplicate ids would silently duplicate rows in BOTH datasets (and
@@ -4374,9 +4384,25 @@ def persist_vecsig_index(
             # directories few and large while the per-batch touched
             # cap stays ≤ |batch|·num_tables·dir_bytes at any corpus
             k_sig_parts = max(8, min(32768, n_rows // 1000))
-    sigs = hyperplane_signatures_multi(
-        vecs, num_planes, num_tables, seed, dim
-    ).withColumn("spart", _vecsig_spart(k_sig_parts))
+    if presigned is not None:
+        probe = presigned.agg(F.countDistinct("table").alias("_t")).collect()
+        got_t = int(probe[0]["_t"] or 0) if probe else 0
+        if got_t not in (0, num_tables):
+            raise ValueError(
+                f"persist_vecsig_index: presigned frame carries {got_t} "
+                f"signature tables != asserted num_tables = {num_tables} — "
+                "the frame was signed with different parameters; refusing "
+                "to persist mismatched signatures"
+            )
+        sigs = (
+            presigned.select("vec_id", "table", "sig")
+            .join(vecs.select("vec_id"), "vec_id", "leftsemi")
+            .withColumn("spart", _vecsig_spart(k_sig_parts))
+        )
+    else:
+        sigs = hyperplane_signatures_multi(
+            vecs, num_planes, num_tables, seed, dim
+        ).withColumn("spart", _vecsig_spart(k_sig_parts))
     sigs.repartition(F.col("spart")).sortWithinPartitions(
         "table", "sig"
     ).write.mode("overwrite").partitionBy("spart").parquet(path + "/sigs")

@@ -973,7 +973,10 @@ def incremental_semantic_ingest(
             )
         if not _have_index():
             # batch 0 (or its retry): bootstrap the persisted tier on
-            # the admitted set; persist's overwrite clears partial state
+            # the admitted set; persist's overwrite clears partial
+            # state. The within-batch signature frame rides along —
+            # persist semi-joins it to the admitted ids instead of
+            # re-running the kernel (same parameters by construction).
             persist_vecsig_index(
                 vecs,
                 idx_dir,
@@ -981,6 +984,7 @@ def incremental_semantic_ingest(
                 num_tables=num_tables,
                 seed=seed,
                 dim=dim,
+                presigned=batch_sigs,
             )
             admitted = vecs
             bootstrapped = True

@@ -2874,3 +2874,38 @@ def test_lsh_cosine_pairs_with_index_parity(spark):
     assert sorted(map(tuple, pairs.collect())) == base
     ref = hyperplane_signatures_multi(emb, 12, 24, 42, 64)
     assert sorted(map(tuple, sigs.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_persist_vecsig_presigned_parity(spark, tmp_path):
+    """r14: the semantic gate's bootstrap feeds its within-batch
+    signature frame to persist_vecsig_index. Pin that a presigned
+    SUPERSET frame persists a tier identical in content to the
+    self-signing persist, and that foreign-parameter frames fail."""
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        hyperplane_signatures_multi,
+        persist_vecsig_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    admitted = emb.filter(F.col("vec_id") % 2 == 0)  # strict subset
+    signed = hyperplane_signatures_multi(emb, 12, 24, 42, 64).localCheckpoint(
+        eager=True
+    )
+
+    path_a = str(tmp_path / "tier_resign")
+    path_b = str(tmp_path / "tier_presigned")
+    persist_vecsig_index(admitted, path_a)
+    persist_vecsig_index(admitted, path_b, presigned=signed)
+    for sub in ("/sigs", "/vectors", "/meta"):
+        a = spark.read.parquet(path_a + sub)
+        b = spark.read.parquet(path_b + sub)
+        cols = sorted(a.columns)
+        assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+            map(tuple, b.select(*cols).collect())
+        )
+
+    wrong = hyperplane_signatures_multi(emb, 12, 12, 42, 64)
+    with pytest.raises(ValueError, match="signature tables"):
+        persist_vecsig_index(
+            admitted, str(tmp_path / "tier_bad"), presigned=wrong
+        )
