@@ -130,8 +130,10 @@ def _signatures_from_hashed(
             rows_to_list_array,
         )
 
-        # keep the (num_hashes × chunk_tokens) work matrix under ~512 MB
-        chunk_token_budget = max(1, (1 << 26) // num_hashes)
+        # bound the per-dispatch token slice: the scratch row is 8
+        # bytes/token, so 2^18 tokens keeps it at 2 MB (L2-resident
+        # while the per-hash reduceat re-reads it)
+        chunk_token_budget = 1 << 18
 
         for batch in batches:
             if batch.num_rows == 0:  # same guard as the similarity kernels
@@ -158,8 +160,21 @@ def _signatures_from_hashed(
                     # so the chunk's tokens are one contiguous slice
                     base = values[lo : ends[end - 1]].view(np.uint64)
                     bounds = (ends[nonempty] - lens[nonempty] - lo).astype(np.int64)
-                    m = a[:, None] * base[None, :] + b[:, None]  # (k, tot)
-                    mins = np.minimum.reduceat(m, bounds, axis=1)  # (k, docs)
+                    # one contiguous multiply+add+reduceat per hash row
+                    # into a reused scratch buffer. The obvious
+                    # broadcast form (a[:,None]*base[None,:]+b[:,None])
+                    # hits numpy's stride-0 generic inner loop for u64
+                    # multiply — measured 123 ns/element vs ~3 ns here
+                    # (~70× on the whole chunk, r14 microbench). u64
+                    # wraparound arithmetic is per-element, so the
+                    # signatures are bit-identical either way (pinned
+                    # by test_minhash_rowloop_matches_broadcast).
+                    mins = np.empty((num_hashes, len(bounds)), dtype=np.uint64)
+                    tmp = np.empty(len(base), dtype=np.uint64)
+                    for i in range(num_hashes):
+                        np.multiply(base, a[i], out=tmp)
+                        tmp += b[i]
+                        np.minimum.reduceat(tmp, bounds, out=mins[i])
                     sig_rows[nonempty, :] = mins.T.view(np.int64)
                 start = end
             cols = [pa.array(ids, type=pa.int64())]
@@ -178,11 +193,11 @@ def _signatures_from_hashed(
 
     from actuarial_reserve_modelling_spark.operators import spread_for_kernel
 
-    # the (num_hashes × tokens) u64 broadcast-multiply makes this kernel
-    # ~4 µs/input-byte (measured r14: ~2.4 s single-task at sf0.1) —
-    # orders denser than the vectorized-kernel default, so spread from a
-    # much smaller per-task budget (~65 ms of kernel CPU per task)
-    return spread_for_kernel(hashed, bytes_per_task=16384).mapInArrow(
+    # the fused row-loop kernel runs ~0.1 µs/input-byte (r14 microbench:
+    # 0.087 s over 918 KB of token hashes — the old broadcast-multiply
+    # form was ~4 µs/byte and forced a 16 KiB/task spread), so ~65 ms of
+    # kernel CPU per task is ~512 KiB of input
+    return spread_for_kernel(hashed, bytes_per_task=512 << 10).mapInArrow(
         kernel, schema=schema
     )
 

@@ -2909,3 +2909,51 @@ def test_persist_vecsig_presigned_parity(spark, tmp_path):
         persist_vecsig_index(
             admitted, str(tmp_path / "tier_bad"), presigned=wrong
         )
+
+
+def test_minhash_rowloop_matches_broadcast(spark):
+    """r14 kernel rewrite: the fused per-hash row loop in
+    _signatures_from_hashed must be bit-identical to the original
+    broadcast formulation a[:,None]*base[None,:]+b[:,None] (u64
+    wraparound arithmetic is per-element, so loop order cannot change
+    any signature — this pins that the rewrite preserved the exact
+    draws, the empty-doc zero rows, and the min-over-set semantics)."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),
+            Row(doc_id=2, text="a b c d e f g z extra tokens here"),
+            Row(doc_id=3, text="   "),  # empty token set -> zero signature
+            Row(doc_id=4, text="solo"),
+            Row(doc_id=5, text="repeat repeat repeat distinct"),
+        ]
+    )
+    num_hashes, seed = 192, 42
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(docs, num_hashes=num_hashes, seed=seed).collect()
+    }
+    # reference: the pre-r14 broadcast formulation over the same
+    # JVM-side xxhash64 token hashes
+    htoks = {
+        r["doc_id"]: np.array(r["htok"], dtype=np.int64)
+        for r in docs.select(
+            "doc_id",
+            F.expr(
+                "transform(array_distinct(filter(split(text, ' '), x -> x != '')),"
+                " t -> xxhash64(t))"
+            ).alias("htok"),
+        ).collect()
+    }
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
+    for doc_id, htok in htoks.items():
+        if len(htok) == 0:
+            expect = [0] * num_hashes
+        else:
+            base = htok.view(np.uint64)
+            m = a[:, None] * base[None, :] + b[:, None]
+            expect = list(m.min(axis=1).view(np.int64))
+        assert got[doc_id] == expect, f"doc {doc_id} signature changed"
