@@ -57,6 +57,56 @@ def _committed_parquet(path: str) -> bool:
     return False
 
 
+def _run_overlapped(
+    labeled_fns: list[tuple[str, object]],
+    marks: list[tuple[str, float]] | None,
+) -> None:
+    """Run independent driver-side actions concurrently (guide §2.6:
+    Spark's scheduler happily runs several jobs at once; actions are
+    sequential only because driver code calls them sequentially —
+    submitting independent ones from threads lets the next job's tasks
+    back-fill executors freed by the current job's straggler tail).
+
+    Callers own the independence argument: the actions must not read
+    anything the other one writes. ``pyspark.InheritableThread``
+    propagates the JVM thread-local properties (job group/description)
+    and cleans up pinned threads. Every function runs to completion;
+    the first exception (by list order) is re-raised after all threads
+    join, so a failed step fails loudly exactly as the sequential form
+    did and the caller's retry semantics are unchanged. Per-action
+    walls are appended to ``marks`` when timing is on."""
+    import time as _time
+
+    from pyspark import InheritableThread
+
+    errs: dict[str, BaseException] = {}
+
+    def _wrap(label: str, fn) -> object:
+        def run() -> None:
+            t0 = _time.time()
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs[label] = e
+            finally:
+                if marks is not None:
+                    marks.append((label, round(_time.time() - t0, 2)))
+
+        return run
+
+    threads = [
+        InheritableThread(target=_wrap(label, fn), name=f"arm-overlap-{label}")
+        for label, fn in labeled_fns
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for label, _fn in labeled_fns:
+        if label in errs:
+            raise errs[label]
+
+
 def events_stream_source(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> tuple[DataFrame, str]:
@@ -773,39 +823,58 @@ def incremental_neardup_ingest(
         ).write.mode("overwrite").parquet(out_epoch)
         committed = spark.read.parquet(out_epoch).select("doc_id", "text")
         t0 = _mark("sink", t0)
-        if bootstrapped:
-            # the rep frame was signed with exactly these parameters —
-            # restrict to committed ids instead of re-signing
-            persist_dedup_index(
-                signed_reps.join(
-                    committed.select("doc_id"), "doc_id", "leftsemi"
-                ),
-                idx_dir,
-                bands=bands,
-                rows_per_band=rows_per_band,
+
+        def _index_append() -> None:
+            if bootstrapped:
+                # the rep frame was signed with exactly these parameters
+                # — restrict to committed ids instead of re-signing
+                persist_dedup_index(
+                    signed_reps.join(
+                        committed.select("doc_id"), "doc_id", "leftsemi"
+                    ),
+                    idx_dir,
+                    bands=bands,
+                    rows_per_band=rows_per_band,
+                )
+            else:
+                add_to_dedup_index(spark, idx_dir, committed, presigned=signed_e)
+
+        def _fp_append() -> None:
+            # fingerprint append reuses the exact tier's checkpointed
+            # (doc_id, fingerprint, fpart) rows — committed ⊆ first, so
+            # the semi-join replaces a full re-normalize+md5 pass over
+            # the committed text (identical values: same fingerprint
+            # function over the same rows)
+            newfp = first.select("doc_id", "fingerprint", "fpart").join(
+                committed.select("doc_id"), "doc_id", "leftsemi"
             )
-        else:
-            add_to_dedup_index(spark, idx_dir, committed, presigned=signed_e)
-        t0 = _mark("index_append", t0)
-        # fingerprint append reuses the exact tier's checkpointed
-        # (doc_id, fingerprint, fpart) rows — committed ⊆ first, so the
-        # semi-join replaces a full re-normalize+md5 pass over the
-        # committed text (identical values: same fingerprint function
-        # over the same rows)
-        newfp = first.select("doc_id", "fingerprint", "fpart").join(
-            committed.select("doc_id"), "doc_id", "leftsemi"
+            if _have_fp():
+                existing = (
+                    spark.read.parquet(fp_dir)
+                    .filter(F.col("fpart").isin(fparts))
+                    .select(F.col("doc_id").cast("long").alias("doc_id"))
+                )
+                newfp = newfp.join(existing, "doc_id", "left_anti")
+            newfp.select("doc_id", "fingerprint", "fpart").repartition(
+                F.col("fpart")
+            ).write.mode("append").partitionBy("fpart").parquet(fp_dir)
+
+        # 5+6) tier appends OVERLAPPED from two driver threads: both
+        # derive only from the committed sink (plus frames eagerly
+        # checkpointed above — nothing upstream re-executes) and write
+        # to DIFFERENT directories, so the jobs are independent and the
+        # scheduler back-fills one append's straggler tail with the
+        # other's tasks instead of leaving the cluster idle. Crash
+        # states are the same set a retry already heals — the stream
+        # replays a failed step before any later batch runs, the
+        # admitted sink is epoch-overwritten, and BOTH appends are
+        # anti-join idempotent — so only the wall changes, never the
+        # tier contents (pinned by the restart pytest + replay checks).
+        _run_overlapped(
+            [("index_append", _index_append), ("fp_append", _fp_append)],
+            _marks if _timing else None,
         )
-        if _have_fp():
-            existing = (
-                spark.read.parquet(fp_dir)
-                .filter(F.col("fpart").isin(fparts))
-                .select(F.col("doc_id").cast("long").alias("doc_id"))
-            )
-            newfp = newfp.join(existing, "doc_id", "left_anti")
-        newfp.select("doc_id", "fingerprint", "fpart").repartition(
-            F.col("fpart")
-        ).write.mode("append").partitionBy("fpart").parquet(fp_dir)
-        t0 = _mark("fp_append", t0)
+        t0 = _mark("appends", t0)
         if _timing:
             # label = the driving function, not a hardcoded query name
             # (r12 ADVICE: tools reusing this gate got 't11'-labelled

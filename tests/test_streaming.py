@@ -862,6 +862,47 @@ def test_committed_parquet_ignores_uncommitted_state(tmp_path):
     assert _committed_parquet(root)
 
 
+def test_run_overlapped_contract():
+    """r14 optimization: the t11 gate's two tier appends run from two
+    driver threads (guide §2.6 overlap). Pin the helper's contract —
+    every action runs to completion even when another fails, the FIRST
+    failure in list order is the one re-raised (deterministic, like the
+    sequential form), and per-action walls land in the marks list."""
+    import time
+
+    from actuarial_reserve_modelling_spark.streaming.pipeline import (
+        _run_overlapped,
+    )
+
+    ran: list[str] = []
+    marks: list[tuple[str, float]] = []
+    _run_overlapped(
+        [("a", lambda: ran.append("a")), ("b", lambda: ran.append("b"))],
+        marks,
+    )
+    assert sorted(ran) == ["a", "b"]
+    assert sorted(m[0] for m in marks) == ["a", "b"]
+    assert all(m[1] >= 0 for m in marks)
+
+    # both fail -> the first by LIST order is raised, regardless of
+    # which thread finished first; the slow one still completed
+    done: list[str] = []
+
+    def fail_fast():
+        raise ValueError("first-listed")
+
+    def fail_slow():
+        time.sleep(0.2)
+        done.append("slow-ran")
+        raise RuntimeError("second-listed")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="first-listed"):
+        _run_overlapped([("x", fail_fast), ("y", fail_slow)], None)
+    assert done == ["slow-ran"]
+
+
 def test_incremental_ingest_dedup_seeded_resume_keeps_prior_batches(spark, tmp_path):
     """r12 ADVICE fix: re-invoking the seeded exact-dedup gate with the
     SAME persistent work_dir must NOT rewrite the seed over the index
