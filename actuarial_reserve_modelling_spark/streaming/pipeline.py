@@ -693,12 +693,34 @@ def incremental_neardup_ingest(
         cadence_due = compact_every and bid > 0 and bid % compact_every == 0
         if (cadence_due or auto_compact) and bid > 0:
             cap = state_partitions if cadence_due else auto_compact
+            # the two tiers compact independently (different directories,
+            # each under its own lease) — overlap them like the appends
+            # below, so a hot epoch's two partition rewrites share the
+            # cluster instead of queueing; vacuum stays after both (it
+            # reads both tiers' live-file sets)
+            compactions = []
             if _have_index():
-                compact_dedup_index(spark, idx_dir, max_files_per_partition=cap)
-            if _have_fp():
-                compact_partitioned_index(
-                    spark, fp_dir, "fpart", max_files_per_partition=cap
+                compactions.append(
+                    (
+                        "compact_index",
+                        lambda: compact_dedup_index(
+                            spark, idx_dir, max_files_per_partition=cap
+                        ),
+                    )
                 )
+            if _have_fp():
+                compactions.append(
+                    (
+                        "compact_fp",
+                        lambda: compact_partitioned_index(
+                            spark, fp_dir, "fpart", max_files_per_partition=cap
+                        ),
+                    )
+                )
+            if len(compactions) > 1:
+                _run_overlapped(compactions, None)
+            elif compactions:
+                compactions[0][1]()
             if auto_vacuum:
                 vacuum_index(spark, work, dry_run=False)
         t0 = _mark("compact", t0)
