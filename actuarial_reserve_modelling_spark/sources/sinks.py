@@ -60,14 +60,22 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
     """S7b: resumable per-partition recompute — dynamic partition
     overwrite replaces only the partitions present in ``df``, leaving
     completed partitions untouched. This is the scalable form of the
-    reference's per-file skip: recompute is idempotent per partition."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    reference's per-file skip: recompute is idempotent per partition.
+
+    The mode is passed as a per-write DataFrameWriter option (overrides
+    the session conf, Spark >=2.4) rather than by mutating the
+    session-global ``spark.sql.sources.partitionOverwriteMode``: with
+    concurrent driver threads (overlapped compactions), a set/restore
+    of the session conf can race — one thread's restore to 'static'
+    landing before another thread's partitioned overwrite reads the
+    conf would turn that write into a STATIC overwrite, deleting every
+    partition not present in its frame."""
+    (
+        df.write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 _STAGING: dict[tuple[str, str], str] = {}

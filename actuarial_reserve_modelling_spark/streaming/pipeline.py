@@ -18,6 +18,7 @@ from __future__ import annotations
 import shutil
 import tempfile
 import uuid
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,7 +59,7 @@ def _committed_parquet(path: str) -> bool:
 
 
 def _run_overlapped(
-    labeled_fns: list[tuple[str, object]],
+    labeled_fns: list[tuple[str, Callable[[], None]]],
     marks: list[tuple[str, float]] | None,
 ) -> None:
     """Run independent driver-side actions concurrently (guide §2.6:
@@ -72,16 +73,17 @@ def _run_overlapped(
     propagates the JVM thread-local properties (job group/description)
     and cleans up pinned threads. Every function runs to completion;
     the first exception (by list order) is re-raised after all threads
-    join, so a failed step fails loudly exactly as the sequential form
-    did and the caller's retry semantics are unchanged. Per-action
-    walls are appended to ``marks`` when timing is on."""
+    join — with any OTHER thread's failure attached as an exception
+    note so a dual-failure batch does not hide a root cause — and the
+    caller's retry semantics are unchanged.
+    Per-action walls are appended to ``marks`` when timing is on."""
     import time as _time
 
     from pyspark import InheritableThread
 
     errs: dict[str, BaseException] = {}
 
-    def _wrap(label: str, fn) -> object:
+    def _wrap(label: str, fn: Callable[[], None]) -> Callable[[], None]:
         def run() -> None:
             t0 = _time.time()
             try:
@@ -104,7 +106,13 @@ def _run_overlapped(
         t.join()
     for label, _fn in labeled_fns:
         if label in errs:
-            raise errs[label]
+            first = errs.pop(label)
+            for lbl, e in errs.items():
+                first.add_note(
+                    f"concurrent overlapped action {lbl!r} also failed: "
+                    f"{type(e).__name__}: {e}"
+                )
+            raise first
 
 
 def events_stream_source(
@@ -718,7 +726,7 @@ def incremental_neardup_ingest(
                     )
                 )
             if len(compactions) > 1:
-                _run_overlapped(compactions, None)
+                _run_overlapped(compactions, _marks if _timing else None)
             elif compactions:
                 compactions[0][1]()
             if auto_vacuum:

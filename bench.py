@@ -156,6 +156,24 @@ def _tree_cpu_seconds() -> float:
     return total
 
 
+def _epoch_marker_sec() -> float:
+    """Fixed-work single-core CPU probe (VERDICT r14 item 2): a pure
+    Python 20M-iteration integer-add loop — no allocation, no I/O, no
+    Spark. Wall of this loop tracks the box's effective single-core
+    speed: ~1.0 s on this box's fast epochs, 1.9-3.0 s in the
+    documented slow-box epochs (BASELINE.md r14 closing battery). Two
+    samples (before warmup / after the sweep) land in the artifact so
+    a slow-box run is adjudicable from BENCH_rN.json alone: uniform
+    wall inflation with a ~2x marker is the box, not the code."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    if s != 199999990000000:  # keep the loop's result live
+        raise AssertionError("epoch marker loop miscomputed")
+    return round(time.perf_counter() - t0, 3)
+
+
 def _build_persisted_ann_index(spark, sf_dir) -> str:
     """Build + persist the vector-bearing hierarchical ANN index over
     the bench corpus ONCE (warmup-side, untimed): the l34 slot then
@@ -421,6 +439,11 @@ def main() -> None:
     # on some boots; recording spin-up and warmup separately (plus
     # per-query loadavg below) makes noise rounds adjudicable from the
     # artifact without a judge-side re-run.
+    # epoch marker sample 1: taken BEFORE any Spark work, outside every
+    # timed region (additions-only per the bench contract)
+    epoch_marker_before = _epoch_marker_sec()
+    bench_wall_start = round(time.time(), 3)
+
     t0 = time.time()
     spark = get_spark(app_name="arm-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -487,6 +510,10 @@ def main() -> None:
     # same code) — compare cpu_steady_per_query across rounds, use the
     # cold number only for the compile-cost decomposition
     cpu_steady_per_query: dict[str, float] = {}
+    # wall-clock start of each pass (VERDICT r14 item 2): with the
+    # loadavg trace and the epoch markers this reconstructs the run's
+    # timeline from the artifact alone
+    pass_start_unix: dict[str, dict[str, float]] = {"cold": {}, "steady": {}}
     all_names = []
     for name, fn in _bench_queries(
         spark, sf_dir, ann_index_path, ivfpq_index_path, dedup_index_path,
@@ -495,6 +522,9 @@ def main() -> None:
         all_names.append(name)
         loadavg_per_query[name] = round(os.getloadavg()[0], 2)
         for target in (timings, steady):
+            pass_start_unix["cold" if target is timings else "steady"][name] = round(
+                time.time(), 3
+            )
             c0 = _tree_cpu_seconds()
             t0 = time.time()
             try:
@@ -511,6 +541,10 @@ def main() -> None:
 
     recall = _pair_recall_canary(spark)
     recall_ok = all(v.get("ok") for v in recall.values())
+
+    # epoch marker sample 2: after the sweep, same fixed work
+    epoch_marker_after = _epoch_marker_sec()
+    bench_wall_end = round(time.time(), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     headline = [n for n in all_names[:HEADLINE_N] if n in timings]
@@ -612,6 +646,16 @@ def main() -> None:
                 "errors": errors,
                 "loadavg_1m_5m_15m": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                # single-core fixed-work probe, sampled before warmup and
+                # after the sweep: ~1.0 s fast epoch, 1.9-3.0 s slow epoch
+                # (BASELINE.md). A wall-inflated run whose markers read
+                # ~2x is the box, not a plan regression.
+                "epoch_marker_sec": [epoch_marker_before, epoch_marker_after],
+                "epoch_marker_work": "python-int-add-20M",
+                "epoch_marker_fast_box_sec": 1.0,
+                "wall_start_unix": bench_wall_start,
+                "wall_end_unix": bench_wall_end,
+                "pass_start_unix": pass_start_unix,
                 "cpus": os.cpu_count(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
@@ -644,6 +688,7 @@ def main() -> None:
         "value4_ok": result["value4_ok"],
         "recall_ok": result["recall_ok"],
         "noise_flag": result["noise_flag"],
+        "epoch_marker_sec": result["epoch_marker_sec"],
         "cpu_headline_total": result["cpu_headline_total"],
         "cpu_steady_headline_total": result["cpu_steady_headline_total"],
         "errors": sorted(errors),

@@ -285,9 +285,30 @@ def test_sinks_roundtrip_and_resume(spark, tmp_path):
     assert write_if_absent(df.limit(1), p7) is False
     assert spark.read.parquet(p7).count() == 100
 
-    # S7b: recompute only partition 2; other partitions untouched
+    # S7b: recompute only partition 2; other partitions untouched.
+    # r15 ADVICE fix: the dynamic mode rides a per-write writer option,
+    # never the session conf — a session left at 'static' must still get
+    # a dynamic overwrite, and the conf must not be touched (two driver
+    # threads overlapping compactions would otherwise race the
+    # set/restore and a static partitioned overwrite deletes the whole
+    # dataset root).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    _orig_set = type(spark.conf).set
+
+    def _guard_set(self, key, value):
+        assert key != "spark.sql.sources.partitionOverwriteMode", (
+            "overwrite_partitions must not mutate the session-global "
+            "partitionOverwriteMode (thread-safety)"
+        )
+        return _orig_set(self, key, value)
+
     redo = df.filter(F.col("part") == 2).withColumn("v", F.col("v") + 1000)
-    overwrite_partitions(redo, p6, ["part"])
+    try:
+        type(spark.conf).set = _guard_set
+        overwrite_partitions(redo, p6, ["part"])
+    finally:
+        type(spark.conf).set = _orig_set
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     after = spark.read.parquet(p6)
     assert after.count() == 100
     assert after.filter((F.col("part") == 2) & (F.col("v") >= 1000)).count() == 25
@@ -898,9 +919,13 @@ def test_run_overlapped_contract():
 
     import pytest
 
-    with pytest.raises(ValueError, match="first-listed"):
+    with pytest.raises(ValueError, match="first-listed") as excinfo:
         _run_overlapped([("x", fail_fast), ("y", fail_slow)], None)
     assert done == ["slow-ran"]
+    # r15 ADVICE fix: the secondary failure is not silently discarded —
+    # it rides the first exception as a note naming label and error
+    notes = getattr(excinfo.value, "__notes__", [])
+    assert any("'y'" in n and "second-listed" in n for n in notes)
 
 
 def test_incremental_ingest_dedup_seeded_resume_keeps_prior_batches(spark, tmp_path):
