@@ -104,6 +104,11 @@ def _signatures_from_hashed(
     formulation re-running the whole tokenize/hash/sort subtree once
     per join side, so the index build paid tokenization twice plus a
     join exchange for a column the kernel already held."""
+    from actuarial_reserve_modelling_spark.operators.sigparams import (
+        SIG_PARAMS_KEY,
+        minhash_fingerprint,
+    )
+
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
     b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
@@ -111,7 +116,17 @@ def _signatures_from_hashed(
     fields = [T.StructField("doc_id", T.LongType())]
     if carry_htok:
         fields.append(T.StructField("htok", T.ArrayType(T.LongType())))
-    fields.append(T.StructField("sig", T.ArrayType(T.LongType())))
+    # params-hash stamped into the sig field's metadata: the presigned
+    # accept sites verify it against the tier's persisted parameters
+    # (driver-side, zero jobs) so a same-shape/different-seed frame
+    # fails loudly instead of corrupting the tier (r15 guard hardening)
+    fields.append(
+        T.StructField(
+            "sig",
+            T.ArrayType(T.LongType()),
+            metadata={SIG_PARAMS_KEY: minhash_fingerprint(num_hashes, seed)},
+        )
+    )
     schema = T.StructType(fields)
 
     def kernel(batches):
@@ -1355,8 +1370,22 @@ def add_to_dedup_index(
     the tier."""
     meta = read_dedup_index_meta(spark, path)
     if presigned is not None:
-        probe = presigned.select(F.size("sig").alias("_n")).limit(1).collect()
+        from actuarial_reserve_modelling_spark.operators.sigparams import (
+            check_presigned_params,
+            minhash_fingerprint,
+        )
+
         want = meta["bands"] * meta["rows_per_band"]
+        # params-hash first (driver-side, zero jobs): catches a frame
+        # with the SAME signature shape but a different seed, which the
+        # length probe below cannot see (r14 verdict hardening item)
+        check_presigned_params(
+            presigned,
+            "sig",
+            minhash_fingerprint(want, meta["seed"]),
+            "add_to_dedup_index",
+        )
+        probe = presigned.select(F.size("sig").alias("_n")).limit(1).collect()
         if probe and int(probe[0]["_n"]) != want:
             raise ValueError(
                 f"add_to_dedup_index: presigned sig length {probe[0]['_n']} "
@@ -1808,6 +1837,19 @@ def minhash_dedup_against_index_persisted(
         raise ValueError(f"route must be auto|pruned|full, got {route!r}")
     meta = read_dedup_index_meta(spark, path)
     if presigned is not None:
+        from actuarial_reserve_modelling_spark.operators.sigparams import (
+            check_presigned_params,
+            minhash_fingerprint,
+        )
+
+        check_presigned_params(
+            presigned,
+            "sig",
+            minhash_fingerprint(
+                meta["bands"] * meta["rows_per_band"], meta["seed"]
+            ),
+            "minhash_dedup_against_index_persisted",
+        )
         probe = presigned.select(F.size("sig").alias("_n")).limit(1).collect()
         want = meta["bands"] * meta["rows_per_band"]
         if probe and int(probe[0]["_n"]) != want:

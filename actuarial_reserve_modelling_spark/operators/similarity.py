@@ -308,11 +308,25 @@ def hyperplane_signatures_multi(
     Python worker stage replaces ``num_tables`` of them. At 100 TB
     that is the difference between one pass over the vectors and
     twelve; measured at sf0.1 it cut the LSH pair stage ~5×."""
+    from actuarial_reserve_modelling_spark.operators.sigparams import (
+        SIG_PARAMS_KEY,
+        hyperplane_fingerprint,
+    )
+
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField("table", T.IntegerType()),
-            T.StructField("sig", T.LongType()),
+            # params-hash for the presigned accept sites (see sigparams)
+            T.StructField(
+                "sig",
+                T.LongType(),
+                metadata={
+                    SIG_PARAMS_KEY: hyperplane_fingerprint(
+                        num_planes, num_tables, seed, dim
+                    )
+                },
+            ),
         ]
     )
 
@@ -890,21 +904,35 @@ def ivf_cosine_pairs(
 def _stable_top_nprobe(d2: np.ndarray, m: int) -> np.ndarray:
     """Indices of the ``m`` smallest entries per row of ``d2`` with the
     stable-argsort TIE rule (equal distances -> lowest index wins), in
-    O(k) per row instead of argsort's O(k log k). The selected SET is
-    exactly what ``np.argsort(kind="stable")[:, :m]`` would return —
-    downstream consumers treat probe lists as sets — computed via
-    argpartition plus a per-row fix-up that only re-sorts rows whose
-    boundary value is tied (rare for float distances)."""
+    O(k + m log m) per row instead of argsort's O(k log k). The
+    selected set AND its order are exactly
+    ``np.argsort(kind="stable")[:, :m]`` — i.e. RANK-ORDERED by
+    (distance, index). r15: the output used to be rank-ordered only in
+    the tie fix-up rows (argpartition leaves the selected block
+    unordered); consumers treated probe lists as sets, so ordering was
+    free to tighten — and a rank-ordered column 0 IS the hard (top-1)
+    assignment, which lets the ingest gates share one level-1
+    assignment between query probing and append membership. The per-m
+    sort costs ~m log m on m ≤ nprobe entries — noise next to the
+    matmul that produced ``d2``."""
     n, k = d2.shape
     if m >= k:
-        return np.tile(np.arange(k, dtype=np.int64), (n, 1))
+        return np.argsort(d2, axis=1, kind="stable")
     out = np.argpartition(d2, m - 1, axis=1)[:, :m]
     kthv = np.take_along_axis(d2, out, axis=1).max(axis=1)
     nbelow = (d2 < kthv[:, None]).sum(axis=1)
     nties = (d2 == kthv[:, None]).sum(axis=1)
     for i in np.nonzero(nbelow + nties > m)[0]:
         out[i] = np.argsort(d2[i], kind="stable")[:m]
-    return out
+    # rank-order the selected block by (value, index): stable argsort
+    # by index first (plain sort of unique ints), then stable by value
+    # — two passes compose to the lexicographic (value, index) order
+    vals = np.take_along_axis(d2, out, axis=1)
+    p1 = np.argsort(out, axis=1, kind="stable")
+    out = np.take_along_axis(out, p1, axis=1)
+    vals = np.take_along_axis(vals, p1, axis=1)
+    p2 = np.argsort(vals, axis=1, kind="stable")
+    return np.take_along_axis(out, p2, axis=1)
 
 
 _FIB_MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -1002,17 +1030,21 @@ def _hierarchical_ivf_lists(
     """
     import math
 
-    n = unit.count()
-    k_target = max(16, n // leaf_target)
     # same group-memory cap as ivf_hier_build: level-1 soft assignment
     # puts n*nprobe memberships into k1 groups, and one group is one
     # level-2 task — isqrt(k_target) ~ sqrt(n)/4 already keeps expected
     # groups at ~4*nprobe*sqrt(n) rows (253k at 10^9, nprobe=2, right
     # at the cap), so the cap term only binds for large nprobe or
     # beyond-10^9 corpora
-    k1 = max(4, math.isqrt(k_target), (n * nprobe) // group_cap)
-    super_cent = ivf_train_centroids(
-        unit, k1, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    def _k1_of_n(m: int) -> int:
+        return max(4, math.isqrt(max(16, m // leaf_target)), (m * nprobe) // group_cap)
+
+    # r15: ONE fused job replaces the count + the init collect (k1
+    # depends on n, resolved driver-side from the same pass)
+    n, init = _count_and_kmeans_init(unit, _k1_of_n, id_col=id_col, vec_col=vec_col)
+    k1 = _k1_of_n(n)
+    super_cent = _kmeans_iterate(
+        unit, init, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
     # r14: the assignment kernel runs TWICE (counts pass + membership
     # pass) and carries the vectors through on the second — the prior
@@ -1021,34 +1053,52 @@ def _hierarchical_ivf_lists(
     # shuffle of n·nprobe vector rows; the matmul re-run is executor
     # compute over the checkpointed reps, deterministic, and orders of
     # magnitude cheaper than that exchange. ``counts`` is k1-bounded.
-    sup = ivf_assign(
-        unit, super_cent, id_col=id_col, vec_col=vec_col, nprobe=min(nprobe, k1)
-    )
     split_target = max(1, (group_cap * 3) // 4)
-    counts = sup.groupBy("cluster").agg(F.count(F.lit(1)).alias("_gsz"))
-    members = (
-        ivf_assign(
+    if n <= split_target:
+        # r15 (guide §2.4): the oversized-super guard is an IDENTITY
+        # here — every group's size is ≤ n ≤ split_target, so _nsplit
+        # = 1 for every super and pmod(xxhash64(id, 43), 1) = 0, i.e.
+        # _super = cluster exactly. Skipping it drops one full
+        # assignment kernel pass (the counts side), the k1-row
+        # aggregate and its broadcast join from the plan; n is already
+        # known from the count above, so the decision costs nothing.
+        # Corpora past the cap keep the guard unchanged.
+        members = ivf_assign(
             unit,
             super_cent,
             id_col=id_col,
             vec_col=vec_col,
             nprobe=min(nprobe, k1),
             carry_vec=True,
+        ).select(id_col, vec_col, F.col("cluster").cast("long").alias("_super"))
+    else:
+        sup = ivf_assign(
+            unit, super_cent, id_col=id_col, vec_col=vec_col, nprobe=min(nprobe, k1)
         )
-        .join(F.broadcast(counts), "cluster")
-        .withColumn(
-            "_nsplit", F.ceil(F.col("_gsz") / F.lit(split_target)).cast("long")
+        counts = sup.groupBy("cluster").agg(F.count(F.lit(1)).alias("_gsz"))
+        members = (
+            ivf_assign(
+                unit,
+                super_cent,
+                id_col=id_col,
+                vec_col=vec_col,
+                nprobe=min(nprobe, k1),
+                carry_vec=True,
+            )
+            .join(F.broadcast(counts), "cluster")
+            .withColumn(
+                "_nsplit", F.ceil(F.col("_gsz") / F.lit(split_target)).cast("long")
+            )
+            .select(
+                id_col,
+                vec_col,
+                (
+                    F.col("cluster").cast("long")
+                    + F.lit(int(k1))
+                    * F.pmod(F.xxhash64(F.col(id_col), F.lit(43)), F.col("_nsplit"))
+                ).alias("_super"),
+            )
         )
-        .select(
-            id_col,
-            vec_col,
-            (
-                F.col("cluster").cast("long")
-                + F.lit(int(k1))
-                * F.pmod(F.xxhash64(F.col(id_col), F.lit(43)), F.col("_nsplit"))
-            ).alias("_super"),
-        )
-    )
     child_probe = child_nprobe
     iters = n_iters
     cap = group_cap  # closure-captured so tests can shrink it per call
@@ -1143,6 +1193,144 @@ def ivf_train_centroids(
         .collect()
     )
     centroids = np.array([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+    return _kmeans_iterate(embeddings, centroids, n_iters, id_col, vec_col)
+
+
+def _count_and_kmeans_init(
+    unit: DataFrame,
+    k1_of_n,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, np.ndarray]:
+    """Fused row count + content-hash k-means init in ONE driver job
+    (r15, guide §5 — the hierarchical builders paid a count job and a
+    separate init collect whose k depends on that count).
+
+    A per-partition Arrow pass emits the partition's row count plus its
+    top-``k_bound`` rows by ``(xxhash64(id), id)``; the driver sums the
+    counts to the exact ``n``, resolves ``k1 = k1_of_n(n)`` and takes
+    the global top-``k1`` from the union of the per-partition
+    candidates — exactly the rows ``orderBy(xxhash64(id), id)
+    .limit(k1).collect()`` returns, as long as ``k_bound >= k1``
+    (every global top-k1 row is in its own partition's top-k1 ⊆
+    top-k_bound). ``k_bound`` comes from an over-estimate of ``n`` off
+    Catalyst's plan-size stat (driver-side, no job), padded 4x; if the
+    estimate was still too small (k1 > k_bound), fall back to the
+    exact two-job path — correctness never rests on the estimate.
+    Candidate memory is bounded: each task keeps at most 2·k_bound
+    rows, and the fusion is SKIPPED outright (two-job path, exactly
+    the pre-r15 shape) when partitions × k_bound exceeds a driver
+    budget — the union-of-partition-top-k collect grows with the task
+    count while the exact path collects only k1 rows, so the fusion is
+    a small-input job-count optimization, never the scale shape.
+    """
+    from actuarial_reserve_modelling_spark.operators import _plan_size_bytes
+
+    def _exact_two_jobs() -> tuple[int, np.ndarray]:
+        m = unit.count()
+        kk = int(k1_of_n(m))
+        init_rows = (
+            unit.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(kk)
+            .collect()
+        )
+        return m, np.array(
+            [np.asarray(r[1], dtype=np.float64) for r in init_rows]
+        )
+
+    size = _plan_size_bytes(unit)
+    # an (id, vector) row is never under 64 bytes, so n_hat >= n/4 ...
+    # over-estimating n only grows k_bound (safe); cap keeps the
+    # collect bounded; floor keeps tiny-estimate corpora exact
+    if size is None:
+        k_bound = 8192
+    else:
+        n_hat = max(1, size // 64)
+        k_bound = max(64, min(8192, 4 * int(k1_of_n(4 * n_hat))))
+    try:
+        n_parts = int(unit._jdf.queryExecution().toRdd().getNumPartitions())
+    except Exception:
+        n_parts = int(unit.sparkSession.sparkContext.defaultParallelism)
+    if n_parts * k_bound > 500_000:
+        return _exact_two_jobs()
+    hashed = unit.select(
+        F.xxhash64(F.col(id_col)).alias("_h"),
+        F.col(id_col).alias("_i"),
+        F.col(vec_col).alias("_v"),
+    )
+    vec_type = unit.schema[vec_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("_np", T.LongType()),
+            T.StructField("_h", T.LongType()),
+            T.StructField("_i", T.LongType()),
+            T.StructField("_v", vec_type),
+        ]
+    )
+    kb = int(k_bound)
+
+    def kern(batches):
+        import pyarrow as pa
+
+        n_p = 0
+        cand = None  # running top-kb candidate table, <= kb rows
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            n_p += batch.num_rows
+            t = pa.Table.from_batches([batch])
+            if cand is not None:
+                t = pa.concat_tables([cand, t])
+            h = t.column("_h").to_numpy(zero_copy_only=False)
+            i = t.column("_i").to_numpy(zero_copy_only=False)
+            order = np.lexsort((i, h))[:kb]
+            cand = t.take(pa.array(order, type=pa.int64()))
+        if n_p == 0:
+            return
+        m = cand.num_rows
+        np_col = np.zeros(m, dtype=np.int64)
+        np_col[0] = n_p
+        yield pa.record_batch(
+            [
+                pa.array(np_col),
+                cand.column("_h").combine_chunks(),
+                cand.column("_i").combine_chunks(),
+                cand.column("_v").combine_chunks(),
+            ],
+            names=["_np", "_h", "_i", "_v"],
+        )
+
+    import pyarrow as pa  # noqa: F401 — kernel closure import check
+
+    rows = hashed.mapInArrow(kern, schema=schema).collect()
+    n = int(sum(r["_np"] for r in rows))
+    k1 = int(k1_of_n(n))
+    if k1 > kb:
+        # estimate too small — exact fallback (one extra job)
+        init_rows = (
+            unit.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(k1)
+            .collect()
+        )
+        init = np.array([np.asarray(r[1], dtype=np.float64) for r in init_rows])
+        return n, init
+    top = sorted(rows, key=lambda r: (r["_h"], r["_i"]))[:k1]
+    init = np.array([np.asarray(r["_v"], dtype=np.float64) for r in top])
+    return n, init
+
+
+def _kmeans_iterate(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    n_iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd iterations of ``ivf_train_centroids`` from explicit init
+    centroids (split out r15 so the hierarchical builders can feed the
+    fused count+init above); arithmetic unchanged."""
     part_schema = T.StructType(
         [
             T.StructField("cluster", T.IntegerType()),
@@ -1211,6 +1399,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     nprobe: int = 1,
     carry_vec: bool = False,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by L2
     (ties → lowest centroid index). One Arrow kernel pass: (batch × d)
@@ -1222,17 +1411,35 @@ def ivf_assign(
     callers that need the vectors alongside the assignment
     (``_hierarchical_ivf_lists``'s level-2 shuffle): attaching them
     with an id-keyed join instead costs a full shuffle of the vector
-    rows at corpus scale (r14)."""
+    rows at corpus scale (r14).
+
+    ``with_rank=True`` (r15) adds a ``_rank`` column (0 = nearest) —
+    ``_stable_top_nprobe`` emits probes rank-ordered, so ``_rank == 0``
+    IS the hard top-1 assignment (identical to a separate
+    ``nprobe=1`` call: both are the lexicographic (distance, index)
+    minimum). The ``cluster`` field's metadata then carries an
+    ``arm_centroids`` md5 of the centroid matrix bytes, so a consumer
+    accepting a precomputed assignment (``add_to_ann_index``) can
+    verify it was routed against the SAME centroids."""
     fields = [
         T.StructField(id_col, T.LongType()),
         T.StructField("cluster", T.IntegerType()),
     ]
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    if with_rank:
+        import hashlib
+
+        fields[1] = T.StructField(
+            "cluster",
+            T.IntegerType(),
+            metadata={"arm_centroids": hashlib.md5(cent.tobytes()).hexdigest()},
+        )
+        fields.append(T.StructField("_rank", T.IntegerType()))
     if carry_vec:
         fields.append(
             T.StructField(vec_col, embeddings.schema[vec_col].dataType)
         )
     schema = T.StructType(fields)
-    cent = np.ascontiguousarray(centroids, dtype=np.float64)
     cent_sq = (cent * cent).sum(axis=1)
 
     def kernel(batches):
@@ -1254,6 +1461,14 @@ def ivf_assign(
                 pa.array(order.astype(np.int32).ravel(), type=pa.int32()),
             ]
             names = [id_col, "cluster"]
+            if with_rank:
+                cols.append(
+                    pa.array(
+                        np.tile(np.arange(m, dtype=np.int32), batch.num_rows),
+                        type=pa.int32(),
+                    )
+                )
+                names.append("_rank")
             if carry_vec:
                 vcol = batch.column(vec_col)
                 if isinstance(vcol, pa.ChunkedArray):
@@ -1543,7 +1758,13 @@ def ivf_hier_build(
     # r9: collapse bitwise-identical vectors first; the quantizer sees
     # one rep per distinct vector (see _collapse_units)
     reps, memb = _collapse_units(embeddings, id_col, vec_col)
-    n = reps.count()
+
+    def _k1_of_n(m: int) -> int:
+        nl = max(16, math.isqrt(m)) if n_lists == "auto" else n_lists
+        return max(4, math.isqrt(nl), m // group_cap)
+
+    # r15: ONE fused job replaces the reps count + the init collect
+    n, init = _count_and_kmeans_init(reps, _k1_of_n, id_col=id_col, vec_col=vec_col)
     if n_lists == "auto":
         n_lists = max(16, math.isqrt(n))
     # Super count balances THREE constraints: enough supers for the
@@ -1558,10 +1779,10 @@ def ivf_hier_build(
     # escape hatch past ~10^11 rows, where even capped-k1 driver state
     # grows linearly with its 4e-6 constant. The hash sub-split below
     # handles the SKEWED case the expected-case sizing cannot.
-    k1 = max(4, math.isqrt(n_lists), n // group_cap)
+    k1 = _k1_of_n(n)
     leaf = max(1, n // n_lists)
-    super_cent = ivf_train_centroids(
-        reps, k1, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    super_cent = _kmeans_iterate(
+        reps, init, n_iters=n_iters, id_col=id_col, vec_col=vec_col
     )
     # r14: the hard assignment runs twice (counts pass + membership
     # pass, vectors carried through the second) instead of once into a
@@ -1569,24 +1790,39 @@ def ivf_hier_build(
     # of the member vector rows at corpus scale, the matmul re-run is
     # cheap executor compute over the checkpointed reps. ``counts`` is
     # k1-bounded either way.
-    sup = ivf_assign(reps, super_cent, id_col=id_col, vec_col=vec_col)
     split_target = max(1, (group_cap * 3) // 4)
-    counts = sup.groupBy("cluster").agg(F.count(F.lit(1)).alias("_gsz"))
-    members = (
-        ivf_assign(
+    if n <= split_target:
+        # r15 (guide §2.4): with n ≤ split_target no super can exceed
+        # the split threshold, so the guard is an identity — _slot =
+        # pmod(xxhash64(id, 47), 1) = 0 for every row. Skip the counts
+        # assignment pass, its aggregate and the broadcast join; n is
+        # already known from the reps count. Unchanged past the cap.
+        members = ivf_assign(
             reps, super_cent, id_col=id_col, vec_col=vec_col, carry_vec=True
-        )
-        .join(F.broadcast(counts), "cluster")
-        .select(
+        ).select(
             id_col,
             vec_col,
             F.col("cluster").alias("_super"),
-            F.pmod(
-                F.xxhash64(F.col(id_col), F.lit(47)),
-                F.ceil(F.col("_gsz") / F.lit(split_target)).cast("long"),
-            ).alias("_slot"),
+            F.lit(0).cast("long").alias("_slot"),
         )
-    )
+    else:
+        sup = ivf_assign(reps, super_cent, id_col=id_col, vec_col=vec_col)
+        counts = sup.groupBy("cluster").agg(F.count(F.lit(1)).alias("_gsz"))
+        members = (
+            ivf_assign(
+                reps, super_cent, id_col=id_col, vec_col=vec_col, carry_vec=True
+            )
+            .join(F.broadcast(counts), "cluster")
+            .select(
+                id_col,
+                vec_col,
+                F.col("cluster").alias("_super"),
+                F.pmod(
+                    F.xxhash64(F.col(id_col), F.lit(47)),
+                    F.ceil(F.col("_gsz") / F.lit(split_target)).cast("long"),
+                ).alias("_slot"),
+            )
+        )
     iters = n_iters
     cap = group_cap  # closure-captured so tests can shrink it per call
     schema = T.StructType(
@@ -1694,6 +1930,7 @@ def ann_ivf_hier_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_cap: int = _GROUP_CAP,
+    _probes: DataFrame | None = None,
 ) -> DataFrame:
     """Query a persisted two-level IVF index (``ivf_hier_build``).
     Routing: each query soft-assigns to its ``nprobe_super`` nearest
@@ -1718,10 +1955,21 @@ def ann_ivf_hier_topk_indexed(
     a global cut across supers, nor across one oversized super's hash
     slices) is what keeps the twin's child immune to crowding-out by
     other slices' children; for the non-split case slot is always 0
-    and this reduces to the r8 per-super ranking exactly."""
-    probes = ivf_assign(
-        queries, super_cent, id_col=id_col, vec_col=vec_col, nprobe=nprobe_super
-    ).select(F.col(id_col).alias("query_id"), F.col("cluster").alias("super"))
+    and this reduces to the r8 per-super ranking exactly.
+
+    ``_probes`` (internal, r15): a precomputed level-1 assignment of
+    ``queries`` against ``super_cent`` (an ``ivf_assign`` output over
+    the same kernel — the persisted wrapper passes its checkpointed
+    probe frame); skips re-running the assignment kernel here, with
+    identical results by determinism of the assignment."""
+    raw = (
+        _probes
+        if _probes is not None
+        else ivf_assign(
+            queries, super_cent, id_col=id_col, vec_col=vec_col, nprobe=nprobe_super
+        )
+    )
+    probes = raw.select(F.col(id_col).alias("query_id"), F.col("cluster").alias("super"))
     cents = index.filter(F.col(id_col).isNull()).select("super", "child", "centroid")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     routing = (
@@ -2082,6 +2330,7 @@ def add_to_ann_index(
     vec_col: str = "embedding",
     group_cap: int | None = None,
     check_existing: bool = True,
+    preassigned: DataFrame | None = None,
 ) -> None:
     """Incremental ingest into a persisted hierarchical index (the ANN
     analogue of the l18/l19 incremental-dedup tiers): route each new
@@ -2128,15 +2377,52 @@ def add_to_ann_index(
     build cap from ``meta/`` — the same rule as
     ``ann_ivf_hier_topk_persisted`` — so an index persisted with a
     smaller memory-bounding cap keeps its per-task row bound on ingest
-    without the caller repeating the knob."""
+    without the caller repeating the knob.
+
+    ``preassigned`` (r15): a rank-ordered level-1 probe frame over a
+    SUPERSET of the batch's ids (``ann_ivf_hier_topk_persisted(...,
+    return_probes=True)`` — the ingest gate's query probes). Its
+    ``_rank == 0`` rows are the lexicographic (distance, index) minimum
+    per vector, i.e. EXACTLY the hard assignment a fresh ``ivf_assign``
+    would compute, so the appended rows are identical while the batch's
+    level-1 matmul runs once per gate step instead of twice. The frame
+    must have been routed against THIS tier's super centroids — checked
+    loudly via the ``arm_centroids`` fingerprint ``ivf_assign`` stamps
+    into the ``cluster`` field metadata (md5 of the centroid bytes)."""
     meta = read_ann_index_meta(spark, path)
     if group_cap is None:
         group_cap = meta["group_cap"]
     store_vec = meta["has_vectors"]
     super_cent = _load_ann_supers(spark, path)
-    hard = ivf_assign(
-        new_embeddings, super_cent, id_col=id_col, vec_col=vec_col
-    ).select(id_col, F.col("cluster").cast("int").alias("super"))
+    if preassigned is not None:
+        import hashlib
+
+        want = hashlib.md5(
+            np.ascontiguousarray(super_cent, dtype=np.float64).tobytes()
+        ).hexdigest()
+        got = (preassigned.schema["cluster"].metadata or {}).get("arm_centroids")
+        if got != want:
+            raise ValueError(
+                "add_to_ann_index: preassigned probes were routed against "
+                f"DIFFERENT super centroids than this tier ({got!r} != "
+                f"{want!r}) — pass the probe frame returned by this tier's "
+                "own query, or omit preassigned to re-route"
+            )
+        if "_rank" not in preassigned.columns:
+            raise ValueError(
+                "add_to_ann_index: preassigned frame lacks the _rank "
+                "column — pass the with_rank=True ivf_assign output "
+                "(ann_ivf_hier_topk_persisted(..., return_probes=True))"
+            )
+        hard = (
+            preassigned.filter(F.col("_rank") == 0)
+            .select(id_col, F.col("cluster").cast("int").alias("super"))
+            .join(new_embeddings.select(id_col), id_col, "leftsemi")
+        )
+    else:
+        hard = ivf_assign(
+            new_embeddings, super_cent, id_col=id_col, vec_col=vec_col
+        ).select(id_col, F.col("cluster").cast("int").alias("super"))
     newrows = new_embeddings.select(id_col, vec_col).join(hard, id_col)
     if check_existing:
         # idempotent retry: drop batch ids already indexed, reading only
@@ -2858,7 +3144,8 @@ def ann_ivf_hier_topk_persisted(
     group_cap: int | None = None,
     recall_target: float = DEFAULT_RECALL_TARGET,
     max_query_rows: int | None = DEFAULT_MAX_QUERY_ROWS,
-) -> DataFrame:
+    return_probes: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Query a persisted index with partition-pruned reads: soft-assign
     the (bounded) query batch against the reloaded super-centroids,
     collect the distinct probed supers (≤ |queries|·nprobe_super ints —
@@ -2881,7 +3168,18 @@ def ann_ivf_hier_topk_persisted(
     repeating the knob. ``nprobe_super="auto"`` defaults from the
     tier's persisted recall curve (``persist_recall_audit``): the
     smallest measured setting reaching ``recall_target``, with a loud
-    warning (and the measured curve) when the corpus plateaus below it."""
+    warning (and the measured curve) when the corpus plateaus below it.
+
+    ``return_probes=True`` (r15) returns ``(result, probes)`` where
+    ``probes`` is the rank-ordered level-1 soft assignment of the
+    query batch (``ivf_assign(..., with_rank=True)``, checkpointed and
+    already materialized by this call's bounded-count job). Its
+    ``_rank == 0`` rows ARE the batch's hard top-1 supers — the ingest
+    gate hands them to ``add_to_ann_index`` so one level-1 matmul per
+    batch serves query probing AND append membership. The probes frame
+    is also reused internally for the routing join (the r14 shape ran
+    the same assignment kernel twice: once to collect the probed
+    supers, once inside the indexed query)."""
     if nprobe_super == "auto":
         nprobe_super = _auto_probe(
             spark, path, "ann_ivf_hier_topk_persisted", recall_target, fallback=4
@@ -2889,9 +3187,18 @@ def ann_ivf_hier_topk_persisted(
     if group_cap is None:
         group_cap = read_ann_index_meta(spark, path)["group_cap"]
     super_cent = _load_ann_supers(spark, path)
+    # one level-1 assignment per call (r15): checkpointed, materialized
+    # by the bounded-count collect below, reused by the routing join —
+    # the prior shape re-ran the kernel (and re-shipped the k1·d
+    # closure) inside ann_ivf_hier_topk_indexed
     probes = ivf_assign(
-        queries, super_cent, id_col=id_col, vec_col=vec_col, nprobe=nprobe_super
-    )
+        queries,
+        super_cent,
+        id_col=id_col,
+        vec_col=vec_col,
+        nprobe=nprobe_super,
+        with_rank=True,
+    ).localCheckpoint(eager=False)
     # One collect serves BOTH driver needs (r14 — was a limit-probe job
     # plus a distinct-collect job): the per-cluster counts are bounded
     # by k1 rows whatever the batch size, and since ivf_assign emits
@@ -2915,7 +3222,7 @@ def ann_ivf_hier_topk_persisted(
         )
     probed = [int(r["cluster"]) for r in per_cluster]
     index = _load_ann_frames(spark, path, id_col=id_col, supers=probed)
-    return ann_ivf_hier_topk_indexed(
+    result = ann_ivf_hier_topk_indexed(
         index,
         super_cent,
         embeddings,
@@ -2926,7 +3233,9 @@ def ann_ivf_hier_topk_persisted(
         id_col=id_col,
         vec_col=vec_col,
         group_cap=group_cap,
+        _probes=probes,
     )
+    return (result, probes) if return_probes else result
 
 
 def ann_index_recall_audit(
@@ -4385,6 +4694,17 @@ def persist_vecsig_index(
             # cap stays ≤ |batch|·num_tables·dir_bytes at any corpus
             k_sig_parts = max(8, min(32768, n_rows // 1000))
     if presigned is not None:
+        from actuarial_reserve_modelling_spark.operators.sigparams import (
+            check_presigned_params,
+            hyperplane_fingerprint,
+        )
+
+        check_presigned_params(
+            presigned,
+            "sig",
+            hyperplane_fingerprint(num_planes, num_tables, seed, dim),
+            "persist_vecsig_index",
+        )
         probe = presigned.agg(F.countDistinct("table").alias("_t")).collect()
         got_t = int(probe[0]["_t"] or 0) if probe else 0
         if got_t not in (0, num_tables):
@@ -4467,6 +4787,19 @@ def add_to_vecsig_index(
     meta = read_vecsig_index_meta(spark, path)
     batch = new_vecs.select("vec_id", "embedding").localCheckpoint(eager=False)
     if presigned is not None:
+        from actuarial_reserve_modelling_spark.operators.sigparams import (
+            check_presigned_params,
+            hyperplane_fingerprint,
+        )
+
+        check_presigned_params(
+            presigned,
+            "sig",
+            hyperplane_fingerprint(
+                meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
+            ),
+            "add_to_vecsig_index",
+        )
         if "spart" not in presigned.columns:
             raise ValueError(
                 "add_to_vecsig_index: presigned frame lacks the 'spart' "
@@ -4713,6 +5046,19 @@ def lsh_cosine_dedup_against_index_persisted(
         raise ValueError(f"route must be auto|pruned|full, got {route!r}")
     meta = read_vecsig_index_meta(spark, path)
     if presigned is not None:
+        from actuarial_reserve_modelling_spark.operators.sigparams import (
+            check_presigned_params,
+            hyperplane_fingerprint,
+        )
+
+        check_presigned_params(
+            presigned,
+            "sig",
+            hyperplane_fingerprint(
+                meta["num_planes"], meta["num_tables"], meta["seed"], meta["dim"]
+            ),
+            "lsh_cosine_dedup_against_index_persisted",
+        )
         if "spart" not in presigned.columns:
             raise ValueError(
                 "lsh_cosine_dedup_against_index_persisted: presigned frame "

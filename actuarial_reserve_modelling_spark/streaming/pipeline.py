@@ -1293,6 +1293,7 @@ def incremental_ann_ingest(
             .select("vec_id", "embedding")
             .localCheckpoint(eager=True)
         )
+        probes = None
         if not os.path.exists(os.path.join(idx_dir, "supers")):
             # batch 0 (or its retry): bootstrap the index on the
             # admitted set; persist's overwrite clears partial state
@@ -1315,10 +1316,18 @@ def incremental_ann_ingest(
             # k+1 so the excluded self can't shadow a true duplicate
             # out of the window on replay; rejection depends only on
             # the MAX non-self sim ≥ τ, so normal-flow decisions are
-            # bit-identical to the plain k query
+            # bit-identical to the plain k query.
+            # r15 (guide §2.3): return_probes hands back the query's
+            # rank-ordered level-1 assignment — its top-1 rows ARE the
+            # append's hard membership supers (same kernel, same
+            # (distance, index) tie rule), so the batch's level-1
+            # matmul runs ONCE per step instead of once for the query
+            # and again inside add_to_ann_index.
+            topk, probes = ann_ivf_hier_topk_persisted(
+                spark, idx_dir, None, reps, k=k + 1, return_probes=True
+            )
             hits = (
-                ann_ivf_hier_topk_persisted(spark, idx_dir, None, reps, k=k + 1)
-                .filter(
+                topk.filter(
                     (F.col("sim") >= threshold)
                     & (F.col("query_id") != F.col("neighbor_id"))
                 )
@@ -1334,7 +1343,12 @@ def incremental_ann_ingest(
         ).parquet(out_epoch)
         if os.path.exists(os.path.join(idx_dir, "supers")) and bid > 0:
             committed = spark.read.parquet(out_epoch).select("vec_id", "embedding")
-            add_to_ann_index(spark, idx_dir, committed)
+            # preassigned: the query's checkpointed probe frame covers
+            # reps ⊇ committed (committed rows are bitwise copies of
+            # admitted reps through the parquet sink), so the append's
+            # hard supers are read off rank 0 instead of re-running the
+            # level-1 matmul; None on a bootstrap epoch
+            add_to_ann_index(spark, idx_dir, committed, preassigned=probes)
         if refresh_recall_curve and bid > 0 and bid % refresh_recall_curve == 0:
             # post-append: audit the corpus the NEXT batch will query.
             # Reentrant under the step lease (persist_recall_audit's own

@@ -1337,6 +1337,80 @@ def test_ann_index_add_routes_to_source_lists(spark, tmp_path):
     assert got == want
 
 
+def test_ann_index_add_preassigned_parity(spark, tmp_path):
+    """r15 (t13 gate level-1 share): add_to_ann_index fed the query's
+    rank-ordered probe frame (return_probes=True) must append rows
+    IDENTICAL to a fresh self-routing append — probes rank 0 is the
+    lexicographic (distance, index) minimum, exactly the hard assign —
+    and a probe frame routed against different centroids must fail
+    loudly instead of appending misrouted members."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        add_to_ann_index,
+        ann_ivf_hier_topk_persisted,
+        ivf_assign,
+        ivf_hier_build,
+        persist_ann_index,
+    )
+
+    rng = np.random.default_rng(31)
+    pts = rng.standard_normal((400, 16))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(400)], schema
+    )
+    batch = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+
+    def tier(sub: str) -> str:
+        p = str(tmp_path / sub)
+        index, super_cent = ivf_hier_build(emb)
+        persist_ann_index(index, super_cent, p, embeddings=emb)
+        return p
+
+    path_a, path_b = tier("fresh"), tier("preassigned")
+    # the gate's flow: query the tier (k+1), reuse the probes for the
+    # append — a SUPERSET frame (whole batch) vs the committed subset
+    _topk, probes = ann_ivf_hier_topk_persisted(
+        spark, path_b, None, batch, k=2, return_probes=True
+    )
+    committed = batch.filter(F.col("vec_id") % 80 == 0)  # strict subset
+    add_to_ann_index(spark, path_a, committed)
+    add_to_ann_index(spark, path_b, committed, preassigned=probes)
+    cols = ["vec_id", "super", "child"]
+    a = sorted(
+        map(tuple, spark.read.parquet(path_a + "/members").select(*cols).collect())
+    )
+    b = sorted(
+        map(tuple, spark.read.parquet(path_b + "/members").select(*cols).collect())
+    )
+    assert a == b
+
+    # foreign probes: routed against DIFFERENT centroids — loud failure
+    wrong_cent = rng.standard_normal((8, 16))
+    foreign = ivf_assign(batch, wrong_cent, nprobe=2, with_rank=True)
+    import pytest
+
+    with pytest.raises(ValueError, match="DIFFERENT super centroids"):
+        add_to_ann_index(spark, path_a, committed, preassigned=foreign)
+    # a rank-less frame is rejected too (cannot extract the hard super)
+    with pytest.raises(ValueError, match="_rank"):
+        add_to_ann_index(
+            spark,
+            path_a,
+            committed,
+            preassigned=probes.drop("_rank"),
+        )
+
+
 def test_ann_index_delete_semantics(spark, tmp_path):
     """delete_from_ann_index: deleted ids vanish from the member rows,
     UNTOUCHED supers keep their files byte-identical (dynamic partition
@@ -2832,6 +2906,87 @@ def test_presigned_vecsig_batch_shared_across_lookup_and_append(spark, tmp_path)
     with pytest.raises(ValueError, match="spart"):
         add_to_vecsig_index(
             spark, path_a, committed, presigned=signed.drop("spart")
+        )
+
+
+def test_presigned_params_hash_rejects_same_shape_different_seed(spark, tmp_path):
+    """r15 guard hardening (r14 verdict "what's wrong" #4): a frame
+    signed with the SAME signature shape (bands x rows / table count)
+    but a DIFFERENT seed passed the structural probes and would have
+    silently corrupted the tier. The signing kernels now stamp a
+    params-hash into the sig column's metadata and every presigned
+    accept site checks it against the tier's persisted parameters —
+    all five sites must fail loudly on a same-shape/different-seed
+    frame."""
+    from actuarial_reserve_modelling_spark.operators.dedup import (
+        add_to_dedup_index,
+        build_dedup_index,
+        minhash_dedup_against_index_persisted,
+        persist_dedup_index,
+    )
+    from actuarial_reserve_modelling_spark.operators.similarity import (
+        _vecsig_spart,
+        add_to_vecsig_index,
+        hyperplane_signatures_multi,
+        lsh_cosine_dedup_against_index_persisted,
+        persist_vecsig_index,
+        read_vecsig_index_meta,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    dpath = str(tmp_path / "dedup_tier")
+    persist_dedup_index(
+        build_dedup_index(corpus, bands=16, rows_per_band=16),
+        dpath,
+        bands=16,
+        rows_per_band=16,
+        n_buckets=16,
+        k_band_parts=16,
+    )
+    # same bands*rows (sig length 256) — only the seed differs
+    wrong = build_dedup_index(
+        new, bands=16, rows_per_band=16, seed=7
+    ).localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        add_to_dedup_index(spark, dpath, new, presigned=wrong)
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        minhash_dedup_against_index_persisted(
+            spark, dpath, new, threshold=0.9, presigned=wrong
+        )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    vcorpus = emb.filter(F.col("vec_id") % 3 != 0)
+    vnew = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    vpath = str(tmp_path / "vecsig_tier")
+    persist_vecsig_index(vcorpus, vpath)
+    meta = read_vecsig_index_meta(spark, vpath)
+    vwrong = (
+        hyperplane_signatures_multi(
+            vnew, meta["num_planes"], meta["num_tables"], meta["seed"] + 1,
+            meta["dim"],
+        )
+        .withColumn("spart", _vecsig_spart(meta["k_sig_parts"]))
+        .localCheckpoint(eager=True)
+    )
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        add_to_vecsig_index(spark, vpath, vnew, presigned=vwrong)
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        lsh_cosine_dedup_against_index_persisted(
+            spark, vpath, vnew, threshold=0.5, presigned=vwrong
+        )
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        persist_vecsig_index(
+            vnew,
+            str(tmp_path / "vecsig_boot"),
+            num_planes=meta["num_planes"],
+            num_tables=meta["num_tables"],
+            seed=meta["seed"],
+            dim=meta["dim"],
+            presigned=vwrong,
         )
 
 
