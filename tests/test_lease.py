@@ -213,6 +213,7 @@ def test_gate_composition_under_lease(spark, tmp_path):
     assert not os.path.exists(os.path.join(idx, LEASE_NAME))
 
 
+@pytest.mark.slow
 def test_gate_step_refuses_under_foreign_work_lease(spark, tmp_path):
     """r13: each gate batch holds the work-dir lease across its whole
     check→sink→append step, so a second gate process on the same tier

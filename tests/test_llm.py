@@ -430,6 +430,7 @@ def test_levenshtein_pairs_equals_bruteforce(spark):
     assert want, "degenerate test: no pairs within distance"
 
 
+@pytest.mark.slow
 def test_levenshtein_prefix_pruning_is_exact(spark):
     """With q=5, d=2 on 80-char heads the prefix is 11 of 76 grams —
     real pruning — and duplicated heads guarantee matching pairs; the
@@ -899,6 +900,7 @@ def test_round7_ops_partition_invariant(spark):
         assert a == b
 
 
+@pytest.mark.slow
 def test_ivf_cosine_pairs_recall_and_exact_dup_guarantee(spark):
     """The moderate-threshold blocked pair stage: IVF soft-assignment
     blocking must recover ~all true pairs at tau=0.4 (where hyperplane
@@ -990,6 +992,7 @@ def test_lsh_index_dedup_custom_id_col(spark):
     assert hits == {(100, 3, 1.0)}
 
 
+@pytest.mark.slow
 def test_ivf_hier_topk_planted_recall_determinism_and_index_shape(spark):
     """The two-level (hierarchical) IVF index (r8,
     operators/similarity.py::ivf_hier_build): (1) exact twins are
@@ -1099,6 +1102,7 @@ def test_arrowkit_respects_slices_and_chunks():
     assert back.to_pylist() == [[1, 2], [3, 4]]
 
 
+@pytest.mark.slow
 def test_kernel_cosine_verify_partition_invariant(spark):
     """The batch Arrow verify (_kernel_cosine_sims) must be invariant
     to partitioning: sims are per-row sequential sums, so shuffle
@@ -1120,6 +1124,7 @@ def test_kernel_cosine_verify_partition_invariant(spark):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_ivf_pairs_duplicate_heavy_matches_brute_force(spark):
     """r9 digest-collapse (operators/similarity.py::_collapse_units):
     a duplicate-heavy corpus — including one hot group of identical
@@ -1156,6 +1161,7 @@ def test_ivf_pairs_duplicate_heavy_matches_brute_force(spark):
     assert got_auto == want and got_flat == want and len(want) > 100
 
 
+@pytest.mark.slow
 def test_hier_group_cap_bounds_pathological_cluster(spark):
     """r9 hard group cap: a single-tight-cluster corpus (every vector
     in one ball — level 1 cannot spread it) must still build with NO
@@ -1199,6 +1205,7 @@ def test_hier_group_cap_bounds_pathological_cluster(spark):
     assert {(s, s + 100000) for s in range(0, 1500, 100)} <= got_pairs
 
 
+@pytest.mark.slow
 def test_persisted_ann_index_roundtrip(spark, tmp_path):
     """persist_ann_index / load_ann_index / ann_ivf_hier_topk_persisted:
     the persisted index must (a) lay out members and child centroids as
@@ -1271,6 +1278,7 @@ def test_persisted_ann_index_roundtrip(spark, tmp_path):
     assert "PartitionFilters" in plan and "super" in plan
 
 
+@pytest.mark.slow
 def test_ann_index_add_routes_to_source_lists(spark, tmp_path):
     """add_to_ann_index: an added vector bitwise-identical to an
     indexed member must land in EXACTLY its member's (super, child)
@@ -1337,6 +1345,7 @@ def test_ann_index_add_routes_to_source_lists(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_ann_index_add_preassigned_parity(spark, tmp_path):
     """r15 (t13 gate level-1 share): add_to_ann_index fed the query's
     rank-ordered probe frame (return_probes=True) must append rows
@@ -1411,6 +1420,7 @@ def test_ann_index_add_preassigned_parity(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_ann_index_delete_semantics(spark, tmp_path):
     """delete_from_ann_index: deleted ids vanish from the member rows,
     UNTOUCHED supers keep their files byte-identical (dynamic partition
@@ -1476,6 +1486,7 @@ def test_ann_index_delete_semantics(spark, tmp_path):
     assert len(res) == 1 and res[0]["neighbor_id"] not in gone
 
 
+@pytest.mark.slow
 def test_ann_index_add_skewed_batch_bounded(spark, tmp_path):
     """add_to_ann_index under ingest skew: a batch that is one tight
     cluster hard-routes almost entirely to one super — the hash
@@ -1547,6 +1558,7 @@ def test_ann_index_add_skewed_batch_bounded(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_persisted_ann_index_vector_bearing_corpus_free(spark, tmp_path):
     """r10 layout: persist_ann_index(embeddings=...) stores each
     member's vector in its members/ partition row, and the persisted
@@ -1645,6 +1657,7 @@ def test_persisted_ann_index_vector_bearing_corpus_free(spark, tmp_path):
     assert got1 == {(s + 200000, s + 100000, 1, 1.0) for s in range(0, 600, 60)}
 
 
+@pytest.mark.slow
 def test_persisted_ivfpq_index_lifecycle(spark, tmp_path):
     """r10 PQ-tier lifecycle: persist_ivfpq_index / add_to_ivfpq_index /
     delete_from_ivfpq_index / ann_ivfpq_topk_persisted must (a) lay the
@@ -1756,6 +1769,7 @@ def test_persisted_ivfpq_index_lifecycle(spark, tmp_path):
     assert got3 == {(s + 200000, s + 100000, 1, 1.0) for s in range(0, 400, 40)}
 
 
+@pytest.mark.slow
 def test_persisted_dedup_index_lifecycle(spark, tmp_path):
     """r10 fingerprint tier: persist_dedup_index / add_to_dedup_index /
     delete_from_dedup_index must (a) lay fingerprints out as id-hash
@@ -1847,6 +1861,7 @@ def test_persisted_dedup_index_lifecycle(spark, tmp_path):
     assert all(b % 5 != 1 for _, b, _ in got)
 
 
+@pytest.mark.slow
 def test_compact_partitioned_index_folds_hot_partitions_only(spark, tmp_path):
     """compact_ann_index: repeated ingests accrete one file per touched
     super per batch; compaction must rewrite ONLY the partitions over
@@ -1931,6 +1946,7 @@ def test_compact_partitioned_index_folds_hot_partitions_only(spark, tmp_path):
     assert compact_ann_index(spark, path, max_files_per_partition=4) == 0
 
 
+@pytest.mark.slow
 def test_persisted_ann_index_pre_r10_layout_fallback(spark, tmp_path):
     """A pre-r10 index layout (no meta/, id-only members) must keep
     answering: read_ann_index_meta falls back to the historical
@@ -1977,6 +1993,7 @@ def test_persisted_ann_index_pre_r10_layout_fallback(spark, tmp_path):
     assert got == {(s + 100000, s, 1, 1.0) for s in range(0, 300, 30)}
 
 
+@pytest.mark.slow
 def test_persisted_ivfpq_slim_layout_corpus_rerank_parity(spark, tmp_path):
     """persist_ivfpq_index(store_vectors=False): the slim 32x-compressed
     layout must answer identically to the vector-bearing one when the
@@ -2031,6 +2048,7 @@ def test_persisted_ivfpq_slim_layout_corpus_rerank_parity(spark, tmp_path):
         ).collect()
 
 
+@pytest.mark.slow
 def test_persist_ann_index_corpus_mismatch_fails_loudly(spark, tmp_path):
     """r10 ADVICE: persist_ann_index(embeddings=...) must refuse a
     corpus frame that does not match the index — a member id absent
@@ -2073,6 +2091,7 @@ def test_persist_ann_index_corpus_mismatch_fails_loudly(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_ann_index_delete_all_leaves_readable_empty_index(spark, tmp_path):
     """r10 ADVICE: a delete that empties the ENTIRE index must leave a
     root whose schema still reads — subsequent load/add paths see a
@@ -2112,6 +2131,7 @@ def test_ann_index_delete_all_leaves_readable_empty_index(spark, tmp_path):
     assert spark.read.parquet(path + "/members").count() == 50
 
 
+@pytest.mark.slow
 def test_persisted_dedup_banded_lookup_pruned(spark, tmp_path):
     """r11 banded projection (the l34 move applied to MinHash): the
     persisted tier's lookup side must (a) maintain banded/ rows 1:1
@@ -2245,6 +2265,7 @@ def test_mine_hard_negatives_excludes_self_and_positive(spark):
         assert 1 <= r["rank"] <= 5
 
 
+@pytest.mark.slow
 def test_mine_hard_negatives_margin_binds_and_can_empty(spark):
     from actuarial_reserve_modelling_spark.operators.similarity import (
         mine_hard_negatives,
@@ -2297,6 +2318,7 @@ def test_mine_hard_negatives_candidates_path_matches_bruteforce(spark):
     assert viacand.exceptAll(brute).count() == 0
 
 
+@pytest.mark.slow
 def test_bounded_query_batch_contract_enforced(spark):
     """r13 verdict #5: the exact/ADC query tails hold the query batch on
     the driver by contract, and the contract must fail LOUDLY (naming
@@ -2375,6 +2397,7 @@ def test_mine_hard_negatives_candidates_path_no_forced_broadcast(spark):
     assert "ResolvedHint" in brute._jdf.queryExecution().analyzed().toString()
 
 
+@pytest.mark.slow
 def test_vecsig_tier_lifecycle_and_pruned_parity(spark, tmp_path):
     from actuarial_reserve_modelling_spark.operators.similarity import (
         add_to_vecsig_index,
@@ -2431,6 +2454,7 @@ def test_vecsig_tier_lifecycle_and_pruned_parity(spark, tmp_path):
     assert again == expect
 
 
+@pytest.mark.slow
 def test_vecsig_tier_delete_all_and_missing_meta(spark, tmp_path):
     import pytest as _pytest
 
@@ -2535,6 +2559,7 @@ def test_mine_hard_negatives_multi_positive_anchor_pair_semantics(spark):
     assert all(p[1] < 200000 for p in by_pair)
 
 
+@pytest.mark.slow
 def test_dedup_lookup_adaptive_routing_parity_and_stats(spark, tmp_path):
     """r12: the persisted dedup lookup routes pruned-vs-full from the
     tier's advisory stats/ — answers must be identical on BOTH sides of
@@ -2614,6 +2639,7 @@ def test_dedup_lookup_adaptive_routing_parity_and_stats(spark, tmp_path):
     ).count() == 0
 
 
+@pytest.mark.slow
 def test_vecsig_lookup_adaptive_routing_parity_and_stats(spark, tmp_path):
     """Vector-tier twin of the dedup routing test."""
     from actuarial_reserve_modelling_spark.operators import similarity as S
@@ -2720,6 +2746,7 @@ def test_unit_normalize_kernel_matches_hof_bitwise(spark):
     assert _unit_normalize(emb64, "vec_id", "embedding").count() == 50
 
 
+@pytest.mark.slow
 def test_presigned_dedup_batch_shared_across_lookup_and_append(spark, tmp_path):
     """r14: the ingest gate signs its batch once and shares the frame
     between the cross-batch check and the tier append. Pin (a) the
@@ -2832,6 +2859,7 @@ def test_dedup_clusters_star_forest_input_skips_rounds(spark, monkeypatch):
     assert calls["n"] >= 1
 
 
+@pytest.mark.slow
 def test_presigned_vecsig_batch_shared_across_lookup_and_append(spark, tmp_path):
     """r14, vector twin of the dedup presigned test: the semantic
     ingest gate signs its batch once and shares the frame between the
@@ -2909,6 +2937,7 @@ def test_presigned_vecsig_batch_shared_across_lookup_and_append(spark, tmp_path)
         )
 
 
+@pytest.mark.slow
 def test_presigned_params_hash_rejects_same_shape_different_seed(spark, tmp_path):
     """r15 guard hardening (r14 verdict "what's wrong" #4): a frame
     signed with the SAME signature shape (bands x rows / table count)

@@ -3,6 +3,8 @@ as-of join equivalence with pandas merge_asof, kernel mode equivalence."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -137,6 +139,7 @@ def test_exact_claims_mode_statistically_equivalent(spark):
     ),
     threshold=st.sampled_from([0.5, 0.75, 1.0]),
 )
+@pytest.mark.slow
 def test_minhash_collapse_equals_bruteforce(spark, docs, threshold):
     """minhash_near_dup_pairs (exact-collapse → LSH → verify → expand)
     must equal brute-force all-pairs Jaccard: duplicates, singleton
@@ -174,6 +177,7 @@ def test_minhash_collapse_equals_bruteforce(spark, docs, threshold):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_dedup_clusters_equals_union_find(spark, edges):
     """Large-star/small-star connected components must agree with a plain
     union-find on arbitrary graphs: paths, cycles, self-loops, parallel
@@ -232,6 +236,7 @@ def test_pack_sequences_matches_python_reference(spark, toks, cap):
     langs=st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=40),
     frac=st.floats(min_value=0.05, max_value=0.95),
 )
+@pytest.mark.slow
 def test_stratified_sample_quota_property(spark, langs, frac):
     """Every stratum contributes exactly ceil(frac·n) rows, regardless
     of strata sizes and fraction."""
@@ -264,6 +269,7 @@ def test_stratified_sample_quota_property(spark, langs, frac):
     ),
     max_hamming=st.sampled_from([0, 1, 3]),
 )
+@pytest.mark.slow
 def test_simhash_banded_equals_bruteforce_hamming(spark, docs, max_hamming):
     """The banded pigeonhole join (with the round-5 in-expansion verify)
     must equal brute-force Hamming over the same fingerprints — the
@@ -298,6 +304,7 @@ def test_simhash_banded_equals_bruteforce_hamming(spark, docs, max_hamming):
     ),
     threshold=st.sampled_from([0.5, 0.8, 1.0]),
 )
+@pytest.mark.slow
 def test_ngram_prefix_filter_equals_bruteforce(spark, texts, threshold):
     """Prefix-filter blocked n-gram Jaccard (with the round-5 size
     prune) must equal brute-force all-pairs over distinct char 3-gram
@@ -333,6 +340,7 @@ def test_ngram_prefix_filter_equals_bruteforce(spark, texts, threshold):
     ),
     max_dist=st.sampled_from([1, 2]),
 )
+@pytest.mark.slow
 def test_levenshtein_qgram_equals_bruteforce(spark, texts, max_dist):
     """ED-Join q-gram blocking must equal brute-force edit distance over
     all pairs of strings meeting the length contract (n >= q*(d+1));
@@ -375,6 +383,7 @@ def test_levenshtein_qgram_equals_bruteforce(spark, texts, max_dist):
         min_size=1, max_size=6,
     ),
 )
+@pytest.mark.slow
 def test_winnowing_equals_reference(spark, texts):
     """winnowing_fingerprints must equal a pure-Python reference of the
     same spec: md5-60-bit k-gram hashes, min over each sliding window
@@ -422,6 +431,7 @@ def test_winnowing_equals_reference(spark, texts):
     ),
     w=st.integers(min_value=2, max_value=4),
 )
+@pytest.mark.slow
 def test_repeated_span_removal_matches_python_reference(spark, docs, w):
     """repeated_span_removal agrees with a direct pure-Python
     implementation of the contract (overlapping w-token windows with
@@ -488,6 +498,7 @@ def test_repeated_span_removal_matches_python_reference(spark, docs, w):
     seg=st.integers(min_value=2, max_value=4),
     max_df=st.integers(min_value=1, max_value=3),
 )
+@pytest.mark.slow
 def test_segment_dedup_matches_python_reference(spark, docs, seg, max_df):
     """segment_dedup agrees with a direct pure-Python implementation
     (disjoint seg-word windows; drop segments whose DISTINCT-document
@@ -523,6 +534,7 @@ def test_segment_dedup_matches_python_reference(spark, docs, seg, max_df):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_registry_outputs_are_driver_canonicalizable(spark):
     """Driver-harness compat gate (VERDICT r7 #6): the driver
     canonicalizes every checked query's output in pandas — sort_values

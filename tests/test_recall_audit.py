@@ -55,6 +55,7 @@ def test_planted_twin_recall_is_exactly_one(spark, tier):
     assert all(r["n_hits"] == 1 and r["exact_n"] == 1 for r in rows)
 
 
+@pytest.mark.slow
 def test_sampled_audit_bounded_and_deterministic(spark, tier):
     from actuarial_reserve_modelling_spark.operators.similarity import (
         ann_index_recall_audit,
@@ -74,6 +75,7 @@ def test_sampled_audit_bounded_and_deterministic(spark, tier):
         assert r["n_hits"] <= r["exact_n"]
 
 
+@pytest.mark.slow
 def test_clustered_recall_improves_with_probes(spark, tier):
     """The recall/nprobe trade the audit exists to expose: more probed
     supers can only add candidates, so recall is non-decreasing."""
@@ -98,6 +100,7 @@ def test_clustered_recall_improves_with_probes(spark, tier):
     assert r4 >= 0.9  # clustered data: the index can exploit structure
 
 
+@pytest.mark.slow
 def test_slim_layout_requires_embeddings(spark, tier, tmp_path):
     from actuarial_reserve_modelling_spark.operators.similarity import (
         ann_index_recall_audit,
@@ -217,6 +220,7 @@ def test_persist_recall_audit_and_auto_probe_clustered(spark, tier):
     assert explicit.exceptAll(auto).count() == 0
 
 
+@pytest.mark.slow
 def test_auto_probe_isotropic_warns_with_curve(spark, tmp_path):
     """An isotropic corpus plateaus below the recall target at every
     measured setting — "auto" must surface the measured curve in a
@@ -264,6 +268,7 @@ def test_auto_probe_without_audit_warns_and_falls_back(spark, tier):
         assert _auto_probe(spark, path, "test", 0.95, fallback=4) == 4
 
 
+@pytest.mark.slow
 def test_ivfpq_auto_probe_clustered_defaults_low(spark, tmp_path):
     """The IVF-PQ tier shares the persisted-curve defaulting: a
     clustered corpus reaches target at probe 1-2 despite the

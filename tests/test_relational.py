@@ -18,6 +18,7 @@ def registry():
     return load_all()
 
 
+@pytest.mark.slow
 def test_all_queries_run_at_smoke_sf(spark, registry):
     for name, q in registry.items():
         df = q.spark_fn(spark, SF_SMOKE)

@@ -3,6 +3,8 @@ plus batch-equivalence spot checks for the streaming surface."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import tempfile
 
@@ -46,6 +48,7 @@ def _open_stream(spark, dirpath: str):
     )
 
 
+@pytest.mark.slow
 def test_t5_watermark_drops_late_rows(spark, tmp_path):
     """A row older than (max event time - watermark delay) arriving in a
     later *run* must be dropped from append-mode output.
@@ -395,6 +398,7 @@ def test_incremental_ingest_dedup_with_seed(spark):
     assert got == {(0, 0), (4, 1)}
 
 
+@pytest.mark.slow
 def test_incremental_neardup_ingest_matches_reference(spark):
     """The full ingest gate (exact tier + within-batch clustering +
     against-index near-dup) must match an independent pure-Python
@@ -502,6 +506,7 @@ def test_incremental_neardup_ingest_matches_reference(spark):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_ingest_dedup_with_compaction_preserves_output(spark, tmp_path):
     """Compacting the fingerprint index mid-stream must not change the
     admitted set, and must shrink the index to few files."""
@@ -618,6 +623,7 @@ def test_compact_parquet_dir_crash_window_keeps_data(spark, tmp_path, monkeypatc
     assert vals == set(range(30))  # never empty, distinct absorbs the double
 
 
+@pytest.mark.slow
 def test_incremental_semantic_ingest_closed_form_and_compaction(spark):
     """The embedding-tier ingest gate must match the planted-duplicate
     closed form (including the ordering case where a plant arrives in an
@@ -661,6 +667,7 @@ def test_incremental_semantic_ingest_closed_form_and_compaction(spark):
     assert got_compacted == got
 
 
+@pytest.mark.slow
 def test_incremental_ann_ingest_closed_form_and_compaction(spark):
     """The L10-tier ingest gate (persisted hierarchical ANN index as
     stream state) must admit exactly the originals: cross-batch exact
@@ -710,6 +717,7 @@ def test_incremental_ann_ingest_closed_form_and_compaction(spark):
     assert got_compacted == got
 
 
+@pytest.mark.slow
 def test_ingest_auto_compaction_bounds_files(spark, tmp_path):
     """r10 verdict #3: the continuous-ingest loops must bound file
     counts WITHOUT the caller remembering a cadence. Many small batches
@@ -801,6 +809,7 @@ def test_ingest_auto_compaction_bounds_files(spark, tmp_path):
     assert max(per_d_off.values()) > 3, per_d_off
 
 
+@pytest.mark.slow
 def test_ann_gate_replay_self_hit_excluded(spark, tmp_path):
     """r11: the t13 gate's replay-convergence invariant at the operator
     level — a micro-batch retried AFTER its add_to_ann_index committed
@@ -928,6 +937,7 @@ def test_run_overlapped_contract():
     assert any("'y'" in n and "second-listed" in n for n in notes)
 
 
+@pytest.mark.slow
 def test_incremental_ingest_dedup_seeded_resume_keeps_prior_batches(spark, tmp_path):
     """r12 ADVICE fix: re-invoking the seeded exact-dedup gate with the
     SAME persistent work_dir must NOT rewrite the seed over the index
@@ -1034,6 +1044,7 @@ def test_vacuum_index_reclaims_orphans_only(spark, tmp_path):
     assert vacuum_index(spark, path, dry_run=True) == []
 
 
+@pytest.mark.slow
 def test_ingest_gate_auto_vacuum_invariant(spark):
     """The opt-in per-epoch vacuum hook must not change the admitted
     set (it removes only unreferenced orphan state)."""
@@ -1065,6 +1076,7 @@ def test_ingest_gate_auto_vacuum_invariant(spark):
     assert (0, 0) in plain and (10, 1) not in plain  # cross-batch dup rejected
 
 
+@pytest.mark.slow
 def test_incremental_ingest_dedup_grown_seed_resume(spark, tmp_path):
     """r12 review fix: resuming a seeded gate with a GROWN seed corpus
     must index the new seed docs (pre-fix the bootstrap was skipped
@@ -1107,6 +1119,7 @@ def test_incremental_ingest_dedup_grown_seed_resume(spark, tmp_path):
     assert got1 == {(8, 0)}
 
 
+@pytest.mark.slow
 def test_ann_ingest_gate_refreshes_recall_curve(spark, tmp_path):
     """r14: refresh_recall_curve=N re-audits the tier every N batches
     post-append, so nprobe="auto" consumers route on a curve measured
